@@ -1,0 +1,60 @@
+"""Query/oracle registry backing the ``__spark_entry__.py`` driver contract.
+
+Every operator module registers its declared queries here via :func:`register`.
+A query is a ``(spark, sf_dir) -> DataFrame`` callable; most also carry an
+ANSI-SQL oracle string that DuckDB runs over the same parquet fixtures
+(SURVEY.md §2.B "oracle" column). Queries without an oracle are the declared
+ROWS-ONLY set (engine-specific hashes/sketches, side-effects, streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: declare a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    from .operators import (  # noqa: F401
+        aggregates,
+        filters,
+        joins,
+        scalar_fns,
+        scans,
+        sorts_setops,
+        udfs,
+        windows,
+    )
+    from .text import analysis, indexer, search  # noqa: F401
+    from .llm import dedup, similarity  # noqa: F401
+    from .streaming import event_windows  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,62 @@
+"""SparkSession factory + defensive runtime config.
+
+The driver owns the session it passes to ``__spark_entry__.entry``; we therefore
+apply every *runtime-settable* config defensively in :func:`tune` (called by the
+catalog loader on every query build) instead of relying on builder-time config.
+
+Design notes for 100 TB scale (SURVEY.md §4.2):
+- AQE is the backbone: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast selection replace every hand-tuned knob the reference
+  exposed (its single knob was the reducer count CLI arg, App.scala:235,246).
+- ``spark.sql.session.timeZone=UTC`` keeps timestamp semantics identical to the
+  DuckDB oracle and independent of cluster locale.
+- Shuffle partition default here is sized for local test SFs; on a real cluster
+  AQE coalescing makes the initial number a ceiling, not a tuning burden.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session that runs our queries.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local-scale default; AQE coalesces below this, and at cluster scale the
+    # right value is ~2-3x total cores (set via submit conf, not code).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Arrow for every pandas interchange path (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark has no native type
+    # for; read as int64 nanos and convert in the catalog (catalog.table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-owned session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build: keep session default
+    return spark
+
+
+def get_spark(app_name: str = "sdu-hadoop-indexer-spark") -> SparkSession:
+    """Build (or reuse) a local session for tests/bench."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/sdu-spark-warehouse")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,151 @@
+"""Positional inverted index — the reference's raison d'être, Spark-first.
+
+The reference builds this with a hand-written Hadoop MapReduce pipeline
+(`/root/reference/src/main/scala/test/App.scala`): tokenize in ``map()``
+(App.scala:150-169), in-mapper hash partial aggregation (App.scala:153-166),
+combiner (App.scala:257), hash-partitioned shuffle with composite-key secondary
+sort (App.scala:61,105-111), and a sort-based grouped reduce that assembles
+``(word, array<(doc, positions)>)`` postings (App.scala:186-219).
+
+Here the whole pipeline is four declarative DataFrame steps; Catalyst provides
+the partial aggregation, exchange, and sort the reference hand-coded, and
+Tungsten provides the serde it hand-wrote (App.scala:76-103). Intended
+semantics, not the reference's bugs (SURVEY.md §2.C): positions are 0-based
+token ordinals (fixes B4, App.scala:160) and grouping keys are real values,
+not reused mutable singletons (fixes B1/B2/B6).
+
+Scale notes (100 TB): term frequency is power-law — the nested-index build
+groups by ``term`` whose hot keys (stopwords) skew the shuffle. AQE skew-join
+handles joins; for the agg we rely on the two-level build (partial agg on
+(term, doc_id) first, which is far better distributed) so the final per-term
+groups carry one row per (term, doc) not one per occurrence. At cluster scale
+the index sink should additionally be bucketed by ``term`` for co-located
+lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# Shared DuckDB tokenizer fragment (oracle side). Parity contract with
+# `tokenize`: split on \s+, keep 0-based ordinals over the RAW split array,
+# drop empty tokens AFTER enumeration (Java split drops trailing empties,
+# DuckDB keeps them; both keep leading empties — filtering after enumeration
+# makes ordinals identical on both engines).
+TOK_SQL = """
+tok AS (
+    SELECT u.doc_id, CAST(u.pos AS INTEGER) AS pos, u.term
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(string_split_regex(lower(text), '\\s+')))) AS pos,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ) u
+    WHERE u.term <> ''
+)
+"""
+
+
+def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per (doc_id, pos, term); pos = 0-based ordinal.
+
+    Generalizes App.scala:155 (``split("\\s")`` loop) + App.scala:154,160
+    (position counter, with the B4 char-offset bug fixed to token ordinals).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+
+
+def index_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat postings: (term, doc_id, positions sorted array<int>, tf).
+
+    The reference's map-side product (App.scala:153-166) — one record per
+    (word, doc) with its position list — as a hash aggregation. Catalyst
+    runs it partial→final (the in-mapper-combining pattern, automatically).
+    """
+    return (
+        tokenize(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count("*").alias("tf"),
+        )
+    )
+
+
+def index_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: nested inverted index (term, postings, df).
+
+    postings = array<struct<doc_id, positions>> sorted by doc_id — exactly the
+    reducer output shape of App.scala:188-218, with document frequency added.
+    The secondary sort the reference needed the shuffle to provide
+    (TextPair.compareTo, App.scala:105-111) is `sort_array` inside the agg.
+    """
+    return (
+        index_flat(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "positions"))).alias(
+                "postings"
+            ),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+def doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count — the App.scala:168 TODO, implemented."""
+    return tokenize(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count — the commented-out legacy op (App.scala:206-222)."""
+    return tokenize(spark, sf_dir).groupBy("term").agg(F.count("*").alias("cnt"))
+
+
+register(
+    "text_tokenize",
+    oracle=f"WITH {TOK_SQL} SELECT doc_id, pos, term FROM tok",
+)(tokenize)
+
+register(
+    "text_index_flat",
+    oracle=f"""
+    WITH {TOK_SQL}
+    SELECT term, doc_id, list(pos ORDER BY pos) AS positions, count(*) AS tf
+    FROM tok GROUP BY term, doc_id
+    """,
+)(index_flat)
+
+register(
+    "text_index_nested",
+    oracle=f"""
+    WITH {TOK_SQL},
+    flat AS (
+        SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+        FROM tok GROUP BY term, doc_id
+    )
+    SELECT term,
+           list(struct_pack(doc_id := doc_id, positions := positions)
+                ORDER BY doc_id) AS postings,
+           count(DISTINCT doc_id) AS df
+    FROM flat GROUP BY term
+    """,
+)(index_nested)
+
+register(
+    "text_doclen",
+    oracle=f"WITH {TOK_SQL} SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id",
+)(doclen)
+
+register(
+    "text_wordcount",
+    oracle=f"WITH {TOK_SQL} SELECT term, count(*) AS cnt FROM tok GROUP BY term",
+)(wordcount)

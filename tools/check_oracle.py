@@ -1,0 +1,149 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet fixtures, then compares row count + column names + an
+order-insensitive canonical value multiset. Usage:
+
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from sdu_hadoop_indexer_spark.catalog import TABLES
+from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
+from sdu_hadoop_indexer_spark.session import get_spark
+
+
+def canon(v) -> str:
+    """Engine-neutral canonical repr of one cell value."""
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
+    if v is None:
+        return "None"
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return "0.0"  # normalize -0.0
+        return repr(v)
+    if isinstance(v, Decimal):
+        return canon(float(v))
+    if isinstance(v, (int, str, bytes)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):  # pyspark Row
+        return canon(v.asDict(recursive=True))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def rows_to_multiset(rows: list[dict]) -> list[str]:
+    out = []
+    for r in rows:
+        out.append("|".join(f"{k}={canon(r[k])}" for k in sorted(r)))
+    out.sort()
+    return out
+
+
+def spark_rows(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def duck_rows(con, sql: str) -> list[dict]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return [dict(zip(cols, row)) for row in cur.fetchall()]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    queries, oracles = all_queries(), all_oracles()
+    names = args.names or sorted(queries)
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = 0
+    for name in names:
+        if name not in queries:
+            print(f"{name}: NO SUCH QUERY")
+            n_fail += 1
+            continue
+        try:
+            sdf = queries[name](spark, args.sf)
+            srows = spark_rows(sdf)
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            ok = len(srows) >= 0
+            print(f"{name}: ROWS-ONLY rows={len(srows)} {'PASS' if ok else 'FAIL'}")
+            n_pass += 1
+            continue
+        try:
+            drows = duck_rows(con, oracles[name])
+        except Exception as e:
+            print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        scols = sorted(srows[0]) if srows else sorted(sdf.columns)
+        dcols = sorted(drows[0]) if drows else []
+        if drows and scols != dcols:
+            print(f"{name}: FAIL cols spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        sms, dms = rows_to_multiset(srows), rows_to_multiset(drows)
+        if len(sms) != len(dms):
+            print(f"{name}: FAIL rowcount spark={len(sms)} duck={len(dms)}")
+            n_fail += 1
+            continue
+        if sms != dms:
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(sms, dms)) if a != b), None
+            )
+            print(f"{name}: FAIL values (first diff at sorted idx {diff})")
+            if diff is not None:
+                print(f"  spark: {sms[diff][:300]}")
+                print(f"  duck : {dms[diff][:300]}")
+            n_fail += 1
+            continue
+        print(f"{name}: PASS rows={len(sms)}")
+        n_pass += 1
+
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
