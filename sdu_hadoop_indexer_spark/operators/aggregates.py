@@ -1,1 +1,161 @@
-"""Stub — filled in as operators land."""
+"""Aggregation family (SURVEY.md §2.B-4).
+
+Generalizes the reference's two aggregation layers — in-mapper hash partial
+aggregation (App.scala:153-166) and the sort-based grouped reduce
+(App.scala:186-219) — into Catalyst's HashAggregate partial→final pipeline,
+plus the grouping-set/rollup/cube variants the reference never had.
+
+Parity: every SUM over doubles goes through decimal(25,4) (see parity.py) so
+the value is independent of partitioning/summation order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views, table
+from ..registry import register
+from .parity import dsum, ravg, sql_dsum, sql_ravg
+
+
+@register(
+    "agg_hash_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_ravg('l_quantity', 'avg_qty')},
+           {sql_ravg('l_extendedprice', 'avg_price')},
+           {sql_ravg('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical multi-measure hash aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            ravg("l_quantity", "avg_qty"),
+            ravg("l_extendedprice", "avg_price"),
+            ravg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register("agg_approx_distinct")  # ROWS-ONLY: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — validated against exact ±5% in tests
+    (tests/test_aggregates.py), never hash-compared across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation — the index-core primitive (R10/R12) on a
+    relational column. sort_array, always (collect order is nondeterministic)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+
+
+_GSETS_SQL = """
+SELECT r_name, n_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL over the registered views — same text as
+    the oracle modulo dialect (identical here)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, r = table(spark, sf_dir, "nation"), table(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, {sql_dsum('o_totalprice', 'total_spend')}, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) > 400000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
+        .where(F.col("total_spend") > 400000)
+    )

@@ -1,1 +1,94 @@
-"""Stub — filled in as operators land."""
+"""Projections, filters, predicates, distinct (SURVEY.md §2.B-2).
+
+The reference's only projection is the tab-parse (App.scala:151-152) and it
+has no filters at all; these are the first-class relational generalization.
+All predicates here are expressed declaratively so Catalyst pushes them into
+the Parquet scan (PushedFilters) and prunes unread columns (ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS charged
+    FROM lineitem
+    """,
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/alias projection (generalized R2).
+
+    Parity: the inputs are 2-decimal monetary values, so casting to
+    decimal(12,2) and multiplying is EXACT (scale-4/6 decimals, no rounding
+    step at all) — `round(double, 4)` would diverge between engines on
+    half-boundary doubles (observed at sf0.01).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        (price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("charged"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: range, BETWEEN, <, IN — all pushed to the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%ring%' OR regexp_matches(p_brand, 'Brand#1[0-9]$')
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern predicates: LIKE and regex."""
+    p = table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").like("%ring%") | F.col("p_brand").rlike("Brand#1[0-9]$")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination (hash aggregate under the hood)."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

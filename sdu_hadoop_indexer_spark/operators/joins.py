@@ -1,1 +1,255 @@
-"""Stub — filled in as operators land."""
+"""Join family (SURVEY.md §2.B-3).
+
+The reference has NO joins — its single "distribution algorithm" is the
+hash-partitioned shuffle-sort (HashPartitioner + TextPair.compareTo,
+App.scala:61,105-111), which is exactly the machinery under Spark's
+sort-merge join. This module declares the full join surface over the TPC-H-ish
+fixture graph.
+
+Scale notes (100 TB):
+- dimension joins (nation/region/part/supplier, even customer at most SFs)
+  must broadcast — AQE picks that automatically from runtime sizes, and
+  `join_broadcast` pins it explicitly with `F.broadcast`;
+- the fact-fact joins (lineitem⋈orders) shuffle on the join key: both sides
+  hash-partition, AQE coalesces partitions and splits skew;
+- the range/as-of joins are equi+inequality on (user_id, ts): Spark executes
+  them as a partitioned equi-join with the range predicate applied post-match,
+  so the shuffle stays keyed on user_id — no quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .parity import SQL_EVENTS_US
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 30
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: fact ⋈ broadcast(dim) — zero shuffle of
+    the fact side; the plan must show BroadcastHashJoin (asserted in tests)."""
+    li, p = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    return li.join(F.broadcast(p.where(F.col("p_size") > 30)), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+    )
+
+
+@register(
+    "join_sortmerge",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join pinned to sort-merge (the reference's shuffle-sort,
+    generalized): both sides exchange on the key, merge in sorted order."""
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k, count(*) AS n95 FROM orders
+               WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         b AS (SELECT o_custkey AS k, count(*) AS n96 FROM orders
+               WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+    SELECT coalesce(a.k, b.k) AS custkey, n95, n96
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.where(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n95"))
+    )
+    b = (
+        o.where(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n96"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("custkey"), "n95", "n96"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND year(o_orderdate) = 1995)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent 1995 order (non-trivial anti set at all SFs —
+    a bare "no orders at all" anti-join is empty in these fixtures)."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    urgent95 = o.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995)
+    )
+    return c.join(urgent95, c.c_custkey == urgent95.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross_theta",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    """,
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = table(spark, sf_dir, "region"), table(spark, sf_dir, "nation")
+    return r.crossJoin(n).where(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    e AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+    SELECT p.event_id, count(*) AS n_err
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors in the hour before each purchase, per user.
+
+    Equi on user_id + range on ts → Spark keeps the shuffle keyed on user_id
+    (SortMergeJoin) and applies the range predicate during the merge; the plan
+    never degenerates to a cross product.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    return (
+        p.join(
+            e,
+            (p.user_id == e.e_user)
+            & (e.e_ts >= p.ts - F.expr("INTERVAL 1 HOUR"))
+            & (e.e_ts < p.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_err"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    m AS (
+        SELECT p.event_id, e.event_id AS prior_event_id, e.event_type AS prior_type,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM p JOIN ev e ON p.user_id = e.user_id AND e.ts < p.ts
+    )
+    SELECT event_id, prior_event_id, prior_type FROM m WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier event of the
+    same user (deterministic tie-break on event_id). DuckDB expresses this
+    natively as ASOF JOIN; the oracle uses the identical window form so the
+    tie-break is engine-independent.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    e = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("prior_event_id"),
+        F.col("event_type").alias("prior_type"),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("e_ts"), F.desc("prior_event_id"))
+    return (
+        p.join(e, (p.user_id == e.e_user) & (e.e_ts < p.ts))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "prior_event_id", "prior_type")
+    )

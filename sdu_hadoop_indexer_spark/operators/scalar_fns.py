@@ -1,1 +1,231 @@
-"""Stub — filled in as operators land."""
+"""Scalar function library (SURVEY.md §2.B-7): one query per family.
+
+All JVM-side built-ins (whole-stage codegen) — no Python UDFs in any of
+these paths. Cross-engine notes are inline where Spark and DuckDB dialects
+diverge (dayofweek origin, regexp_replace global flag, int widths…).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .parity import SQL_EVENTS_US
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lo,
+           upper(p_name) AS up,
+           CAST(length(p_name) AS INTEGER) AS len,
+           substr(p_name, 1, 4) AS sub,
+           concat_ws('|', p_brand, p_name) AS cat,
+           trim(p_name) AS trimmed,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS repl,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family. DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all semantics."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_name").alias("up"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 4).alias("sub"),
+        F.concat_ws("|", "p_brand", "p_name").alias("cat"),
+        F.trim("p_name").alias("trimmed"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("repl"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER)
+               AS days_to_2000,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Origin parity: Spark dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday → Spark side subtracts 1."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_2000"
+        ),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("plus30"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 4) AS sqrt_price,
+           round(ln(l_extendedprice), 4) AS ln_price,
+           round(log10(l_extendedprice), 4) AS log10_price,
+           CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+           abs(l_extendedprice - 50000) AS abs_dev,
+           CAST(sign(l_extendedprice - 50000) AS INTEGER) AS sgn,
+           ((l_orderkey % 7) + 7) % 7 AS pmod7,
+           greatest(l_quantity, l_discount * 100) AS hi,
+           least(l_quantity, l_discount * 100) AS lo
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals (ln/log10/sqrt/pow) round(,4) — libm may
+    differ by 1 ulp across engines; int-valued results cast to a common width."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt(price), 4).alias("sqrt_price"),
+        F.round(F.log(price), 4).alias("ln_price"),
+        F.round(F.log10(price), 4).alias("log10_price"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.ceil(price).alias("ceil_price"),
+        F.floor(price).alias("floor_price"),
+        F.abs(price - 50000).alias("abs_dev"),
+        F.signum(price - 50000).cast("int").alias("sgn"),
+        F.pmod("l_orderkey", F.lit(7)).alias("pmod7"),
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("hi"),
+        F.least("l_quantity", F.col("l_discount") * 100).alias("lo"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_toks,
+           list_contains(toks, 'join') AS has_join,
+           list_sort(toks) AS sorted_toks,
+           list_sort(list_distinct(toks)) AS uniq_toks,
+           flatten([toks[1:3], toks[4:6]]) AS first6,
+           len(list_intersect(toks, ['join', 'hash'])) > 0 AS overlaps_q,
+           list_transform(toks[1:5], x -> upper(x)) AS up5,
+           list_filter(toks, x -> length(x) > 5) AS long_toks,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           list_transform(range(1, 6), x -> CAST(x AS INTEGER)) AS seq5
+    FROM d
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda family over token lists (generalized R11/R12).
+
+    Order parity: array_distinct preserves first-occurrence order in Spark but
+    not in DuckDB → always wrap in sort_array before comparing.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        ).alias("toks"),
+    )
+    toks = F.col("toks")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.sort_array(toks).alias("sorted_toks"),
+        F.sort_array(F.array_distinct(toks)).alias("uniq_toks"),
+        F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 3))).alias("first6"),
+        F.arrays_overlap(toks, F.array(F.lit("join"), F.lit("hash"))).alias("overlaps_q"),
+        F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)).alias("up5"),
+        F.filter(toks, lambda x: F.length(x) > 5).alias("long_toks"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "total_chars"
+        ),
+        F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
+    )
+
+
+@register(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+           json_keys(props) AS prop_keys,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
+    FROM events
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction, schema-ful from_json, keys, missing-path
+    null semantics. (Map-typed *outputs* are exercised in unit tests —
+    DuckDB's MAP serialization differs by design, SURVEY §2.B-7.)"""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.from_json("props", "k INT").getField("k").alias("k_struct"),
+        F.json_object_keys("props").alias("prop_keys"),
+        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+           coalesce(NULL, c_name) AS nvl_name
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.nvl(F.lit(None).cast("string"), F.col("c_name")).alias("nvl_name"),
+    )

@@ -1,1 +1,85 @@
-"""Stub — filled in as operators land."""
+"""Sources & sinks (SURVEY.md §2.B-1).
+
+Generalizes the reference's input layer — a line-oriented text scan
+(`FileInputFormat.setInputPaths`, App.scala:28,248) whose every record is
+``split("\t", 2)``-parsed into (title, body) (App.scala:151-152) — and its
+sink, a pre-delete-then-write text output (App.scala:249,261-263).
+
+Scale notes: Parquet scans get predicate pushdown + column pruning from
+Catalyst (verified in tests via PushedFilters/ReadSchema in the plan); the
+sink uses ``mode("overwrite")`` which replaces the reference's manual
+``FileSystem.delete`` (App.scala:261-263) with an atomic-per-partition commit
+protocol that scales to thousands of writers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full columnar scan of the fact table (R1)."""
+    return table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "scan_text_parse",
+    oracle="""
+    WITH lines AS (
+        SELECT CAST(doc_id AS VARCHAR) || chr(9) || text AS line FROM documents
+    )
+    SELECT split_part(line, chr(9), 1) AS doc_title,
+           substr(line, strpos(line, chr(9)) + 1) AS body
+    FROM lines
+    """,
+)
+def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference input contract (R1+R2): one line per doc, tab-split in two.
+
+    Round-trips documents through the reference's wire format
+    (``title \t body``, App.scala:151-152) and re-parses it: first-tab split,
+    title must contain no tab — the reference's implicit contract.
+    """
+    lines = table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("line")
+    )
+    return lines.select(
+        F.substring_index("line", "\t", 1).alias("doc_title"),
+        F.expr("substring(line, instr(line, '\t') + 1)").alias("body"),
+    )
+
+
+@register(
+    "scan_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction from the event stream's props column."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register("sink_parquet")  # ROWS-ONLY: side-effecting; read-back equals source
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite parquet sink + read-back (R13).
+
+    The reference deleted its output dir by hand before the job
+    (App.scala:261-263); ``mode("overwrite")`` is the engine-level equivalent.
+    """
+    out = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/sdu_spark_sink/orders_by_status")
+    src = table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return spark.read.parquet(out).select(*src.columns)

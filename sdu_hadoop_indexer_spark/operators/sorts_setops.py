@@ -1,1 +1,120 @@
-"""Stub — filled in as operators land."""
+"""Sorts, limits, top-k, set operations (SURVEY.md §2.B-6).
+
+The reference's only ordering is the shuffle sort on (word, doc)
+(App.scala:105-111); here ordering is a first-class operator. Global
+``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per-partition
+top-k then a k-row merge on the driver, the scalable form at 100 TB (no full
+global sort materialization). Per-group top-k uses a ranking window, which
+shuffles once on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (deterministic tie-break on o_orderkey, always)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (overlapping inputs on purpose — duplicates must survive)."""
+    c = table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_mktsegment")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = table(spark, sf_dir, "customer"), table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)

@@ -1,1 +1,139 @@
-"""Stub — filled in as operators land."""
+"""Window functions (SURVEY.md §2.B-5).
+
+The closest reference construct is the composite-key secondary sort
+(TextPair.compareTo, App.scala:105-111) — a partition-then-order-within
+pattern, which is precisely a Spark window spec. Everything else is new
+surface.
+
+Parity rules: every ORDER BY carries a unique tie-break column; window SUMs
+over doubles accumulate in decimal (see parity.py) so frame evaluation order
+can't shift the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .parity import SQL_EVENTS_US, sql_epoch_s
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w_det = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_val = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_det).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT event_id, user_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM ev
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "win_running_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (decimal-accumulated)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    e2 AS (SELECT event_id, user_id, value, {sql_epoch_s('ts')} AS epoch_s FROM ev)
+    SELECT event_id, user_id, epoch_s,
+           CAST(sum(CAST(value AS DECIMAL(25,4)))
+                OVER (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_1h
+    FROM e2
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per-user sliding 1-hour sum over epoch secs."""
+    ev = table(spark, sf_dir, "events")
+    e2 = ev.select(
+        "event_id", "user_id", "value", F.unix_timestamp("ts").alias("epoch_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
+    return e2.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.sum(F.col("value").cast("decimal(25,4)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))
