@@ -1,0 +1,90 @@
+"""Benchmark harness — headline queries at sf0.1 (BASELINE.md protocol).
+
+Runs each headline query 3 times warm (after one untimed warmup of the
+flagship to absorb JVM/codegen startup), takes the median, and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"name": sec, ...}, "sf": 0.1}
+
+Materialization is the noop sink (``df.write.format("noop")``) so we measure
+full distributed execution without driver-collect overhead — the same way
+spark-sql-perf style harnesses do.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default local[*] core count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sdu_hadoop_indexer_spark.registry import all_queries
+from sdu_hadoop_indexer_spark.session import get_spark
+
+# Representative spread of SURVEY.md §2.B: flagship index, relational core
+# (scan/filter/agg/join/window/topk), search layer, streaming batch-forms,
+# and the LLM-pipeline ops. Keep this list stable between rounds so the
+# BENCH gate compares like with like.
+HEADLINE = [
+    "text_index_nested",  # flagship — the reference's whole pipeline
+    "text_index_flat",
+    "text_bm25",
+    "text_phrase",
+    "agg_hash_groupby",  # TPC-H Q1 shape
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "topk_per_group",
+    "sort_limit",
+    "stream_session",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_search",
+    "text_quality_stats",
+]
+
+
+def run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Untimed warmup: JVM classloading, codegen, parquet footer cache.
+    run_once(queries["text_index_nested"], spark, sf_dir)
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        times = [run_once(queries[name], spark, sf_dir) for _ in range(reps)]
+        per_query[name] = round(statistics.median(times), 3)
+        print(f"# {name}: {per_query[name]}s {times}", file=sys.stderr)
+
+    out = {
+        "metric": "headline suite wall-clock (median of %d warm runs/query)" % reps,
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,1 +1,239 @@
-"""Stub — filled in as operators land."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.B-10).
+
+Charter-mandated extensions over the `documents` corpus: exact hashing,
+token-set / n-gram Jaccard near-dup (the EXACT-oracle baselines), and the
+scale paths — MinHash-LSH and SimHash — which are ROWS-ONLY by design
+(engine hash functions differ) and are instead validated against the exact
+Jaccard baseline in tests (recall check, SURVEY §5.2 rule 6).
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on sha256(text) — embarrassingly scalable;
+- pairwise Jaccard is quadratic in docs-per-shared-token: it is the local
+  correctness oracle, NOT the scale path;
+- MinHash-LSH is the scale path: O(docs × signature) work, candidates only
+  collide within band buckets, and the band groupBy is a single shuffle whose
+  hot buckets AQE splits. Band/row choice (4 bands × 4 rows) targets the
+  τ≈0.9 similarity knee: P(candidate) = 1-(1-s^4)^4.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..text.indexer import TOK_SQL, tokenize
+
+JACCARD_TAU = 0.9
+
+# Distinct (doc_id, token) pairs + per-doc set size — shared by the Jaccard
+# family. DuckDB twin below.
+DSET_SQL = f"""
+{TOK_SQL},
+tset AS (SELECT DISTINCT doc_id, term FROM tok),
+tsize AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY doc_id)
+"""
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize(spark, sf_dir).select("doc_id", "term").distinct()
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id.
+
+    sha2(text, 256) and DuckDB sha256 both emit lowercase hex → EXACT oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN tsize sa ON doc_a = sa.doc_id
+    JOIN tsize sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard ≥ τ (exact baseline).
+
+    Inverted-index self-join: candidates only materialize for doc pairs that
+    share ≥1 token; |∩| is a grouped count, |∪| from broadcast set sizes.
+    """
+    tset = _token_sets(spark, sf_dir)
+    sizes = tset.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tset.select(F.col("doc_id").alias("doc_a"), "term")
+    b = tset.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {TOK_SQL},
+    big AS (
+        SELECT DISTINCT doc_id, term || ' ' || next_term AS bigram
+        FROM (SELECT doc_id, term,
+                     lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS next_term
+              FROM tok)
+        WHERE next_term IS NOT NULL
+    ),
+    bsize AS (SELECT doc_id, count(*) AS sz FROM big GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM big a JOIN big b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN bsize sa ON doc_a = sa.doc_id
+    JOIN bsize sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by bigram-shingle Jaccard ≥ 0.5 — order-sensitive variant
+    (word salads that tie on token sets separate on shingles)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokenize(spark, sf_dir)
+        .withColumn("next_term", F.lead("term").over(w))
+        .where(F.col("next_term").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "next_term").alias("bigram"))
+        .distinct()
+    )
+    sizes = big.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = big.select(F.col("doc_id").alias("doc_a"), "bigram")
+    b = big.select(F.col("doc_id").alias("doc_b"), "bigram")
+    inter = (
+        a.join(b, "bigram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+N_HASHES = 16
+N_BANDS = 4  # 4 bands × 4 rows
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15): min of xxhash64(term, seed_i) per doc — one grouped
+    agg over distinct (doc, term), no per-row Python."""
+    tset = _token_sets(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64("term", F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    return tset.groupBy("doc_id").agg(*aggs)
+
+
+@register("dedup_minhash_lsh")  # ROWS-ONLY: xxhash64 is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (the 100 TB near-dup path).
+
+    Signature → band hashes → self-join within (band_idx, band_hash) buckets.
+    Validated in tests by recall against dedup_near_jaccard (τ=0.9 pairs).
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register("dedup_simhash")  # ROWS-ONLY: engine-specific hash bits
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per doc (tf-weighted bit votes).
+
+    Bit i of xxhash64(term) votes ±tf; fingerprint bit = sign of the vote sum.
+    Assembled from 64 per-bit conditional sums in ONE hash aggregation (no
+    explode), then packed into a bigint with bit arithmetic — all JVM-side.
+    Tests assert: identical docs → identical fingerprints; hamming distance
+    correlates with Jaccard on near-dup pairs.
+    """
+    from ..text.indexer import index_flat
+
+    flat = index_flat(spark, sf_dir).select(
+        "doc_id", "tf", F.xxhash64("term").alias("th")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = flat.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(2 ** i).cast("long")
+        if i < 63
+        else F.when(F.col(f"v{i}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    fingerprint = reduce(lambda x, y: x + y, bits)
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))

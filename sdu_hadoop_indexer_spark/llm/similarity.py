@@ -1,1 +1,214 @@
-"""Stub — filled in as operators land."""
+"""Similarity search over embeddings (SURVEY.md §2.B-10).
+
+`embeddings(vec_id, embedding array<float>[64], label)` drives: pairwise
+cosine, brute-force top-k ANN (the correctness baseline), an LSH-bucketed
+top-k (the scale path), per-label centroids, and nearest-pair mining.
+
+All dot products are JVM-side column expressions (`zip_with` + `aggregate`),
+accumulated in float64 — no Python in the hot path.
+
+Scale notes (100 TB): brute-force top-k is O(|Q|·N) per query batch — correct
+but linear; it broadcasts the query set so the big side never shuffles, and
+the per-partition row_number window prunes to k before the final exchange
+(TakeOrdered semantics via rn filter). The LSH variant (`sim_topk_lsh`)
+buckets vectors by random-hyperplane signs so each query only scans its
+bucket — the IVF-style path you'd deploy, with recall measured against
+brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+N_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 5
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """float64 dot product of two float32 array columns (JVM-side)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a: str | Column, b: str | Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB twin: parallel-unnest zips the two lists; sums accumulate in double.
+# (list_cosine_similarity exists but computes in float32 — diverges at 4dp.)
+_COS_SQL = """
+    SELECT va, vb,
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+    FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(unnest(a.embedding) AS DOUBLE) AS x,
+               CAST(unnest(b.embedding) AS DOUBLE) AS y
+        FROM embeddings a JOIN embeddings b ON {pair_pred}
+    )
+    GROUP BY va, vb
+"""
+
+
+@register(
+    "sim_cosine_pair",
+    oracle=_COS_SQL.format(pair_pred="b.vec_id = a.vec_id + 1"),
+)
+def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between consecutive vec_ids (linear pair set)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vb") == F.col("va") + 1)
+        .select("va", "vb", F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+    )
+
+
+@register(
+    "sim_topk_search",
+    oracle=f"""
+    WITH cos AS (
+        {_COS_SQL.format(pair_pred=f"a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}")}
+    ),
+    unrounded AS (
+        SELECT va AS query_id, vb AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS rn
+        FROM cos
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM unrounded WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query set × candidate scan.
+
+    NOTE the oracle ranks on the ROUNDED cosine (4dp) with vec_id tie-break —
+    ranking on raw doubles would be vulnerable to sub-4dp cross-engine drift.
+    Spark side rounds before the window too, keeping both deterministic.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine("qe", "ce"), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+N_PLANES = 8  # LSH: 8 random hyperplanes → 256 buckets
+
+
+def _lsh_bucket(col: str | Column) -> Column:
+    """Random-hyperplane LSH bucket id for a float32 vector column.
+
+    Hyperplane i = deterministic pseudo-random ±1 pattern from xxhash64(dim, i)
+    parity: sign bit of sum over dims of (±1 · x_d). All JVM-side.
+    """
+    bits = []
+    for i in range(N_PLANES):
+        signed = F.transform(
+            col,
+            lambda x, d: F.when(
+                F.xxhash64(d, F.lit(i)).bitwiseAND(F.lit(1)) == 1, x.cast("double")
+            ).otherwise(-x.cast("double")),
+        )
+        proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+@register("sim_topk_lsh")  # ROWS-ONLY: bucket assignment is engine-specific
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (scale path): queries only scan same-bucket
+    candidates. Recall vs brute force asserted in tests (same-bucket
+    probability rises with cosine)."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket("embedding")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id", "neighbor_id", F.round(_cosine("qe", "ce"), 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@register(
+    "sim_label_centroid",
+    oracle="""
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
+           count(*) AS n_vecs
+    FROM (
+        SELECT label,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim) — posexplode + grouped avg
+    (partial-aggregated map-side; never collects vectors to the driver)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+@register(
+    "sim_nearest_pairs",
+    oracle=f"""
+    WITH cos AS (
+        {_COS_SQL.format(pair_pred="a.vec_id < b.vec_id")}
+    )
+    SELECT va, vb, cosine
+    FROM cos ORDER BY cosine DESC, va, vb LIMIT 20
+    """,
+)
+def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: 20 most-similar pairs corpus-wide (these
+    fixtures are near-random, max cosine ≈0.51, so a fixed threshold would be
+    empty — top-k is the robust formulation). Ranked on rounded cosine with
+    (va, vb) tie-break for cross-engine determinism."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "va", "vb")
+        .limit(20)
+    )

@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (charter).
+
+Images/audio/video ride through the engine as `binary` columns with a typed
+metadata struct; decode / feature-extraction / frame-sampling run as
+Arrow-batched `mapInPandas` pipelines. The actual codecs are NOT in this
+container, so the decode step is STUBBED with a deterministic fake
+(byte-level statistics standing in for pixel/sample decoding) behind
+``use_real_codecs`` → NotImplementedError. Everything Spark-side — schema,
+partitioning, UDF signatures, batch iteration, row expansion — is real and
+tested (tests/test_multimodal.py).
+
+Scale notes: payloads stay in executor Arrow batches end-to-end (never
+collected); per-batch work is embarrassingly parallel; frame sampling expands
+rows inside the iterator (no shuffle). At 100 TB, partition the media table
+by (kind, date) so decode fleets schedule per-modality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURES_SCHEMA = f"media_id long, kind string, n_bytes long, features array<double>"
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ms int, frame_checksum long"
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic demo media table derived from `documents`: the text
+    payload stands in for an encoded blob; metadata is typed per kind."""
+    d = table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 48).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for image/audio decode: byte-level moments."""
+    b = memoryview(payload)
+    n = len(b)
+    total = sum(b)
+    mean = total / n if n else 0.0
+    var = sum((x - mean) ** 2 for x in b) / n if n else 0.0
+    return [
+        float(n),
+        float(total),
+        round(mean, 6),
+        round(var, 6),
+        float(min(b) if n else 0),
+        float(max(b) if n else 0),
+        float(b[0] if n else 0),
+        float(b[-1] if n else 0),
+    ]
+
+
+def extract_features(
+    media: DataFrame, use_real_codecs: bool = False
+) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    ``use_real_codecs=True`` is the production path (PIL/librosa/pyav) — not
+    available in this container, so it raises: the stub boundary is explicit.
+    """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real media codecs are not installed in this environment; "
+            "the deterministic fake decoder is the test path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame —
+    row expansion inside the Arrow iterator (no shuffle, no Python loop on
+    the driver). Frame decode itself is the same stub boundary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in ("media_id", "frame_idx", "frame_ms", "frame_checksum")}
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                payload = row["payload"]
+                for i in range(0, max(int(row["duration_ms"]), 1), every_ms):
+                    idx = i // every_ms
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(idx)
+                    out["frame_ms"].append(i)
+                    # deterministic fake "frame": checksum of a payload slice
+                    sl = payload[idx % max(len(payload), 1) :][:64]
+                    out["frame_checksum"].append(sum(sl))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+@register("media_features")  # ROWS-ONLY: stubbed decode is engine-local
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_table(spark, sf_dir))
+
+
+@register("media_frame_sample")  # ROWS-ONLY: stubbed decode is engine-local
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir), every_ms=500)

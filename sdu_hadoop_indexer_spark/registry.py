@@ -47,7 +47,8 @@ def load_all() -> None:
     )
     from .text import analysis, indexer, search  # noqa: F401
     from .llm import dedup, similarity  # noqa: F401
-    from .streaming import event_windows  # noqa: F401
+    from .streaming import event_windows, pipeline  # noqa: F401
+    from .multimodal import media  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

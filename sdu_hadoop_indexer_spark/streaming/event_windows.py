@@ -1,1 +1,163 @@
-"""Stub — filled in as operators land."""
+"""Event-time windowed operators (SURVEY.md §2.B-9), batch form.
+
+Every query here uses the event-time primitives that run unchanged under
+Structured Streaming (`F.window`, `F.session_window`, keyed dedup); the
+driver's correctness gate runs them in batch, and `streaming.pipeline` re-runs
+the tumbling one as a real `readStream` micro-batch job (t1 smoke / tests).
+
+Scale notes (100 TB streams): state lives in the state store keyed by
+(window, group) — at production scale use the RocksDB provider
+(`spark.sql.streaming.stateStore.providerClass`) plus watermarks to bound
+state; both are config, not plan changes. The batch plans below shuffle once
+on the grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..operators.parity import SQL_EVENTS_US
+
+_SUM_DEC = "CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE)"
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_SUM_DEC} AS sum_value
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window per event_type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    e2 AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es
+           FROM ev),
+    w AS (SELECT event_type, value,
+                 (es // 900) * 900 - k * 900 AS ws
+          FROM e2 CROSS JOIN (SELECT unnest(range(4)) AS k))
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_SUM_DEC} AS sum_value
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 15m slide): each event lands in 4 windows.
+
+    Oracle derives the same 4 epoch-aligned starts arithmetically — Spark
+    aligns windows to the epoch in the session timezone (UTC here).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {_SUM_DEC} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user.
+
+    Spark semantics: session end = last event + gap; an event exactly at the
+    gap boundary starts a NEW session ([start, end) half-open) — the oracle's
+    gaps-and-islands flag uses `>=` to mirror that exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM ev
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed keep-first dedup — the deterministic batch twin of streaming
+    ``dropDuplicates(["user_id","event_type"])`` (which keeps an arbitrary
+    first-seen row; here first = min event time, tie-broken by id)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )

@@ -1,1 +1,176 @@
-"""Stub — filled in as operators land."""
+"""Text analysis for training-data pipelines (SURVEY.md §2.B-10 +charter).
+
+Quality scoring, BPE-ish token counting, document fingerprinting, and a
+stopword-ratio language-ID heuristic — all as JVM-side column expressions
+over `documents`; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space punctuation — the
+# standard GPT-2-style pre-split shape, expressed in a regex valid in both
+# Java (Spark) and RE2-ish (DuckDB) dialects.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "es": ("el", "la", "de", "y", "un"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+
+@register(
+    "text_quality_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / len(toks), 4) AS avg_tok_len,
+           n_chars
+    FROM t
+    """,
+)
+def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-quality signals: token counts, type/token ratio, mean token length."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")).alias(
+            "toks"
+        ),
+    )
+    n = F.size("toks")
+    total_chars = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.round(F.size(F.array_distinct("toks")) / n, 4).alias("uniq_ratio"),
+        F.round(total_chars / n, 4).alias("avg_tok_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish pre-tokenizer regex."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(
+               list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined fingerprint: sha256 over the sorted distinct token set.
+
+    Robust to token order / repetition (catches shuffled near-dups that exact
+    hashing misses); cross-engine EXACT since both ends are sha256-over-text.
+    """
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))), 256).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct(toks), [{words}])) * 1.0 / 5"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('de')} AS s_de
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+                WHEN s_en >= greatest(s_fr, s_es, s_de) THEN 'en'
+                WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang,
+           round(greatest(s_en, s_fr, s_es, s_de), 4) AS confidence
+    FROM scored
+    """,
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio per language, argmax with a
+    deterministic preference order on ties (en > fr > es > de > unknown)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    scores = {
+        lang: (
+            F.size(
+                F.array_intersect("toks", F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+            )
+            / F.lit(5.0)
+        ).alias(f"s_{lang}")
+        for lang in STOPWORDS
+    }
+    s = d.select("doc_id", *scores.values())
+    best = F.greatest("s_en", "s_fr", "s_es", "s_de")
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_fr", "s_es", "s_de"), "en")
+        .when(F.col("s_fr") >= F.greatest("s_es", "s_de"), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return s.select(
+        "doc_id", pred.alias("pred_lang"), F.round(best, 4).alias("confidence")
+    )

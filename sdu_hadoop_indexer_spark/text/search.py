@@ -1,1 +1,247 @@
-"""Stub — filled in as operators land."""
+"""Search-side operators over the inverted index (SURVEY.md §2.B-8).
+
+The reference only *builds* the index (App.scala:186-219 assembles postings);
+these queries are its consumer side — term lookup, boolean AND, positional
+phrase match (the payoff for fixing reference bug B4: positions are token
+ordinals, App.scala:160), and the TF-IDF/BM25 ranking that the reference's
+"emit/save total document length" TODO (App.scala:168) was reaching toward.
+
+Scale notes: every query here is a composition of the flat index (one row per
+(term, doc)) with small derived dims (df table, doclen table, corpus scalars).
+The df/avgdl sides are tiny → broadcast joins; the flat index never re-sorts
+globally. Phrase match stays posting-local (array intersection per (doc,
+term-pair) row), not positional explode, so its cost is O(matching docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .indexer import TOK_SQL, doclen, index_flat
+
+# Shared DuckDB CTE: the flat positional index.
+FLAT_SQL = f"""
+{TOK_SQL},
+flat AS (
+    SELECT term, doc_id, list(pos ORDER BY pos) AS positions, count(*) AS tf
+    FROM tok GROUP BY term, doc_id
+)
+"""
+
+QUERY_TERMS = ("join", "hash", "scan")
+PHRASE = ("fast", "join")
+
+
+@register(
+    "text_term_lookup",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT doc_id, positions, tf FROM flat WHERE term = 'join'
+    """,
+)
+def term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-term query → posting docs with positions (R10 consumer side)."""
+    return (
+        index_flat(spark, sf_dir)
+        .where(F.col("term") == "join")
+        .select("doc_id", "positions", "tf")
+    )
+
+
+@register(
+    "text_bool_and",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT doc_id FROM flat
+    WHERE term IN ('join', 'hash', 'scan')
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 3
+    """,
+)
+def bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND: docs containing every query term (postings intersection
+    expressed as a grouped count over the flat index — one shuffle on doc_id,
+    no pairwise joins, so it scales to long queries)."""
+    return (
+        index_flat(spark, sf_dir)
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"))
+        .where(F.col("n_terms") == len(QUERY_TERMS))
+        .select("doc_id")
+    )
+
+
+@register(
+    "text_phrase",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT a.doc_id,
+           CAST(len(list_intersect(list_transform(a.positions, p -> p + 1),
+                                   b.positions)) AS INTEGER) AS n_hits
+    FROM flat a JOIN flat b ON a.doc_id = b.doc_id
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+      AND len(list_intersect(list_transform(a.positions, p -> p + 1),
+              b.positions)) > 0
+    """,
+)
+def phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query "fast join" via position adjacency (R4 payoff): a doc
+    matches where some pos(t1)+1 ∈ positions(t2). Pure array intersection on
+    the postings self-join — no token re-explosion."""
+    flat = index_flat(spark, sf_dir)
+    a = flat.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pos_a")
+    )
+    b = flat.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pos_b")
+    )
+    hits = F.array_intersect(
+        F.transform("pos_a", lambda p: p + 1), F.col("pos_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", F.size(hits).alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )
+
+
+@register(
+    "text_tf_idf",
+    oracle=f"""
+    WITH {FLAT_SQL},
+    dfs AS (SELECT term, count(*) AS df FROM flat GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT f.term, f.doc_id,
+           round(f.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df), 4) AS tfidf
+    FROM flat f JOIN dfs USING (term) CROSS JOIN n
+    """,
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring (R16+R17 generalized): tf × ln(N/df).
+
+    df table and the N scalar are broadcast; the flat index streams through
+    unshuffled."""
+    flat = index_flat(spark, sf_dir)
+    dfs = flat.groupBy("term").agg(F.count("*").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    return (
+        flat.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH {FLAT_SQL},
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl
+              FROM dl),
+    dfs AS (SELECT term, count(*) AS df FROM flat GROUP BY term),
+    scored AS (
+        SELECT f.doc_id,
+               sum(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * f.tf * 2.2
+                   / (f.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+        FROM flat f
+        JOIN dfs USING (term)
+        JOIN dl ON f.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        WHERE f.term IN ('join', 'hash', 'scan')
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (k1=1.2, b=0.75) for the 3-term query — the ranking the
+    reference's doc-length TODO (App.scala:168) implies. Closed-form column
+    expression; only shuffles are the index build and one groupBy(doc_id)."""
+    k1, b = 1.2, 0.75
+    flat = index_flat(spark, sf_dir)
+    dl = doclen(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfs = flat.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        flat.where(F.col("term").isin(*QUERY_TERMS))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle=f"""
+    WITH {TOK_SQL},
+    nxt AS (
+        SELECT doc_id, term,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS next_term
+        FROM tok
+    )
+    SELECT term || ' ' || next_term AS bigram, count(*) AS cnt
+    FROM nxt WHERE next_term IS NOT NULL
+    GROUP BY bigram
+    """,
+)
+def ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction + counts via a lead() window inside each doc."""
+    from pyspark.sql import Window
+
+    from .indexer import tokenize
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tokenize(spark, sf_dir)
+        .withColumn("next_term", F.lead("term").over(w))
+        .where(F.col("next_term").isNotNull())
+        .groupBy(F.concat_ws(" ", "term", "next_term").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (int sums are exact — no decimal detour)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

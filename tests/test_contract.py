@@ -1,0 +1,40 @@
+"""Driver-contract invariants: names, aliases, oracle coverage."""
+
+from __future__ import annotations
+
+import re
+
+from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
+
+# ROWS-ONLY set must stay deliberate (SURVEY §2.B): each entry has a stated
+# reason (sketch/hash divergence, side effect, streaming execution, stub).
+EXPECTED_ROWS_ONLY = {
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "media_features",
+    "media_frame_sample",
+    "sim_topk_lsh",
+    "sink_parquet",
+    "stream_live_tumbling",
+}
+
+
+def test_every_query_callable_and_named():
+    q = all_queries()
+    assert len(q) >= 80
+    assert all(re.fullmatch(r"[a-z0-9_]+", name) for name in q)
+
+
+def test_oracle_coverage_is_total_minus_declared():
+    q, o = all_queries(), all_oracles()
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == EXPECTED_ROWS_ONLY
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert [f.name for f in df.schema.fields] == ["term", "postings", "df"]

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema, batch shape, row expansion, stub boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdu_hadoop_indexer_spark.multimodal import media
+
+
+def test_media_table_schema(spark, sf_dir):
+    mt = media.media_table(spark, sf_dir)
+    assert dict(mt.dtypes) == {
+        "media_id": "bigint",
+        "kind": "string",
+        "payload": "binary",
+        "width": "int",
+        "height": "int",
+        "duration_ms": "int",
+    }
+    kinds = {r.kind for r in mt.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction_shape(spark, sf_dir):
+    mt = media.media_table(spark, sf_dir)
+    feats = media.extract_features(mt)
+    rows = feats.collect()
+    assert len(rows) == mt.count()
+    assert all(len(r.features) == media.FEATURE_DIM for r in rows)
+    # n_bytes matches the payload length (binary survived the Arrow round-trip)
+    src = {r.media_id: r for r in mt.collect()}
+    assert all(r.n_bytes == len(src[r.media_id].payload) for r in rows[:20])
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    mt = media.media_table(spark, sf_dir)
+    a = {r.media_id: r.features for r in media.extract_features(mt).collect()}
+    b = {r.media_id: r.features for r in media.extract_features(mt).collect()}
+    assert a == b
+
+
+def test_frame_sampling_expands_video_rows_only(spark, sf_dir):
+    mt = media.media_table(spark, sf_dir)
+    frames = media.sample_frames(mt, every_ms=500)
+    got_ids = {r.media_id for r in frames.select("media_id").distinct().collect()}
+    video_ids = {
+        r.media_id for r in mt.where(F.col("kind") == "video").collect()
+    }
+    assert got_ids == video_ids
+    # per-video frame count = ceil(duration/500)
+    n = frames.groupBy("media_id").count().collect()
+    dur = {r.media_id: r.duration_ms for r in mt.collect()}
+    for r in n:
+        expected = max((dur[r.media_id] + 499) // 500, 1)
+        assert r["count"] == expected
+
+
+def test_real_codec_path_is_explicit_stub(spark, sf_dir):
+    mt = media.media_table(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        media.extract_features(mt, use_real_codecs=True)

@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions: the 100 TB design claims, checked.
+
+SURVEY.md §4.2: pushdown, pruning, broadcast, codegen, partial aggregation and
+TakeOrdered are supposed to come from Catalyst *because we express plans
+declaratively* — these tests pin that contract so a refactor that silently
+breaks it (e.g. an opaque UDF wrapping a filter) fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdu_hadoop_indexer_spark.catalog import table
+from sdu_hadoop_indexer_spark.operators import joins, sorts_setops
+from sdu_hadoop_indexer_spark.text.indexer import index_nested
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_quantity") < 10).select("l_orderkey")
+    explained = _formatted(df)
+    assert "LessThan(l_quantity,10.0)" in explained  # in PushedFilters
+
+
+def test_column_pruning_reads_two_columns(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    explained = _formatted(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explained
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(joins.join_broadcast(spark, sf_dir))
+
+
+def test_sortmerge_hint_respected(spark, sf_dir):
+    assert "SortMergeJoin" in _plan(joins.join_sortmerge(spark, sf_dir))
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(sorts_setops.sort_limit(spark, sf_dir))
+
+
+def test_index_build_has_partial_aggregation(spark, sf_dir):
+    """The in-mapper-combining pattern (App.scala:153-166) must appear as
+    partial→final aggregation around the exchange. (collect_list aggregates
+    run in ObjectHashAggregate, which is partial-capable but not codegen'd —
+    codegen is asserted on the scalar-aggregate path below.)"""
+    plan = _plan(index_nested(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_scalar_agg_is_codegened(spark, sf_dir):
+    """Q1-shape aggregation must stay inside WholeStageCodegen spans."""
+    from sdu_hadoop_indexer_spark.operators.aggregates import agg_hash_groupby
+
+    import contextlib
+    import io
+
+    df = agg_hash_groupby(spark, sf_dir)
+    # AQE wraps the plan lazily and reports 0 codegen subtrees pre-execution;
+    # disable it just for the explain so the static plan is visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+    assert "Found 0" not in buf.getvalue()
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    """join_range keys on user_id — must be an equi-join strategy, never
+    BroadcastNestedLoop/cartesian over the full event table."""
+    plan = _plan(joins.join_range(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan

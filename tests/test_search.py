@@ -1,0 +1,58 @@
+"""Search layer semantics: phrase ⊆ AND, BM25/TF-IDF sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdu_hadoop_indexer_spark.text import search
+from sdu_hadoop_indexer_spark.text.indexer import index_flat
+
+
+def test_phrase_hits_subset_of_and_hits(spark, sf_dir):
+    """Docs matching the phrase must contain both phrase terms."""
+    phrase_docs = {r.doc_id for r in search.phrase(spark, sf_dir).collect()}
+    flat = index_flat(spark, sf_dir)
+    both = (
+        flat.where(F.col("term").isin(*search.PHRASE))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("k"))
+        .where(F.col("k") == 2)
+    )
+    and_docs = {r.doc_id for r in both.collect()}
+    assert phrase_docs <= and_docs
+    assert phrase_docs  # nonempty at this SF
+
+
+def test_bool_and_docs_contain_all_terms(spark, sf_dir):
+    docs = [r.doc_id for r in search.bool_and(spark, sf_dir).collect()]
+    flat = index_flat(spark, sf_dir).where(F.col("doc_id").isin(docs[:20]))
+    per_doc = (
+        flat.where(F.col("term").isin(*search.QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("k"))
+        .collect()
+    )
+    assert all(r.k == len(search.QUERY_TERMS) for r in per_doc)
+
+
+def test_tfidf_zero_for_ubiquitous_terms(spark, sf_dir):
+    """A term present in every doc has idf=ln(1)=0."""
+    tfidf = search.tf_idf(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    flat = index_flat(spark, sf_dir)
+    ubiquitous = [
+        r.term
+        for r in flat.groupBy("term").count().where(F.col("count") >= n_docs).collect()
+        if r.term
+    ]
+    if ubiquitous:
+        vals = tfidf.where(F.col("term").isin(ubiquitous)).select("tfidf").collect()
+        assert all(abs(v.tfidf) < 1e-9 for v in vals)
+
+
+def test_bm25_scores_positive_and_sorted(spark, sf_dir):
+    rows = search.bm25(spark, sf_dir).collect()
+    assert rows
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
