@@ -47,6 +47,8 @@ HEADLINE = [
     "stream_session",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_cluster",
+    "join_self_positional",
     "sim_topk_search",
     "text_quality_stats",
 ]

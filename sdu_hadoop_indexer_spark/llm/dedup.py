@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -183,23 +183,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature → band hashes → self-join within (band_idx, band_hash) buckets.
     Validated in tests by recall against dedup_near_jaccard (τ=0.9 pairs).
     """
+    bands = _lsh_bands(spark, sf_dir)
+    # A near-dup cluster collides in EVERY band, so its bucket recurs ~N_BANDS
+    # times with identical membership — dedup buckets by member SET first
+    # (cuts pair generation ~N_BANDS× on duplicate-heavy corpora), then
+    # re-explode and self-join on the deduped bucket key so pair generation
+    # stays distributed (AQE skew-split handles hot buckets; an in-array
+    # pair expansion would serialize a mega-bucket into one task).
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select("ids")
+        .distinct()
+        .select(F.xxhash64("ids").alias("bkt"), F.explode("ids").alias("doc_id"))
+    )
+    a = buckets.select("bkt", F.col("doc_id").alias("doc_a"))
+    b = buckets.select("bkt", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "bkt")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash): one row per doc per LSH band."""
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+
+
+MAX_CC_ITERS = 10
+
+
+@register("dedup_minhash_cluster")  # ROWS-ONLY: xxhash64 is engine-specific
+def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the linear-output 100 TB dedup path.
+
+    All-pairs candidate output (`dedup_minhash_lsh`) is inherently quadratic
+    in cluster size; production dedup pipelines instead resolve connected
+    components over the doc↔bucket bipartite graph and keep one doc per
+    component. Iterative min-label propagation (doc → min label in each of
+    its buckets → min over buckets), O(docs) rows per iteration, converging
+    in O(component diameter) rounds — duplicate clusters are near-cliques, so
+    2-3 rounds in practice. Convergence is detected via the monotone
+    sum-of-labels invariant (one cheap agg per round, no join-based diff);
+    `localCheckpoint` truncates lineage each round. Output: (doc_id,
+    cluster_rep) where cluster_rep = min doc_id of the component; tests
+    assert every true τ=0.9 Jaccard pair lands in one cluster and that the
+    assignment is idempotent."""
+    member = _lsh_bands(spark, sf_dir).select(
+        F.xxhash64("band_idx", "band_hash").alias("bkt"), "doc_id"
+    ).distinct()
+    labels = member.select("doc_id").distinct().withColumn(
+        "label", F.col("doc_id")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(MAX_CC_ITERS):
+        bucket_min = (
+            member.join(labels, "doc_id")
+            .groupBy("bkt")
+            .agg(F.min("label").alias("bucket_label"))
+        )
+        labels = (
+            member.join(bucket_min, "bkt")
+            .groupBy("doc_id")
+            .agg(F.min("bucket_label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only ever decrease → fixed point
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
 @register("dedup_simhash")  # ROWS-ONLY: engine-specific hash bits

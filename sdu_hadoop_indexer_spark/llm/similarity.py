@@ -38,6 +38,16 @@ def _cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(col: str | Column) -> Column:
+    """L2 norm — hoisted to a per-ROW column before any pairwise join so the
+    O(pairs) stage does one dot product, not three (norms are O(rows))."""
+    return F.sqrt(_dot(col, col))
+
+
+def _cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return _dot(a, b) / (na * nb)
+
+
 # DuckDB twin: parallel-unnest zips the two lists; sums accumulate in double.
 # (list_cosine_similarity exists but computes in float32 — diverges at 4dp.)
 _COS_SQL = """
@@ -91,15 +101,20 @@ def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
     )
     c = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
     )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine("qe", "ce"), 4).alias("cosine"),
+        F.round(cos, 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -143,13 +158,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", _lsh_bucket("embedding")
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+        "bucket",
     )
     c = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        "bucket",
     )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
     scored = F.broadcast(q).join(c, "bucket").select(
-        "query_id", "neighbor_id", F.round(_cosine("qe", "ce"), 4).alias("cosine")
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -204,11 +226,20 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty — top-k is the robust formulation). Ranked on rounded cosine with
     (va, vb) tie-break for cross-engine determinism."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
+    )
+    cos = _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("va") < F.col("vb"))
-        .select("va", "vb", F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+        .select("va", "vb", F.round(cos, 4).alias("cosine"))
         .orderBy(F.desc("cosine"), "va", "vb")
         .limit(20)
     )

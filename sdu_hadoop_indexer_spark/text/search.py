@@ -110,6 +110,41 @@ def phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_self_positional",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b
+    FROM flat a JOIN flat b ON a.doc_id = b.doc_id
+    WHERE a.term = 'table' AND b.term = 'hash'
+      AND len(list_intersect(list_transform(b.positions, p -> p - 1),
+              a.positions)) > 0
+    """,
+)
+def join_self_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-adjacency SELF-JOIN on the positional index (SURVEY §2.B-3
+    `join_self_positional` — the *query side* of the reference's index,
+    R10+R4): docs where "table" is immediately followed by "hash", expressed
+    as an equi-join on doc_id with an `arrays_overlap` adjacency predicate.
+
+    Differs from `text_phrase` (which counts hits via array_intersect) in
+    being the join-operator demonstration: the adjacency test is a boolean
+    join predicate, and both postings' tf columns survive into the output.
+    Scale: the join keys on doc_id after term filters — each side is one
+    term's postings, so the shuffle is tiny relative to the index."""
+    flat = index_flat(spark, sf_dir)
+    a = flat.where(F.col("term") == "table").select(
+        "doc_id", F.col("positions").alias("pos_a"), F.col("tf").alias("tf_a")
+    )
+    b = flat.where(F.col("term") == "hash").select(
+        "doc_id", F.col("positions").alias("pos_b"), F.col("tf").alias("tf_b")
+    )
+    adjacent = F.arrays_overlap(
+        F.transform("pos_b", lambda p: p - 1), F.col("pos_a")
+    )
+    return a.join(b, "doc_id").where(adjacent).select("doc_id", "tf_a", "tf_b")
+
+
+@register(
     "text_tf_idf",
     oracle=f"""
     WITH {FLAT_SQL},

@@ -35,6 +35,28 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
         assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
 
 
+def test_minhash_cluster_covers_true_pairs(spark, sf_dir):
+    """Connected-components clustering: every true τ=0.9 Jaccard pair whose
+    docs share an LSH bucket must land in ONE cluster, and the assignment is
+    a valid partition (every doc labeled, rep ≤ all members)."""
+    clusters = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.dedup_minhash_cluster(spark, sf_dir).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    # candidate pairs (bucket-cohabitants) are by construction connected
+    for a, b in cand:
+        assert clusters[a] == clusters[b], f"pair ({a},{b}) split across clusters"
+    # representative is a member of its own cluster and the minimum
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert set(clusters) == {r.doc_id for r in docs.select("doc_id").collect()}
+    for d, rep in clusters.items():
+        assert rep <= d
+        assert clusters[rep] == rep, "representative must map to itself"
+
+
 def test_simhash_deterministic_and_64bit(spark, sf_dir):
     a = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()}
     b = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()}
