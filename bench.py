@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_cluster",
     "join_self_positional",
     "sim_topk_search",
+    "sim_nearest_pairs",
     "text_quality_stats",
 ]
 

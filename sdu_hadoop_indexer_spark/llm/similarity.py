@@ -225,21 +225,49 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures are near-random, max cosine ≈0.51, so a fixed threshold would be
     empty — top-k is the robust formulation). Ranked on rounded cosine with
     (va, vb) tie-break for cross-engine determinism."""
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        _norm("embedding").alias("na"),
+    # Broadcast the full matrix (the "index side") to every executor — same
+    # role as F.broadcast on a dimension table. Embedding payload is tiny
+    # relative to the fact tables (N×64 float32); at a scale where even the
+    # index side doesn't fit an executor, the brute-force formulation itself
+    # is wrong and `sim_topk_lsh` is the path. Each Arrow batch then does ONE
+    # BLAS matmul against the broadcast matrix and emits only its local
+    # top-k under the total order (cosine desc, va, vb), so the global
+    # orderBy sees ≤k rows per batch — two-stage top-k, no quadratic row
+    # materialization.
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat_n)
+    k = 20
+
+    def block_topk(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sim = np.round(q @ all_mat.T, 4)
+            sim[all_ids[None, :] <= q_ids[:, None]] = -np.inf  # keep va < vb
+            va, vb = np.nonzero(sim > -np.inf)
+            if not len(va):
+                continue
+            flat = sim[va, vb]
+            order = np.lexsort((all_ids[vb], q_ids[va], -flat))[:k]
+            yield pd.DataFrame(
+                {
+                    "va": q_ids[va[order]],
+                    "vb": all_ids[vb[order]],
+                    "cosine": flat[order],
+                }
+            )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        block_topk, "va long, vb long, cosine double"
     )
-    b = e.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        _norm("embedding").alias("nb"),
-    )
-    cos = _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, F.col("va") < F.col("vb"))
-        .select("va", "vb", F.round(cos, 4).alias("cosine"))
-        .orderBy(F.desc("cosine"), "va", "vb")
-        .limit(20)
-    )
+    return local.orderBy(F.desc("cosine"), "va", "vb").limit(20)

@@ -86,6 +86,29 @@ def test_scalar_agg_is_codegened(spark, sf_dir):
     assert "Found 0" not in buf.getvalue()
 
 
+def test_topk_search_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN must broadcast the (tiny) query set so the candidate
+    scan never shuffles."""
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_topk_search
+
+    assert "Broadcast" in _plan(sim_topk_search(spark, sf_dir))
+
+
+def test_minhash_pairs_join_is_distributed_equi_join(spark, sf_dir):
+    """Pair generation must go through a shuffled/broadcast equi-join on the
+    bucket key — not an in-array expansion (which would serialize a
+    mega-bucket into one task) and not a cartesian product."""
+    from sdu_hadoop_indexer_spark.llm.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_range_join_not_cartesian(spark, sf_dir):
     """join_range keys on user_id — must be an equi-join strategy, never
     BroadcastNestedLoop/cartesian over the full event table."""

