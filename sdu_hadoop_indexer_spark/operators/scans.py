@@ -72,6 +72,43 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scan_csv_roundtrip", oracle="SELECT * FROM nation")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source demonstration: the dimension table round-trips through a
+    header CSV and is read back with the ORIGINAL schema applied explicitly
+    (schema-on-read: inference is a two-pass anti-pattern at scale; a real
+    pipeline pins the DDL). EXACT oracle against the parquet source proves
+    the format conversion is lossless for this schema."""
+    out = os.environ.get("SPARK_GRAFT_CSV_DIR", "/tmp/sdu_spark_sink/nation_csv")
+    src = table(spark, sf_dir, "nation")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(src.schema).option("header", True).csv(out)
+
+
+@register(
+    "sink_partitioned_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-PRUNED read-back: the filter on
+    the partition column must resolve at planning time to a directory listing
+    (PartitionFilters in the scan node — asserted in tests), so a 100 TB
+    table scans only the requested partition. EXACT oracle over the source
+    proves the round trip."""
+    out = os.environ.get(
+        "SPARK_GRAFT_PART_DIR", "/tmp/sdu_spark_sink/orders_partitioned"
+    )
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    return back.select(*src.columns)
+
+
 @register("sink_parquet")  # ROWS-ONLY: side-effecting; read-back equals source
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overwrite parquet sink + read-back (R13).

@@ -73,3 +73,71 @@ def live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``: a
+    per-user running (count, sum) accumulator — the harness for any
+    user-defined state machine Spark's built-in aggregates can't express
+    (charter: "applyInPandasWithState for custom stateful operators").
+
+    State = one (count, sum) pair per user key, updated per micro-batch from
+    Arrow record batches; NoTimeout keeps state forever (a production
+    deployment bounds it with event-time timeouts + RocksDB state store).
+    The whole fixture drains in one availableNow pass, so the emitted final
+    state must equal the batch GROUP BY — which gives this streaming
+    operator a true EXACT oracle instead of the usual ROWS-ONLY waiver.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(tot, 4)]}
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_counter_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # One batch per availableNow drain of a single file → the memory sink
+    # holds exactly one (final) row per user. A multi-batch replay would
+    # append per-batch updates; dedup to the last emission per key would
+    # then be required — keep the max-count row per user for robustness.
+    sunk = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -110,6 +110,32 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize(spark, sf_dir).groupBy("term").agg(F.count("*").alias("cnt"))
 
 
+N_SALTS = 16
+
+
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with EXPLICIT two-stage salted aggregation — the documented
+    hot-key mitigation for the index build at 100 TB (SURVEY.md §4.2 "skew
+    handling"): term frequency is power-law, so a single groupBy(term) sends
+    every occurrence of a stopword to one reducer. Stage 1 groups by
+    (term, salt) — salt = deterministic hash of the occurrence's position —
+    splitting each hot key across N_SALTS partitions; stage 2 sums the ≤16
+    partial counts per term. Identical result (EXACT oracle shared with
+    text_wordcount); the second shuffle carries ≤N_SALTS rows per distinct
+    term instead of one row per occurrence.
+
+    Note Spark's own partial aggregation gives map-side combining for free;
+    explicit salting matters when hot-key PARTIAL results still overwhelm
+    single reducers (e.g. collect_list payloads) — demonstrated here on the
+    countable case where the oracle can prove equivalence."""
+    toks = tokenize(spark, sf_dir)
+    salted = toks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id", "pos"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("term", "salt").agg(F.count("*").alias("pc"))
+    return partial.groupBy("term").agg(F.sum("pc").alias("cnt"))
+
+
 register(
     "text_tokenize",
     oracle=f"WITH {TOK_SQL} SELECT doc_id, pos, term FROM tok",
@@ -149,3 +175,8 @@ register(
     "text_wordcount",
     oracle=f"WITH {TOK_SQL} SELECT term, count(*) AS cnt FROM tok GROUP BY term",
 )(wordcount)
+
+register(
+    "text_wordcount_salted",
+    oracle=f"WITH {TOK_SQL} SELECT term, count(*) AS cnt FROM tok GROUP BY term",
+)(wordcount_salted)
