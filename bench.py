@@ -38,6 +38,7 @@ HEADLINE = [
     "text_bm25",
     "text_phrase",
     "agg_hash_groupby",  # TPC-H Q1 shape
+    "sql_revenue_topn",  # TPC-H Q3 shape, SQL-text surface
     "join_inner_hash",
     "join_broadcast",
     "join_asof",

@@ -181,6 +181,122 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8  # IVF coarse-quantizer cells
+N_PROBE = 2  # cells probed per query
+KMEANS_ITERS = 2
+
+
+def _nearest_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid (spherical k-means assignment).
+
+    Centroids are unit-normalized literals, so max dot == max cosine; the
+    argmax is a pure column expression (array of dots → array_position of
+    max) — assignment runs JVM-side over every vector with no Python."""
+    dots = F.array(
+        *[
+            _dot(emb_col, F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Spherical k-means, KMEANS_ITERS Lloyd rounds.
+
+    Assignment is distributed (column expression over all vectors); the
+    centroid update collects only the k×dim centroid table (tiny) per round.
+    Deterministic: init = first N_CELLS vectors by vec_id."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    unit = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / _norm("embedding")
+        ).alias("u"),
+    )
+    init = unit.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    centroids = [list(r.u) for r in init]
+    for _ in range(KMEANS_ITERS):
+        assigned = unit.withColumn("cell", _nearest_cell(F.col("u"), centroids))
+        means = (
+            assigned.select("cell", F.posexplode("u").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s.m).alias("centroid"))
+            .collect()
+        )
+        new = {r.cell: np.array(r.centroid) for r in means}
+        centroids = [
+            (new[i] / np.linalg.norm(new[i])).tolist() if i in new else centroids[i]
+            for i in range(N_CELLS)
+        ]
+    return centroids
+
+
+@register("sim_topk_ivf")  # ROWS-ONLY: learned cell assignment is engine-local
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (the other scale path next to `sim_topk_lsh`):
+    a spherical-k-means coarse quantizer partitions vectors into N_CELLS
+    inverted lists; each query probes its N_PROBE nearest cells and scans
+    only those lists. At deployment scale the lists are the table's
+    partition/bucket layout, so a probe is a partition-pruned scan; recall
+    properties vs brute force are asserted in tests."""
+    centroids = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        "embedding",
+        _norm("embedding").alias("nrm"),
+        _nearest_cell(
+            F.transform("embedding", lambda x: x.cast("double")), centroids
+        ).alias("cell"),
+    )
+    cand = vecs.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "cell",
+    )
+    # probe list: N_PROBE highest-dot cells per query
+    q_dots = F.array(
+        *[
+            _dot("embedding", F.array(*[F.lit(float(v)) for v in c]))
+            for c in centroids
+        ]
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            F.posexplode(q_dots).alias("cell", "dot"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("dot"), "cell")
+            ),
+        )
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "qn", "cell")
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    scored = F.broadcast(probes).join(cand, "cell").select(
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 @register(
     "sim_label_centroid",
     oracle="""

@@ -45,6 +45,7 @@ def load_all() -> None:
         udfs,
         windows,
     )
+    from . import sql_api  # noqa: F401
     from .text import analysis, indexer, search  # noqa: F401
     from .llm import dedup, similarity  # noqa: F401
     from .streaming import event_windows, pipeline  # noqa: F401

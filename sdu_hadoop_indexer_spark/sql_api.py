@@ -1,0 +1,102 @@
+"""Declarative SQL entry point (SURVEY.md §3.4 lifecycle #2).
+
+The reference's only interface was a hand-assembled Hadoop Job
+(App.scala:242-259). The new engine's second lifecycle is ``spark.sql`` over
+registered views: base fixture tables (catalog.register_views) PLUS the
+derived search relations (token stream, flat/nested index, doclen), so a
+user can query the inverted index in pure SQL with the identical Catalyst
+lifecycle the DataFrame API gets — same plans, same pushdown, same AQE.
+
+Both queries below are authored as SQL TEXT, not DataFrame calls, to pin
+that surface; their oracles are the same shape in DuckDB dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register_views
+from .registry import register
+from .text.indexer import TOK_SQL, doclen, index_flat, index_nested, tokenize
+
+
+def register_search_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose base tables + derived search relations to spark.sql()."""
+    register_views(spark, sf_dir)
+    tokenize(spark, sf_dir).createOrReplaceTempView("doc_tokens")
+    index_flat(spark, sf_dir).createOrReplaceTempView("text_index")
+    index_nested(spark, sf_dir).createOrReplaceTempView("text_index_nested_v")
+    doclen(spark, sf_dir).createOrReplaceTempView("doc_lengths")
+
+
+@register(
+    "sql_revenue_topn",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, c_mktsegment
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sql_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + top-n, authored as pure SQL text.
+
+    Same lifecycle as the DataFrame API after parsing: the segment filter
+    pushes into the customer scan, the dimension side broadcasts under AQE,
+    and the top-n is TakeOrderedAndProject — nothing about using SQL text
+    changes the physical plan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               c_mktsegment
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, c_mktsegment
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_index_search",
+    oracle=f"""
+    WITH {TOK_SQL},
+    flat AS (
+        SELECT term, doc_id, list(pos ORDER BY pos) AS positions, count(*) AS tf
+        FROM tok GROUP BY term, doc_id
+    ),
+    dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+    SELECT f.doc_id, f.tf, d.dl,
+           round(f.tf * 1.0 / d.dl, 4) AS norm_tf
+    FROM flat f JOIN dls d USING (doc_id)
+    WHERE f.term = 'join'
+    ORDER BY norm_tf DESC, f.doc_id
+    LIMIT 25
+    """,
+)
+def sql_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL query over the DERIVED index views: length-normalized term
+    frequency for one term, ranked — proves the inverted index is a
+    first-class SQL relation, not only a Python-side DataFrame."""
+    register_search_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.tf, d.dl,
+               round(f.tf * 1.0 / d.dl, 4) AS norm_tf
+        FROM text_index f JOIN doc_lengths d USING (doc_id)
+        WHERE f.term = 'join'
+        ORDER BY norm_tf DESC, f.doc_id
+        LIMIT 25
+        """
+    )

@@ -100,6 +100,43 @@ def test_lsh_topk_results_are_true_neighbors_subset(spark, sf_dir):
             assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_topk_scores_and_shape(spark, sf_dir):
+    """IVF results: ≤k correctly-ranked rows per query, and every returned
+    cosine must equal the brute-force cosine for that pair (the quantizer
+    changes WHICH candidates are scanned, never the scoring)."""
+    ivf = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk_search(spark, sf_dir).collect()
+    }
+    # exhaustive pair cosines for verification
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ce"))
+    allcos = {
+        (r.qid, r.nid): r.cos
+        for r in q.crossJoin(c)
+        .select("qid", "nid", F.round(similarity._cosine("qe", "ce"), 4).alias("cos"))
+        .collect()
+    }
+    per_query: dict[int, list] = {}
+    for r in ivf:
+        per_query.setdefault(r.query_id, []).append(r)
+        assert allcos[(r.query_id, r.neighbor_id)] == r.cosine
+    for qid, rows in per_query.items():
+        assert len(rows) <= similarity.TOP_K
+        ranked = sorted(rows, key=lambda r: (-r.cosine, r.neighbor_id))
+        assert [r.rn for r in ranked] == list(range(1, len(rows) + 1))
+    # soft recall: probing 2/8 cells should still recover some true top-k
+    hits = sum(1 for key in brute if key in allcos and any(
+        (r.query_id, r.neighbor_id) == key for r in ivf))
+    assert hits >= 1
+
+
 def test_centroid_row_shape(spark, sf_dir):
     rows = similarity.sim_label_centroid(spark, sf_dir)
     dims = rows.groupBy("label").agg(F.count("*").alias("n")).collect()

@@ -86,6 +86,17 @@ def test_scalar_agg_is_codegened(spark, sf_dir):
     assert "Found 0" not in buf.getvalue()
 
 
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
+    """The filter on the Hive partition column must become a PartitionFilters
+    entry on the scan (planning-time directory pruning), not a post-scan
+    Filter over all partitions."""
+    from sdu_hadoop_indexer_spark.operators.scans import sink_partitioned_pruned
+
+    explained = _formatted(sink_partitioned_pruned(spark, sf_dir))
+    assert "PartitionFilters" in explained
+    assert "o_orderstatus" in explained.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
 def test_topk_search_broadcasts_query_side(spark, sf_dir):
     """Brute-force ANN must broadcast the (tiny) query set so the candidate
     scan never shuffles."""
