@@ -109,6 +109,65 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(*src.columns)
 
 
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    WITH tok AS (
+        SELECT u.doc_id, CAST(u.pos AS INTEGER) AS pos, u.term
+        FROM (
+            SELECT doc_id,
+                   unnest(range(len(string_split_regex(lower(text), '\\s+')))) AS pos,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ) u
+        WHERE u.term <> ''
+    ),
+    flat AS (
+        SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+    ),
+    dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+    SELECT f.term, f.doc_id, f.tf, d.dl
+    FROM flat f JOIN dls d USING (doc_id)
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join — the cluster-scale index layout
+    (SURVEY.md §7 known-hard item 4: "bucketed/partitioned index layout").
+
+    The flat index and the doc-length table are both written bucketed by
+    doc_id into the warehouse; the ranking join (the BM25 shape) then needs
+    NO exchange on either side — bucket co-location replaces the shuffle,
+    which at 100 TB is the difference between a metadata operation and
+    moving the whole index over the network. Tests assert the joined plan
+    has zero Exchange nodes. EXACT oracle proves the bucketed round trip
+    loses nothing."""
+    from ..text.indexer import doclen, index_flat
+
+    n_buckets = 8
+    spark.sql("CREATE DATABASE IF NOT EXISTS sdu_bucketed")
+    flat = index_flat(spark, sf_dir).select("term", "doc_id", "tf")
+    dl = doclen(spark, sf_dir)
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/sdu-spark-warehouse"
+    ).removeprefix("file:")
+    for df, name in ((flat, "flat_idx"), (dl, "doc_len")):
+        spark.sql(f"DROP TABLE IF EXISTS sdu_bucketed.{name}")
+        # a previous session's managed-table dir survives its metastore —
+        # clear the location too or saveAsTable raises LOCATION_ALREADY_EXISTS
+        shutil.rmtree(f"{warehouse}/sdu_bucketed.db/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"sdu_bucketed.{name}")
+        )
+    f = spark.table("sdu_bucketed.flat_idx")
+    d = spark.table("sdu_bucketed.doc_len")
+    return f.join(d, "doc_id").select("term", "doc_id", "tf", "dl")
+
+
 @register("sink_parquet")  # ROWS-ONLY: side-effecting; read-back equals source
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overwrite parquet sink + read-back (R13).

@@ -120,6 +120,25 @@ def test_minhash_pairs_join_is_distributed_equi_join(spark, sf_dir):
     )
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed+sorted by doc_id → the join must be a SortMergeJoin
+    with ZERO Exchange nodes (bucket co-location replaces the shuffle)."""
+    from sdu_hadoop_indexer_spark.operators.scans import sink_bucketed_join
+
+    df = sink_bucketed_join(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # at tiny SF the dl side would broadcast, hiding the co-location being
+    # demonstrated — disable auto-broadcast so the merge path is planned
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_range_join_not_cartesian(spark, sf_dir):
     """join_range keys on user_id — must be an equi-join strategy, never
     BroadcastNestedLoop/cartesian over the full event table."""

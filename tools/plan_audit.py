@@ -1,0 +1,87 @@
+"""Physical-plan audit across every registered query.
+
+Greps each query's executed plan for scale red flags (SURVEY.md §4.2 /
+README "Scale design") and prints a per-query report:
+
+- CARTESIAN   CartesianProduct outside the declared theta-join
+- PY-ROW      BatchEvalPython (row-at-a-time Python UDF) outside udf_python
+- NO-CODEGEN  no WholeStageCodegen span anywhere in the plan
+- BIG-BNLJ    BroadcastNestedLoopJoin (fine for tiny/broadcast sides; listed
+              so each occurrence is a conscious decision)
+
+Usage: python tools/plan_audit.py [--sf /root/testdata/sf0.01] [name ...]
+Exit 1 only on unexplained CARTESIAN/PY-ROW (the hard failures).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from sdu_hadoop_indexer_spark.registry import all_queries
+from sdu_hadoop_indexer_spark.session import get_spark
+
+# Queries where the flagged construct is the point (documented choices).
+ALLOW = {
+    "CARTESIAN": {"join_cross_theta"},  # declared theta/cross join
+    "PY-ROW": {"udf_python"},  # the declared row-UDF demonstration
+    # BroadcastNestedLoopJoin is acceptable when one side is provably tiny:
+    # scalar corpus stats (count/avgdl), the broadcast query set, or an
+    # inequality join against a dimension. Listed, not failed.
+}
+
+# Streaming queries execute outside this harness (writeStream); the batch
+# twins carry their plan coverage.
+SKIP = {"stream_live_tumbling", "stream_stateful_counter"}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    queries = all_queries()
+    names = args.names or sorted(queries)
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    hard_fails = 0
+    for name in names:
+        if name in SKIP or name not in queries:
+            continue
+        try:
+            df = queries[name](spark, args.sf)
+            # AQE wraps unexecuted plans in AdaptiveSparkPlan, hiding codegen
+            # spans from a static explain. The query build (session.tune)
+            # turns AQE on; flip it off AFTER building, BEFORE planning —
+            # physical planning reads the conf lazily at first access.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover
+            print(f"{name}: PLAN ERROR {type(exc).__name__}: {exc}")
+            hard_fails += 1
+            continue
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        flags = []
+        if "CartesianProduct" in plan and name not in ALLOW["CARTESIAN"]:
+            flags.append("CARTESIAN")
+            hard_fails += 1
+        if "BatchEvalPython" in plan and name not in ALLOW["PY-ROW"]:
+            flags.append("PY-ROW")
+            hard_fails += 1
+        if "*(" not in plan:  # codegen'd nodes print as `*(stageId) Node`
+            flags.append("NO-CODEGEN")
+        if "BroadcastNestedLoopJoin" in plan:
+            flags.append("BIG-BNLJ")
+        print(f"{name}: {' '.join(flags) if flags else 'clean'}")
+
+    print(f"== hard failures: {hard_fails} ==")
+    return 1 if hard_fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
