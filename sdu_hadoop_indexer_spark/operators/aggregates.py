@@ -159,3 +159,72 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
         .where(F.col("total_spend") > 400000)
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate l_linestatus values into columns of quantity sums.
+
+    Pivot values are listed EXPLICITLY — at 100 TB the implicit form would
+    first run a distinct scan over the pivot column to discover values; the
+    explicit list keeps it a single-pass aggregation. Oracle uses the
+    portable CASE-WHEN formulation (identical semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,4)")).cast("double"))
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS measure, o_totalprice AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide → long over two measures (the inverse op; Spark's
+    native `unpivot` plans a single Expand node — one pass, no union of
+    scans like the naive SQL)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").cast("double")
+    ).unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "measure", "val")
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (continuous interpolation) per group: Spark
+    `percentile` ≡ DuckDB `quantile_cont`. The exact form needs a per-group
+    sort — fine for bounded group counts; an unbounded-cardinality rollup at
+    100 TB would switch to `approx_percentile` (t-digest sketch, mergeable,
+    single-pass), which is engine-specific and would be declared ROWS-ONLY
+    like `agg_approx_distinct`."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )

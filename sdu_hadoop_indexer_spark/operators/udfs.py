@@ -37,8 +37,10 @@ from ..registry import register
 def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-scalar Python UDF (the slow path, shown once, small input)."""
 
+    # no type hints on the inner fn: PySpark 4 tries to infer a pandas-UDF
+    # eval type from them and warns on plain scalar hints
     @udf("string")
-    def size_bucket(n_chars: int) -> str:
+    def size_bucket(n_chars):
         if n_chars is None:
             return "unknown"
         if n_chars < 200:
