@@ -184,27 +184,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Validated in tests by recall against dedup_near_jaccard (τ=0.9 pairs).
     """
     bands = _lsh_bands(spark, sf_dir)
-    # A near-dup cluster collides in EVERY band, so its bucket recurs ~N_BANDS
-    # times with identical membership — dedup buckets by member SET first
-    # (cuts pair generation ~N_BANDS× on duplicate-heavy corpora), then
-    # re-explode and self-join on the deduped bucket key so pair generation
-    # stays distributed (AQE skew-split handles hot buckets; an in-array
-    # pair expansion would serialize a mega-bucket into one task).
-    buckets = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select("ids")
-        .distinct()
-        .select(F.xxhash64("ids").alias("bkt"), F.explode("ids").alias("doc_id"))
+    # Dedup WITHOUT a distinct: a near-dup pair collides in SEVERAL bands, so
+    # the bucket self-join emits it once per matching band and the naive plan
+    # needs a full 10M-row shuffle to dedup. Instead each pair survives only
+    # in its FIRST matching band: broadcast the tiny per-doc band-hash
+    # arrays onto the joined pairs and keep rows where band_idx equals the
+    # first index at which the two arrays agree. Everything downstream of
+    # the bucket join is a pipelined broadcast-join + filter — zero extra
+    # shuffles, each candidate pair emitted exactly once by construction.
+    sig_arr = bands.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band_idx", "band_hash"))),
+            lambda s: s.band_hash,
+        ).alias("bhs")
     )
-    a = buckets.select("bkt", F.col("doc_id").alias("doc_a"))
-    b = buckets.select("bkt", F.col("doc_id").alias("doc_b"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    first_match = (
+        F.array_position(
+            F.zip_with("bhs_a", "bhs_b", lambda x, y: x == y), True
+        )
+        - 1
+    )
+    sa = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("bhs").alias("bhs_a"))
+    sb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("bhs").alias("bhs_b"))
     return (
-        a.join(b, "bkt")
+        a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.col("band_idx") == first_match)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
