@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import register_views, table
 from ..registry import register
 
 
@@ -92,3 +92,57 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate elimination (hash aggregate under the hood)."""
     return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "sub_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated SCALAR subquery in a predicate: Catalyst rewrites it to a
+    one-row broadcast (the fact scan streams once; the threshold is computed
+    in a separate tiny job) — the declarative form of a driver-side
+    aggregate-then-filter, without any collect in user code. Authored via
+    spark.sql because scalar subqueries are a SQL-surface construct."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "sub_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+)
+def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery: Catalyst DECORRELATES it into a left-semi
+    join on the correlation key (SURVEY §4.2 "subquery decorrelation" —
+    demonstrated here rather than just claimed; the plan contains no
+    per-row subquery execution, which at 100 TB would be a quadratic
+    disaster)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+        )
+        """
+    )
