@@ -179,3 +179,39 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     return spark.read.parquet(out).select(*src.columns)
+
+
+@register(
+    "scan_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written with DIFFERENT
+    schemas (the second adds o_orderpriority — the standard situation when a
+    long-lived 100 TB table gains columns) are read as ONE relation with
+    `mergeSchema=true`; old rows surface NULL for the new column. The oracle
+    is the explicit NULL-padded UNION ALL. At cluster scale schema merge is
+    a footer-only planning step — no data rewrite — which is exactly why
+    column-add is the cheap evolution path for parquet lakes."""
+    out = os.environ.get(
+        "SPARK_GRAFT_MERGE_DIR", "/tmp/sdu_spark_sink/orders_evolving"
+    )
+    src = table(spark, sf_dir, "orders")
+    v1 = src.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = src.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/batch=1", f"{out}/batch=2"
+    )
+    return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
