@@ -1,4 +1,5 @@
-"""Multimodal columns: opaque binary payloads + typed metadata (charter).
+"""Multimodal columns: opaque binary payloads + typed metadata (charter;
+SURVEY.md §2.B-10b — no reference counterpart exists, N-provenance).
 
 Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct; decode / feature-extraction / frame-sampling run as
@@ -137,3 +138,64 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_frame_sample")  # ROWS-ONLY: stubbed decode is engine-local
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(spark, sf_dir), every_ms=500)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "out_width int, out_height int, payload_resized binary"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, use_real_codecs: bool = False
+) -> DataFrame:
+    """Image resize for image rows: aspect-preserving downscale to max_side.
+
+    The geometry (output dims from input dims — the part a pipeline's
+    bookkeeping depends on) is computed for real; the pixel resample is the
+    stub boundary (``use_real_codecs=True`` → PIL path, unavailable here),
+    faked as a deterministic payload truncation proportional to the area
+    ratio so downstream size accounting behaves like a real resize."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image codecs are not installed in this environment; "
+            "the deterministic fake resampler is the test path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            img = pdf[pdf["kind"] == "image"]
+            if not len(img):
+                yield pd.DataFrame(
+                    {k: [] for k in (
+                        "media_id", "kind", "width", "height",
+                        "out_width", "out_height", "payload_resized",
+                    )}
+                )
+                continue
+            scale = (max_side / img[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            ow = (img["width"] * scale).round().astype("int32")
+            oh = (img["height"] * scale).round().astype("int32")
+            ratio = (ow * oh) / (img["width"] * img["height"])
+            resized = [
+                p[: max(1, int(len(p) * r))]
+                for p, r in zip(img["payload"], ratio)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": img["media_id"],
+                    "kind": img["kind"],
+                    "width": img["width"],
+                    "height": img["height"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "payload_resized": resized,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+@register("media_resize")  # ROWS-ONLY: stubbed resample is engine-local
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(media_table(spark, sf_dir), max_side=256)

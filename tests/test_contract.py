@@ -15,6 +15,7 @@ EXPECTED_ROWS_ONLY = {
     "dedup_simhash",
     "media_features",
     "media_frame_sample",
+    "media_resize",
     "sim_topk_ivf",
     "sim_topk_lsh",
     "sink_parquet",

@@ -56,6 +56,25 @@ def test_frame_sampling_expands_video_rows_only(spark, sf_dir):
         assert r["count"] == expected
 
 
+def test_resize_geometry_and_row_scope(spark, sf_dir):
+    """Resize: image rows only; aspect ratio preserved within rounding; the
+    long side never exceeds max_side and never upscales."""
+    from sdu_hadoop_indexer_spark.multimodal.media import media_resize
+
+    rows = media_resize(spark, sf_dir).collect()
+    assert rows and all(r.kind == "image" for r in rows)
+    for r in rows:
+        assert max(r.out_width, r.out_height) <= 256
+        assert r.out_width <= r.width and r.out_height <= r.height
+        if max(r.width, r.height) <= 256:  # no upscale: dims unchanged
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        else:  # exact expected geometry: round(dim * 256/long_side)
+            s = 256 / max(r.width, r.height)
+            assert r.out_width == round(r.width * s)
+            assert r.out_height == round(r.height * s)
+        assert len(r.payload_resized) >= 1
+
+
 def test_real_codec_path_is_explicit_stub(spark, sf_dir):
     mt = media.media_table(spark, sf_dir)
     with pytest.raises(NotImplementedError):
