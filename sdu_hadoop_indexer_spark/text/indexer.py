@@ -166,6 +166,56 @@ register(
     """,
 )(index_nested)
 
+def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the operational path for a 100 TB
+    index: a base flat index (docs below the split) and a DELTA flat index
+    (new docs) are merged into the same nested shape WITHOUT re-tokenizing
+    the base corpus. Because the flat index is keyed by (term, doc_id) and a
+    doc lives wholly in one batch, the merge is `unionByName` + the same
+    final groupBy(term) — postings arrays never need repair. In production
+    the base side is the stored parquet/bucketed index (here rebuilt from
+    the fixture for determinism) and only the delta pays tokenization.
+    EXACT oracle: the merged index must equal the from-scratch index over
+    the full corpus (`text_index_nested`'s own oracle)."""
+    split = 250  # fixture corpora are 500 docs at every SF
+    base = index_flat(spark, sf_dir).where(F.col("doc_id") < split)
+    delta = (
+        tokenize(spark, sf_dir)
+        .where(F.col("doc_id") >= split)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count("*").alias("tf"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "positions"))).alias(
+                "postings"
+            ),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+register(
+    "text_index_incremental",
+    oracle=f"""
+    WITH {TOK_SQL},
+    flat AS (
+        SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+        FROM tok GROUP BY term, doc_id
+    )
+    SELECT term,
+           list(struct_pack(doc_id := doc_id, positions := positions)
+                ORDER BY doc_id) AS postings,
+           count(DISTINCT doc_id) AS df
+    FROM flat GROUP BY term
+    """,
+)(index_incremental)
+
 register(
     "text_doclen",
     oracle=f"WITH {TOK_SQL} SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id",
