@@ -137,3 +137,36 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_first_last",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-navigation window family: first/last/nth over an explicit
+    unbounded frame (the default frame for last_value — up to CURRENT ROW —
+    is a classic cross-engine trap; pinning ROWS UNBOUNDED..UNBOUNDED makes
+    both engines see the whole partition)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
