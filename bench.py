@@ -64,7 +64,10 @@ def run_once(fn, spark, sf_dir: str) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:  # non-"sf<N>" dir name — report the path instead
+        sf = sf_dir
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
