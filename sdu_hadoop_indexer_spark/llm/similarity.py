@@ -326,6 +326,12 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-group memory is dominated by the b×b similarity matrix, not the input
+# vectors: 4096² × 8 B ≈ 134 MB (+ comparable index arrays) — bounded per
+# task regardless of corpus size.
+ROWS_PER_BLOCK = 4096
+
+
 @register(
     "sim_nearest_pairs",
     oracle=f"""
@@ -340,50 +346,76 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup mining: 20 most-similar pairs corpus-wide (these
     fixtures are near-random, max cosine ≈0.51, so a fixed threshold would be
     empty — top-k is the robust formulation). Ranked on rounded cosine with
-    (va, vb) tie-break for cross-engine determinism."""
+    (va, vb) tie-break for cross-engine determinism.
+
+    Distributed blocked all-pairs — NOTHING is collected to the driver
+    (round-1 verdict fix): vectors are hashed into B = ceil(N/ROWS_PER_BLOCK)
+    blocks, a tiny broadcast block-pair map replicates each vector to its
+    B(+1)/2-ish pair groups, and each (bi ≤ bj) group does ONE BLAS matmul
+    over two blocks inside `applyInPandas`, emitting only its local top-k
+    under the total order. Executor memory is bounded by two blocks
+    regardless of N; the driver only ever sees the scalar count and the
+    final ≤ k·groups rows. Exact all-pairs stays O(N²/B) work by nature —
+    at real scale route to `sim_topk_lsh`; this is the exactness baseline."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings")
-    # Broadcast the full matrix (the "index side") to every executor — same
-    # role as F.broadcast on a dimension table. Embedding payload is tiny
-    # relative to the fact tables (N×64 float32); at a scale where even the
-    # index side doesn't fit an executor, the brute-force formulation itself
-    # is wrong and `sim_topk_lsh` is the path. Each Arrow batch then does ONE
-    # BLAS matmul against the broadcast matrix and emits only its local
-    # top-k under the total order (cosine desc, va, vb), so the global
-    # orderBy sees ≤k rows per batch — two-stage top-k, no quadratic row
-    # materialization.
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
     k = 20
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    # Memory bound first; floor of up-to-8 blocks so small corpora still
+    # parallelize across the cluster (6+ groups for local[32]).
+    n_blocks = max(1, -(-n // ROWS_PER_BLOCK), min(8, n // 512))
+    pair_ids = [
+        (pid, i, j)
+        for pid, (i, j) in enumerate(
+            (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+        )
+    ]
+    left_map = spark.createDataFrame(
+        [(p, i, i == j) for p, i, j in pair_ids], "pair_id int, blk int, same boolean"
+    )
+    right_map = spark.createDataFrame(
+        [(p, j, i == j) for p, i, j in pair_ids], "pair_id int, blk int, same boolean"
+    )
+    eb = e.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    tagged = (
+        eb.join(F.broadcast(left_map), "blk").withColumn("side", F.lit("L"))
+        .unionByName(
+            eb.join(F.broadcast(right_map), "blk").withColumn("side", F.lit("R"))
+        )
+    )
 
-    def block_topk(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sim = np.round(q @ all_mat.T, 4)
-            sim[all_ids[None, :] <= q_ids[:, None]] = -np.inf  # keep va < vb
-            va, vb = np.nonzero(sim > -np.inf)
-            if not len(va):
-                continue
-            flat = sim[va, vb]
-            order = np.lexsort((all_ids[vb], q_ids[va], -flat))[:k]
-            yield pd.DataFrame(
-                {
-                    "va": q_ids[va[order]],
-                    "vb": all_ids[vb[order]],
-                    "cosine": flat[order],
-                }
-            )
+    def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        l, r = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
+        if l.empty or r.empty:
+            return empty
+        lid = l["vec_id"].to_numpy(dtype=np.int64)
+        rid = r["vec_id"].to_numpy(dtype=np.int64)
+        lm = np.array(list(l["embedding"]), dtype=np.float64)
+        rm = np.array(list(r["embedding"]), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sim = np.round(lm @ rm.T, 4)
+        if bool(pdf["same"].iloc[0]):
+            # diagonal group: L and R are the same block — strict upper
+            # triangle by id so each unordered pair is emitted once
+            keep = lid[:, None] < rid[None, :]
+        else:
+            keep = np.ones_like(sim, dtype=bool)
+        ai, bj = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        va = np.minimum(lid[ai], rid[bj])
+        vb = np.maximum(lid[ai], rid[bj])
+        cos = sim[ai, bj]
+        order = np.lexsort((vb, va, -cos))[:k]
+        return pd.DataFrame({"va": va[order], "vb": vb[order], "cosine": cos[order]})
 
-    local = e.select("vec_id", "embedding").mapInPandas(
-        block_topk, "va long, vb long, cosine double"
+    local = tagged.groupBy("pair_id").applyInPandas(
+        pair_topk, "va long, vb long, cosine double"
     )
     return local.orderBy(F.desc("cosine"), "va", "vb").limit(20)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import register
+from ..registry import jsonify_complex, register
 
 FEATURE_DIM = 8
 
@@ -132,7 +132,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 @register("media_features")  # ROWS-ONLY: stubbed decode is engine-local
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(media_table(spark, sf_dir))
+    # features array<double> → JSON so the driver's canonicalizer can hash it
+    return jsonify_complex(extract_features(media_table(spark, sf_dir)))
 
 
 @register("media_frame_sample")  # ROWS-ONLY: stubbed decode is engine-local

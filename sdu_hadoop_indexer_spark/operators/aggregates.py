@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
-from ..registry import register
+from ..registry import jsonify_complex, register
 from .parity import dsum, ravg, sql_dsum, sql_ravg
 
 
@@ -84,16 +84,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines
+    SELECT l_orderkey,
+           to_json(list(l_linenumber ORDER BY l_linenumber))::VARCHAR AS lines
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation — the index-core primitive (R10/R12) on a
-    relational column. sort_array, always (collect order is nondeterministic)."""
+    relational column. sort_array, always (collect order is nondeterministic);
+    emitted as canonical JSON for the driver hash gate."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    return jsonify_complex(
+        li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+        )
     )
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import register
+from ..registry import jsonify_complex, register
 from .parity import SQL_EVENTS_US
 
 
@@ -138,14 +138,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_toks,
            list_contains(toks, 'join') AS has_join,
-           list_sort(toks) AS sorted_toks,
-           list_sort(list_distinct(toks)) AS uniq_toks,
-           flatten([toks[1:3], toks[4:6]]) AS first6,
+           to_json(list_sort(toks))::VARCHAR AS sorted_toks,
+           to_json(list_sort(list_distinct(toks)))::VARCHAR AS uniq_toks,
+           to_json(flatten([toks[1:3], toks[4:6]]))::VARCHAR AS first6,
            len(list_intersect(toks, ['join', 'hash'])) > 0 AS overlaps_q,
-           list_transform(toks[1:5], x -> upper(x)) AS up5,
-           list_filter(toks, x -> length(x) > 5) AS long_toks,
+           to_json(list_transform(toks[1:5], x -> upper(x)))::VARCHAR AS up5,
+           to_json(list_filter(toks, x -> length(x) > 5))::VARCHAR AS long_toks,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
-           list_transform(range(1, 6), x -> CAST(x AS INTEGER)) AS seq5
+           to_json(list_transform(range(1, 6), x -> CAST(x AS INTEGER)))::VARCHAR AS seq5
     FROM d
     """,
 )
@@ -153,7 +153,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/lambda family over token lists (generalized R11/R12).
 
     Order parity: array_distinct preserves first-occurrence order in Spark but
-    not in DuckDB → always wrap in sort_array before comparing.
+    not in DuckDB → always wrap in sort_array before comparing. Array outputs
+    emitted as canonical JSON for the driver hash gate.
     """
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -162,7 +163,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     toks = F.col("toks")
-    return d.select(
+    out = d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "join").alias("has_join"),
@@ -177,6 +178,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sequence(F.lit(1), F.lit(5)).alias("seq5"),
     )
+    return jsonify_complex(out)
 
 
 @register(
@@ -185,7 +187,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
-           json_keys(props) AS prop_keys,
+           to_json(json_keys(props))::VARCHAR AS prop_keys,
            CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing
     FROM events
     """,
@@ -193,14 +195,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: path extraction, schema-ful from_json, keys, missing-path
     null semantics. (Map-typed *outputs* are exercised in unit tests —
-    DuckDB's MAP serialization differs by design, SURVEY §2.B-7.)"""
+    DuckDB's MAP serialization differs by design, SURVEY §2.B-7.) prop_keys
+    emitted as canonical JSON for the driver hash gate."""
     ev = table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-        F.from_json("props", "k INT").getField("k").alias("k_struct"),
-        F.json_object_keys("props").alias("prop_keys"),
-        F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+    return jsonify_complex(
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.from_json("props", "k INT").getField("k").alias("k_struct"),
+            F.json_object_keys("props").alias("prop_keys"),
+            F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
+        )
     )
 
 

@@ -19,6 +19,30 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def jsonify_complex(df: DataFrame) -> DataFrame:
+    """Project every array/map/struct column to its canonical JSON string.
+
+    The driver's correctness gate canonicalizes results with pandas
+    ``sort_values``/``factorize``, which cannot hash ndarray cells — so
+    registered queries must emit scalar columns only. Spark ``to_json`` and
+    DuckDB ``to_json(...)::VARCHAR`` are byte-identical on nested
+    array/struct values (verified: int/string arrays incl. escapes, empty
+    arrays, NULL, array<struct<...>>), so wrapping both engines' complex
+    outputs in to_json preserves EXACT hash-compare semantics. Library
+    functions keep native types; only the registered wrappers scalarize.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.to_json(f.name).alias(f.name)
+            if f.dataType.typeName() in ("array", "map", "struct")
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: declare a query (and optionally its DuckDB oracle SQL)."""
 

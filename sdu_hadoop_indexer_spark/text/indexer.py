@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import register
+from ..registry import jsonify_complex, register
 
 # Shared DuckDB tokenizer fragment (oracle side). Parity contract with
 # `tokenize`: split on \s+, keep 0-based ordinals over the RAW split array,
@@ -145,10 +145,12 @@ register(
     "text_index_flat",
     oracle=f"""
     WITH {TOK_SQL}
-    SELECT term, doc_id, list(pos ORDER BY pos) AS positions, count(*) AS tf
+    SELECT term, doc_id,
+           to_json(list(pos ORDER BY pos))::VARCHAR AS positions,
+           count(*) AS tf
     FROM tok GROUP BY term, doc_id
     """,
-)(index_flat)
+)(lambda spark, sf_dir: jsonify_complex(index_flat(spark, sf_dir)))
 
 register(
     "text_index_nested",
@@ -159,12 +161,12 @@ register(
         FROM tok GROUP BY term, doc_id
     )
     SELECT term,
-           list(struct_pack(doc_id := doc_id, positions := positions)
-                ORDER BY doc_id) AS postings,
+           to_json(list(struct_pack(doc_id := doc_id, positions := positions)
+                ORDER BY doc_id))::VARCHAR AS postings,
            count(DISTINCT doc_id) AS df
     FROM flat GROUP BY term
     """,
-)(index_nested)
+)(lambda spark, sf_dir: jsonify_complex(index_nested(spark, sf_dir)))
 
 def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance — the operational path for a 100 TB
@@ -209,12 +211,12 @@ register(
         FROM tok GROUP BY term, doc_id
     )
     SELECT term,
-           list(struct_pack(doc_id := doc_id, positions := positions)
-                ORDER BY doc_id) AS postings,
+           to_json(list(struct_pack(doc_id := doc_id, positions := positions)
+                ORDER BY doc_id))::VARCHAR AS postings,
            count(DISTINCT doc_id) AS df
     FROM flat GROUP BY term
     """,
-)(index_incremental)
+)(lambda spark, sf_dir: jsonify_complex(index_incremental(spark, sf_dir)))
 
 register(
     "text_doclen",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import register
+from ..registry import jsonify_complex, register
 from .indexer import TOK_SQL, doclen, index_flat
 
 # Shared DuckDB CTE: the flat positional index.
@@ -39,12 +39,14 @@ PHRASE = ("fast", "join")
     "text_term_lookup",
     oracle=f"""
     WITH {FLAT_SQL}
-    SELECT doc_id, positions, tf FROM flat WHERE term = 'join'
+    SELECT doc_id, to_json(positions)::VARCHAR AS positions, tf
+    FROM flat WHERE term = 'join'
     """,
 )
 def term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-term query → posting docs with positions (R10 consumer side)."""
-    return (
+    """Single-term query → posting docs with positions (R10 consumer side).
+    positions emitted as canonical JSON for the driver hash gate."""
+    return jsonify_complex(
         index_flat(spark, sf_dir)
         .where(F.col("term") == "join")
         .select("doc_id", "positions", "tf")

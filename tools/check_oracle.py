@@ -72,6 +72,19 @@ def spark_rows(df) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
 
+def assert_driver_hashable(srows: list[dict], cols: list[str]) -> None:
+    """Deliberately mirror the DRIVER's canonicalizer weakness: it pandas
+    sort_values/factorizes result cells, which raises TypeError on
+    ndarray/list/dict cells (CORRECTNESS_r01 'unhashable numpy.ndarray').
+    Any registered query that trips this would score red at the gate even
+    if its values match DuckDB — so trip it here first."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(srows, columns=cols)
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns))
+
+
 def duck_rows(con, sql: str) -> list[dict]:
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
@@ -106,10 +119,19 @@ def main() -> int:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        try:
+            assert_driver_hashable(srows, sdf.columns)
+        except Exception as e:
+            print(f"{name}: FAIL driver-unhashable ({type(e).__name__}: {e})")
+            n_fail += 1
+            continue
         if name not in oracles:
-            ok = len(srows) >= 0
+            ok = len(srows) > 0  # empty ROWS-ONLY results are failures
             print(f"{name}: ROWS-ONLY rows={len(srows)} {'PASS' if ok else 'FAIL'}")
-            n_pass += 1
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
             continue
         try:
             drows = duck_rows(con, oracles[name])
