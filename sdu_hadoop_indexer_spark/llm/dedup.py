@@ -183,7 +183,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature → band hashes → self-join within (band_idx, band_hash) buckets.
     Validated in tests by recall against dedup_near_jaccard (τ=0.9 pairs).
     """
-    bands = _lsh_bands(spark, sf_dir)
+    # bands fans out to three consumers (a, b, sig_arr); persist() computes
+    # the tokenize→signature→band lineage ONCE instead of 4× (round-1
+    # verdict item 3). persist, not localCheckpoint: checkpointing freezes
+    # the AQE-coalesced single partition, serializing the bucket self-join's
+    # pair expansion into one task — the cache keeps the logical plan so the
+    # join still shuffles wide. At cluster scale this is the staged
+    # signatures table (parquet).
+    bands = _lsh_bands(spark, sf_dir).persist()
     # Dedup WITHOUT a distinct: a near-dup pair collides in SEVERAL bands, so
     # the bucket self-join emits it once per matching band and the naive plan
     # needs a full 10M-row shuffle to dedup. Instead each pair survives only
@@ -250,13 +257,19 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_rep) where cluster_rep = min doc_id of the component; tests
     assert every true τ=0.9 Jaccard pair lands in one cluster and that the
     assignment is idempotent."""
-    member = _lsh_bands(spark, sf_dir).select(
-        F.xxhash64("band_idx", "band_hash").alias("bkt"), "doc_id"
-    ).distinct()
+    # member is re-read twice per iteration — checkpoint it once up front so
+    # the signature pipeline doesn't rerun 2×MAX_CC_ITERS times.
+    member = (
+        _lsh_bands(spark, sf_dir)
+        .select(F.xxhash64("band_idx", "band_hash").alias("bkt"), "doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
     labels = member.select("doc_id").distinct().withColumn(
         "label", F.col("doc_id")
     ).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(MAX_CC_ITERS):
         bucket_min = (
             member.join(labels, "doc_id")
@@ -271,8 +284,18 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease → fixed point
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_minhash_cluster: no fixed point within {MAX_CC_ITERS} "
+            "iterations — labels may span unconverged long-chain components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 

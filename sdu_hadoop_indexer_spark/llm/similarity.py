@@ -362,10 +362,19 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 20
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e.count()
-    # Memory bound first; floor of up-to-8 blocks so small corpora still
-    # parallelize across the cluster (6+ groups for local[32]).
-    n_blocks = max(1, -(-n // ROWS_PER_BLOCK), min(8, n // 512))
+    # Row count from the parquet footer (pure metadata — what a catalog
+    # would serve at scale); fall back to a count job for non-file sources.
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        n = e.count()
+    # Memory bound first; floor of up-to-8 blocks so mid-size corpora still
+    # parallelize across the cluster. Below ~2 blocks of work the group
+    # overhead (shuffle + Arrow worker per group) exceeds the matmul, so
+    # tiny corpora run as one group.
+    n_blocks = max(1, -(-n // ROWS_PER_BLOCK), min(8, n // 2048))
     pair_ids = [
         (pid, i, j)
         for pid, (i, j) in enumerate(
