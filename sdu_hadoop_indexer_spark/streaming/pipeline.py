@@ -5,10 +5,13 @@ event-time watermark, runs the same tumbling aggregation as
 `event_windows.tumbling`, and drains it with an availableNow trigger into a
 memory sink. Registered ROWS-ONLY — the batch twin carries the EXACT oracle.
 
-Production-scale design (documented, config-level):
-- watermark `10 minutes` bounds state; late rows beyond it are dropped;
-- state store: RocksDB provider for large keyspaces
-  (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`);
+Production-scale design:
+- watermark `10 minutes` bounds state; late rows beyond it are dropped
+  (proven by tests/test_streaming.py::test_watermark_drops_late_rows over a
+  3-micro-batch file replay via `run_watermark_replay`);
+- state store: RocksDB provider for large keyspaces — wired behind the
+  `rocksdb=` flag / `enable_rocksdb_state` and smoke-tested active at
+  runtime (rocksdb custom metrics in stateOperators);
 - sink: `writeStream.format("parquet")` with checkpointing for exactly-once;
   memory sink here is test harness only.
 """
@@ -50,10 +53,36 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-@register("stream_live_tumbling")  # ROWS-ONLY: real streaming execution
-def live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store — the 100 TB
+    deployment setting: state lives off-heap/on-disk per executor instead of
+    in the JVM heap, so watermarked aggregations survive keyspaces (users,
+    sessions, windows) far beyond executor memory. Picked up by queries
+    STARTED after the conf is set; smoke-tested in tests/test_streaming.py."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def _progress_dict(p) -> dict:
+    """StreamingQueryProgress → plain dict (PySpark ≥3.4 returns objects)."""
+    import json
+
+    return json.loads(p.json) if hasattr(p, "json") else p
+
+
+def run_live_tumbling(
+    spark: SparkSession, sf_dir: str, *, rocksdb: bool = False
+):
     """End-to-end micro-batch run: readStream → watermark → tumbling window →
-    memory sink, drained with availableNow and returned as a batch result."""
+    memory sink, drained with availableNow. Returns (result DataFrame,
+    [StreamingQueryProgress dict per micro-batch]) so callers can assert on
+    runtime behavior (state-store provider, rows dropped by watermark)."""
+    if rocksdb:
+        enable_rocksdb_state(spark)
     ev = streaming_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -71,8 +100,57 @@ def live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
+    progress = [_progress_dict(p) for p in q.recentProgress]
     q.stop()
-    return spark.table(name)
+    return spark.table(name), progress
+
+
+@register("stream_live_tumbling")  # ROWS-ONLY: real streaming execution
+def live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, _ = run_live_tumbling(spark, sf_dir)
+    return df
+
+
+def run_watermark_replay(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+):
+    """Multi-micro-batch replay proving LATE-DATA semantics (SURVEY §2.B-9
+    "watermark / late data"): each file under ``src_dir`` (schema
+    ``ts timestamp, event_type string``) becomes its own micro-batch
+    (``maxFilesPerTrigger=1``, mod-time order), the tumbling aggregation
+    runs in APPEND mode, and rows older than the watermark at batch start
+    are dropped before the aggregation — observable both in the sink (the
+    finalized window's count excludes them) and in
+    ``stateOperators[].numRowsDroppedByWatermark``. Returns (sink
+    DataFrame, [progress dict per micro-batch])."""
+    raw = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"watermark_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [_progress_dict(p) for p in q.recentProgress]
+    q.stop()
+    return spark.table(name), progress
 
 
 @register(
