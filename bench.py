@@ -73,8 +73,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Untimed warmup: JVM classloading, codegen, parquet footer cache.
+    # Untimed warmup: JVM classloading, codegen, parquet footer cache —
+    # plus one Arrow/pandas-UDF query to spin up the Python worker pool
+    # (first applyInPandas in a session pays ~10 s of worker spawns).
     run_once(queries["text_index_nested"], spark, sf_dir)
+    run_once(queries["sim_nearest_pairs"], spark, sf_dir)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -334,3 +334,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     fingerprint = reduce(lambda x, y: x + y, bits)
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+COSINE_DUP_TAU = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH cos AS (
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   AS cosine
+        FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                   CAST(unnest(b.embedding) AS DOUBLE) AS y
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        GROUP BY va, vb
+    )
+    SELECT va, vb, cosine FROM cos WHERE cosine >= {COSINE_DUP_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (charter dedup family, threshold
+    form): every unordered pair with rounded cosine ≥ τ=0.35 — the semantic
+    twin of `dedup_near_jaccard` on the embedding space instead of the token
+    space. Runs on the same memory-safe blocked all-pairs harness as
+    `sim_nearest_pairs` (`similarity.blocked_pair_groups`): one BLAS matmul
+    per block-pair group, threshold filter inside the group so only
+    surviving pairs leave the Arrow worker. Output is linear in true
+    near-dups; the quadratic candidate space never materializes as rows.
+    The threshold compares the ROUNDED value on both engines so boundary
+    pairs cannot flap. At real scale the candidate generator is
+    `sim_topk_lsh` buckets; this exact form is the correctness oracle."""
+    import pandas as pd
+
+    from .similarity import _group_pair_cosines, blocked_pair_groups
+
+    def pair_thresh(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _group_pair_cosines(pdf)
+        if got is None:
+            return pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        va, vb, cos = got
+        keep = cos >= COSINE_DUP_TAU
+        return pd.DataFrame({"va": va[keep], "vb": vb[keep], "cosine": cos[keep]})
+
+    return (
+        blocked_pair_groups(spark, sf_dir)
+        .groupBy("pair_id")
+        .applyInPandas(pair_thresh, "va long, vb long, cosine double")
+    )

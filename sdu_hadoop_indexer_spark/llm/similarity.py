@@ -332,38 +332,20 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROWS_PER_BLOCK = 4096
 
 
-@register(
-    "sim_nearest_pairs",
-    oracle=f"""
-    WITH cos AS (
-        {_COS_SQL.format(pair_pred="a.vec_id < b.vec_id")}
-    )
-    SELECT va, vb, cosine
-    FROM cos ORDER BY cosine DESC, va, vb LIMIT 20
-    """,
-)
-def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup mining: 20 most-similar pairs corpus-wide (these
-    fixtures are near-random, max cosine ≈0.51, so a fixed threshold would be
-    empty — top-k is the robust formulation). Ranked on rounded cosine with
-    (va, vb) tie-break for cross-engine determinism.
+def blocked_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate embeddings into block-pair groups for distributed all-pairs.
 
-    Distributed blocked all-pairs — NOTHING is collected to the driver
-    (round-1 verdict fix): vectors are hashed into B = ceil(N/ROWS_PER_BLOCK)
-    blocks, a tiny broadcast block-pair map replicates each vector to its
-    B(+1)/2-ish pair groups, and each (bi ≤ bj) group does ONE BLAS matmul
-    over two blocks inside `applyInPandas`, emitting only its local top-k
-    under the total order. Executor memory is bounded by two blocks
-    regardless of N; the driver only ever sees the scalar count and the
-    final ≤ k·groups rows. Exact all-pairs stays O(N²/B) work by nature —
-    at real scale route to `sim_topk_lsh`; this is the exactness baseline."""
-    import numpy as np
-    import pandas as pd
-
-    k = 20
+    The memory-safe all-pairs harness (round-1 verdict fix — NOTHING is
+    collected to the driver): vectors are hashed into
+    B = ceil(N/ROWS_PER_BLOCK) blocks, a tiny broadcast block-pair map
+    replicates each vector to its (bi ≤ bj) pair groups tagged L/R, and a
+    `groupBy("pair_id").applyInPandas(...)` downstream sees exactly two
+    blocks per group — executor memory bounded regardless of N. Diagonal
+    groups (bi == bj, `same` column) must keep only the strict upper
+    triangle by id; off-diagonal groups hold disjoint blocks so every cross
+    pair is unique. N comes from the parquet footer (pure metadata — what a
+    catalog serves at scale), falling back to a count job."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Row count from the parquet footer (pure metadata — what a catalog
-    # would serve at scale); fall back to a count job for non-file sources.
     try:
         import pyarrow.parquet as pq
 
@@ -390,41 +372,78 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = e.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    tagged = (
+    return (
         eb.join(F.broadcast(left_map), "blk").withColumn("side", F.lit("L"))
         .unionByName(
             eb.join(F.broadcast(right_map), "blk").withColumn("side", F.lit("R"))
         )
     )
 
-    def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"va": [], "vb": [], "cosine": []})
-        l, r = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
-        if l.empty or r.empty:
-            return empty
-        lid = l["vec_id"].to_numpy(dtype=np.int64)
-        rid = r["vec_id"].to_numpy(dtype=np.int64)
-        lm = np.array(list(l["embedding"]), dtype=np.float64)
-        rm = np.array(list(r["embedding"]), dtype=np.float64)
-        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
-        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
-        sim = np.round(lm @ rm.T, 4)
-        if bool(pdf["same"].iloc[0]):
-            # diagonal group: L and R are the same block — strict upper
-            # triangle by id so each unordered pair is emitted once
-            keep = lid[:, None] < rid[None, :]
-        else:
-            keep = np.ones_like(sim, dtype=bool)
+
+def _group_pair_cosines(pdf):
+    """One block-pair group → (va, vb, cosine rounded 4dp) numpy arrays, with
+    each unordered pair emitted exactly once (va < vb)."""
+    import numpy as np
+
+    l, r = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
+    if l.empty or r.empty:
+        return None
+    lid = l["vec_id"].to_numpy(dtype=np.int64)
+    rid = r["vec_id"].to_numpy(dtype=np.int64)
+    lm = np.array(list(l["embedding"]), dtype=np.float64)
+    rm = np.array(list(r["embedding"]), dtype=np.float64)
+    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+    sim = np.round(lm @ rm.T, 4)
+    if bool(pdf["same"].iloc[0]):
+        # diagonal group: L and R are the same block — strict upper
+        # triangle by id so each unordered pair is emitted once
+        keep = lid[:, None] < rid[None, :]
         ai, bj = np.nonzero(keep)
-        if not len(ai):
-            return empty
-        va = np.minimum(lid[ai], rid[bj])
-        vb = np.maximum(lid[ai], rid[bj])
-        cos = sim[ai, bj]
+    else:
+        ai, bj = np.nonzero(np.ones_like(sim, dtype=bool))
+    if not len(ai):
+        return None
+    va = np.minimum(lid[ai], rid[bj])
+    vb = np.maximum(lid[ai], rid[bj])
+    return va, vb, sim[ai, bj]
+
+
+@register(
+    "sim_nearest_pairs",
+    oracle=f"""
+    WITH cos AS (
+        {_COS_SQL.format(pair_pred="a.vec_id < b.vec_id")}
+    )
+    SELECT va, vb, cosine
+    FROM cos ORDER BY cosine DESC, va, vb LIMIT 20
+    """,
+)
+def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: 20 most-similar pairs corpus-wide (these
+    fixtures are near-random, max cosine ≈0.51, so a fixed threshold would be
+    empty — top-k is the robust formulation). Ranked on rounded cosine with
+    (va, vb) tie-break for cross-engine determinism.
+
+    Blocked all-pairs via `blocked_pair_groups`: each (bi ≤ bj) group does
+    ONE BLAS matmul over two blocks inside `applyInPandas`, emitting only
+    its local top-k under the total order, so the global orderBy sees
+    ≤ k·groups rows. Exact all-pairs stays O(N²/B) work by nature — at real
+    scale route to `sim_topk_lsh`; this is the exactness baseline."""
+    import numpy as np
+    import pandas as pd
+
+    k = 20
+
+    def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _group_pair_cosines(pdf)
+        if got is None:
+            return pd.DataFrame({"va": [], "vb": [], "cosine": []})
+        va, vb, cos = got
         order = np.lexsort((vb, va, -cos))[:k]
         return pd.DataFrame({"va": va[order], "vb": vb[order], "cosine": cos[order]})
 
-    local = tagged.groupBy("pair_id").applyInPandas(
+    local = blocked_pair_groups(spark, sf_dir).groupBy("pair_id").applyInPandas(
         pair_topk, "va long, vb long, cosine double"
     )
     return local.orderBy(F.desc("cosine"), "va", "vb").limit(20)

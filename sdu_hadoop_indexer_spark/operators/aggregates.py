@@ -232,3 +232,33 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
         ]
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_pop(l_discount, l_tax), 6) AS cov_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates — stddev/variance/covariance/
+    correlation per group, the profiling layer of a data-quality pipeline.
+    Single-pass, map-side-partial (Catalyst plans one HashAggregate pair
+    carrying the moment sketches — no second scan). Rounded on both engines;
+    covariance rounded coarser (2dp) because its magnitude is ~1e4."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    )

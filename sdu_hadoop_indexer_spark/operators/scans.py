@@ -215,3 +215,30 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out}/batch=1", f"{out}/batch=2"
     )
     return back.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register("scan_orc_roundtrip", oracle="SELECT * FROM supplier")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink demonstration: the supplier dimension round-trips
+    through ORC (the other big columnar lake format — same pushdown/pruning
+    machinery as parquet in Spark's DSv1 path) and is read back with the
+    original schema pinned. EXACT oracle against the parquet source proves
+    the conversion is lossless for this schema."""
+    out = os.environ.get("SPARK_GRAFT_ORC_DIR", "/tmp/sdu_spark_sink/supplier_orc")
+    src = table(spark, sf_dir, "supplier")
+    src.write.mode("overwrite").orc(out)
+    return spark.read.schema(src.schema).orc(out)
+
+
+@register("scan_jsonl_roundtrip", oracle="SELECT * FROM customer")
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink: the customer dimension round-trips through
+    newline-delimited JSON (the interchange format of most crawl/training
+    corpora) and is read back schema-pinned — inference is a second full
+    pass at 100 TB, so a real pipeline always supplies the DDL. Doubles
+    survive exactly (shortest-roundtrip serialization both ways). EXACT
+    oracle against the parquet source."""
+    out = os.environ.get("SPARK_GRAFT_JSONL_DIR", "/tmp/sdu_spark_sink/customer_jsonl")
+    src = table(spark, sf_dir, "customer")
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(src.schema).json(out)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import jsonify_complex, register
-from .indexer import TOK_SQL, doclen, index_flat
+from .indexer import TOK_SQL, doclen, index_flat, tokenize
 
 # Shared DuckDB CTE: the flat positional index.
 FLAT_SQL = f"""
@@ -281,4 +281,69 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+MIN_COOCCUR = 5
+
+
+@register(
+    "text_cooccur_pmi",
+    oracle=f"""
+    WITH {TOK_SQL},
+    big AS (
+        SELECT term AS w1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bg AS (
+        SELECT w1, w2, count(*) AS c FROM big
+        WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bg),
+    lm AS (SELECT w1, sum(c) AS ca FROM bg GROUP BY w1),
+    rm AS (SELECT w2, sum(c) AS cb FROM bg GROUP BY w2)
+    SELECT bg.w1, bg.w2, bg.c,
+           round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) AS pmi
+    FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
+    WHERE bg.c >= {MIN_COOCCUR}
+    ORDER BY round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — collocation
+    mining (the classic corpus-linguistics consumer of the positional index;
+    PMI = ln(P(ab)/(P(a)P(b))) estimated from bigram counts).
+
+    Shape at scale: ONE shuffle for the bigram counts (the lead() window is
+    partition-local per doc); both marginals and the corpus total are
+    vocabulary-sized aggregates of the count table → broadcast joins; the
+    final top-50 is TakeOrdered on the ROUNDED pmi with (w1, w2) tie-break
+    for cross-engine determinism. Min count {MIN_COOCCUR} guards the
+    low-frequency PMI blowup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokenize(spark, sf_dir)
+        .withColumn("w2", F.lead("term").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2")
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    tot = bg.agg(F.sum("c").cast("double").alias("n"))
+    lm = bg.groupBy("w1").agg(F.sum("c").alias("ca"))
+    rm = bg.groupBy("w2").agg(F.sum("c").alias("cb"))
+    pmi = F.round(
+        F.log(F.col("c") * F.col("n") / (F.col("ca") * F.col("cb"))), 4
+    )
+    return (
+        bg.where(F.col("c") >= MIN_COOCCUR)
+        .join(F.broadcast(lm), "w1")
+        .join(F.broadcast(rm), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
     )

@@ -141,3 +141,53 @@ def test_centroid_row_shape(spark, sf_dir):
     rows = similarity.sim_label_centroid(spark, sf_dir)
     dims = rows.groupBy("label").agg(F.count("*").alias("n")).collect()
     assert all(r.n == 64 for r in dims)  # one row per dimension per label
+
+
+def test_embedding_cosine_dedup_pairs(spark, sf_dir):
+    """Threshold near-dup pairs: each pair unique with va < vb, every cosine
+    >= tau, and the set agrees with a brute-force crossJoin recomputation."""
+    from sdu_hadoop_indexer_spark.llm import dedup
+
+    rows = dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    assert rows, "fixture must contain pairs above tau"
+    seen = set()
+    for r in rows:
+        assert r.va < r.vb
+        assert r.cosine >= dedup.COSINE_DUP_TAU
+        assert (r.va, r.vb) not in seen
+        seen.add((r.va, r.vb))
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    brute = {
+        (r.va, r.vb)
+        for r in a.crossJoin(b)
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            "va", "vb", F.round(similarity._cosine("ea", "eb"), 4).alias("c")
+        )
+        .where(F.col("c") >= dedup.COSINE_DUP_TAU)
+        .collect()
+    }
+    assert seen == brute
+
+
+def test_curation_pipeline_gates(spark, sf_dir):
+    """Every surviving doc passes all three gates and no two survivors share
+    a content fingerprint."""
+    from sdu_hadoop_indexer_spark.llm import curation
+    from sdu_hadoop_indexer_spark.text.analysis import fingerprint
+
+    rows = curation.curation_pipeline(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= curation.MIN_TOKENS
+        assert r.uniq_ratio >= curation.MIN_UNIQ_RATIO
+    ids = [r.doc_id for r in rows]
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in fingerprint(spark, sf_dir).where(F.col("doc_id").isin(ids)).collect()
+    }
+    survived = [fps[i] for i in ids]
+    assert len(survived) == len(set(survived)), "duplicate fingerprints survived"

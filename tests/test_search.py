@@ -56,3 +56,39 @@ def test_bm25_scores_positive_and_sorted(spark, sf_dir):
     scores = [r.bm25 for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cooccur_pmi_properties(spark, sf_dir):
+    """PMI rows: min-count gate respected, values finite, deterministic
+    ordering on (pmi desc, w1, w2), and each PMI consistent with a direct
+    recount of its bigram/marginal frequencies."""
+    import math
+
+    from sdu_hadoop_indexer_spark.text.search import MIN_COOCCUR, cooccur_pmi
+    from sdu_hadoop_indexer_spark.text.indexer import tokenize
+    from pyspark.sql import Window
+
+    rows = cooccur_pmi(spark, sf_dir).collect()
+    assert rows
+    keys = [(-r.pmi, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokenize(spark, sf_dir)
+        .withColumn("w2", F.lead("term").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2")
+    )
+    counts = {(r.w1, r.w2): r.c for r in big.groupBy("w1", "w2").agg(F.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    left = {}
+    right = {}
+    for (w1, w2), c in counts.items():
+        left[w1] = left.get(w1, 0) + c
+        right[w2] = right.get(w2, 0) + c
+    for r in rows:
+        c = counts[(r.w1, r.w2)]
+        assert c >= MIN_COOCCUR
+        expect = round(math.log(c * n / (left[r.w1] * right[r.w2])), 4)
+        assert abs(r.pmi - expect) < 1e-9
