@@ -219,3 +219,44 @@ def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register("stream_late_data_drop")  # ROWS-ONLY: real multi-batch streaming run
+def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the late-data proof (SURVEY §2.B-9 "watermark /
+    late data"): stages a deterministic 3-file replay — batch 1 fills window
+    [01:00,02:00) with 3 rows and advances event time to 03:00, batch 2 runs
+    under the resulting watermark (02:50) evicting the window, batch 3
+    delivers a row for the already-finalized window which the late-event
+    filter MUST drop. Returns the finalized append-mode windows; the
+    [01:00,02:00) count is 3 (not 4) iff the drop happened. `sf_dir` is
+    unused — the replay is synthetic so the result is scale-invariant."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="sdu-late-replay-")
+    d = dt.datetime(2024, 1, 1)
+    batches = [
+        [d.replace(hour=1, minute=m) for m in (10, 20, 30)] + [d.replace(hour=3)],
+        [d.replace(hour=3, minute=5)],
+        [d.replace(hour=1, minute=45)],  # late: window already finalized
+    ]
+    now = time.time()
+    for i, ts_list in enumerate(batches):
+        path = f"{src}/b{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts_list, type=pa.timestamp("us")),
+                    "event_type": ["click"] * len(ts_list),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now - 100 + i * 40, now - 100 + i * 40))
+    sink, _ = run_watermark_replay(spark, src)
+    return sink

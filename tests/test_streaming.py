@@ -112,3 +112,11 @@ def test_rocksdb_state_store_active(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_registered_late_data_drop_counts(spark):
+    """The registered stream_late_data_drop query's finalized window must
+    count 3 — the late 4th row dropped by the watermark."""
+    rows = pipeline.late_data_drop(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 3
