@@ -77,3 +77,35 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(reps, ["fingerprint", "doc_id"]).select(
         "doc_id", "n_tokens", "uniq_ratio"
     )
+
+
+HOLDOUT_PREFIX = "0a"  # md5 hex < "0a" ≈ 10/256 ≈ 3.9% of docs
+
+
+@register(
+    "llm_split_holdout",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{HOLDOUT_PREFIX}'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, reproducible train/holdout split — the
+    contamination-control primitive of every training-data pipeline: the
+    assignment is a pure function of (salt, doc_id), so it is stable across
+    runs, engines, partitionings and re-shards, and adding documents never
+    reassigns existing ones. Implemented as a lexicographic threshold on the
+    md5 hex digest (identical bytes on both engines — EXACT oracle, unlike
+    xxhash64-based sampling which is engine-local). At 100 TB this is a
+    stateless map — no shuffle, no sampling pass, no stored split table."""
+    d = table(spark, sf_dir, "documents")
+    digest = F.md5(F.concat(F.lit("split-v1|"), F.col("doc_id").cast("string")))
+    return d.select(
+        "doc_id",
+        F.when(F.substring(digest, 1, 2) < HOLDOUT_PREFIX, "holdout")
+        .otherwise("train")
+        .alias("split"),
+    )

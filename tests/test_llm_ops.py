@@ -191,3 +191,25 @@ def test_curation_pipeline_gates(spark, sf_dir):
     }
     survived = [fps[i] for i in ids]
     assert len(survived) == len(set(survived)), "duplicate fingerprints survived"
+
+
+def test_split_holdout_deterministic_and_stable(spark, sf_dir):
+    """Same assignment on repeated runs; every doc assigned; holdout fraction
+    in a sane band for the salt; assignment unaffected by filtering (no
+    dependence on the surrounding dataset)."""
+    from sdu_hadoop_indexer_spark.llm.curation import split_holdout
+
+    a = {r.doc_id: r.split for r in split_holdout(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in split_holdout(spark, sf_dir).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "holdout"}
+    frac = sum(1 for v in a.values() if v == "holdout") / len(a)
+    assert 0.0 <= frac <= 0.15  # E≈3.9%, wide band for a 500-doc fixture
+
+    # subset invariance: computing on half the docs gives identical labels
+    half = (
+        split_holdout(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .collect()
+    )
+    assert all(a[r.doc_id] == r.split for r in half)

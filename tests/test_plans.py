@@ -145,3 +145,46 @@ def test_range_join_not_cartesian(spark, sf_dir):
     plan = _plan(joins.join_range(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_blocked_pairs_not_cartesian(spark, sf_dir):
+    """The blocked all-pairs harness must distribute via broadcast pair maps
+    + one shuffle on pair_id — never a cartesian product of embeddings, and
+    never a driver-side collect (the plan sources only the parquet scan)."""
+    from sdu_hadoop_indexer_spark.llm.dedup import dedup_embedding_cosine
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_nearest_pairs
+
+    for q in (sim_nearest_pairs, dedup_embedding_cosine):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # the tiny block-pair maps
+        # vectors must come straight from the parquet scan; the only
+        # driver-originated relations (Scan ExistingRDD = the block-pair
+        # maps) must not carry the embedding column
+        for line in plan.splitlines():
+            if "Scan ExistingRDD" in line:
+                assert "embedding" not in line
+
+
+def test_pmi_broadcasts_marginals(spark, sf_dir):
+    """PMI: the vocabulary-sized marginals and the 1-row total must be
+    broadcast; the only wide exchange is the bigram count shuffle; the
+    final top-50 is TakeOrdered, not a global sort."""
+    from sdu_hadoop_indexer_spark.text.search import cooccur_pmi
+
+    plan = _plan(cooccur_pmi(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_pipeline_single_scan(spark, sf_dir):
+    """The three gates must fuse into the one documents scan (pipelined
+    filters — no intermediate materialization), with the dedup as a single
+    aggregation exchange on the fingerprint."""
+    from sdu_hadoop_indexer_spark.llm.curation import curation_pipeline
+
+    plan = _plan(curation_pipeline(spark, sf_dir))
+    scans = plan.count("Scan parquet")  # matches FileScan parquet too
+    assert scans <= 2  # gated side + rep side of the self-join, nothing more
+    assert "CartesianProduct" not in plan
