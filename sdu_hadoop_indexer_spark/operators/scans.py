@@ -242,3 +242,58 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "customer")
     src.write.mode("overwrite").json(out)
     return spark.read.schema(src.schema).json(out)
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN o_totalprice + 1000.0 ELSE o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'P' ELSE o_orderstatus
+           END AS o_orderstatus
+    FROM orders
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert compaction on a parquet lake: a base snapshot
+    and a delta batch (10% of keys re-priced and re-statused) are staged as
+    versioned parquet, read back as one relation, and compacted to
+    latest-version-per-key with a row_number window — the keep-latest
+    pattern every mutable-table-on-immutable-files pipeline runs (Delta/
+    Iceberg MERGE does exactly this inside its file rewrite).
+
+    Scale shape: ONE shuffle on the merge key for the window; at table
+    scale the base side would be bucketed by key (`sink_bucketed_join`
+    layout) making compaction shuffle-free. The oracle is the closed-form
+    spec (base with delta rows substituted) — an independent formulation,
+    not the same plan."""
+    from pyspark.sql import Window
+
+    out = os.environ.get("SPARK_GRAFT_MERGE_UPSERT_DIR",
+                         "/tmp/sdu_spark_sink/orders_upsert")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = src.withColumn("version", F.lit(0))
+    delta = (
+        src.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            # +1000.0, not round(x*1.1,2): a single IEEE add is bit-identical
+            # across engines; round() tie-breaking on doubles is not
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit("P").alias("o_orderstatus"),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    base.write.mode("overwrite").parquet(f"{out}/batch=0")
+    delta.write.mode("overwrite").parquet(f"{out}/batch=1")
+    merged = spark.read.parquet(f"{out}/batch=0", f"{out}/batch=1")
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

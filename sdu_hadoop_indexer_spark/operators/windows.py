@@ -170,3 +170,31 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank and cume_dist per
+    status partition — the distributional ranking pair (rank/ntile cover the
+    ordinal side). Deterministic via the (o_totalprice, o_orderkey) total
+    order; values rounded identically on both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

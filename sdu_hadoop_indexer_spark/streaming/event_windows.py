@@ -161,3 +161,68 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@register(
+    "stream_gapfill_rollup",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM ev
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+                   AS bucket
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    actual AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+               count(*) AS n_events, {_SUM_DEC} AS sum_value
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT s.bucket, t.event_type,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """,
+)
+def gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with GAP FILL: a dense (hour × event_type)
+    spine left-joined against the hourly aggregate, empty buckets zero-filled
+    — the time-series materialization dashboards and downsampling pipelines
+    need (a plain GROUP BY silently omits empty buckets).
+
+    Scale shape: the spine is generated, not scanned — `sequence()` between
+    the corpus min/max hour (two scalars from one agg) exploded into rows,
+    cross-joined with the tiny distinct-type dim; the only wide shuffle is
+    the hourly aggregation of the fact stream itself. Gap detection is a
+    left join against a broadcastable spine, never a self-join."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(actual, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )

@@ -19,6 +19,7 @@ EXPECTED_ROWS_ONLY = {
     "sim_topk_ivf",
     "sim_topk_lsh",
     "sink_parquet",
+    "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
 }
 
