@@ -253,3 +253,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "prior_event_id", "prior_type")
     )
+
+
+JOIN_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, s_name
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT salted join — the hot-key mitigation for joins (pairs with
+    `text_wordcount_salted` on the agg side; SURVEY §4.2 skew handling).
+
+    When one join key dominates (a mega-supplier at 100 TB), a plain
+    shuffle join sends every matching fact row to ONE reducer. Salting
+    splits each build key into JOIN_SALTS shards: the probe (fact) side
+    tags each row with a deterministic salt from non-key columns, the
+    build (dim) side is replicated once per salt via an exploded
+    `sequence()`, and the equi-join runs on (key, salt) — each hot key now
+    spreads over JOIN_SALTS reducers. Result provably identical to the
+    plain join (EXACT oracle). AQE's skew-join split is the automatic
+    form; the explicit pattern covers the cases AQE can't see (first-pass
+    stats, non-splittable single partitions)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    salted_fact = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(JOIN_SALTS)).cast(
+            "int"
+        ),
+    )
+    replicated_dim = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)))
+    )
+    # shuffle_hash hint: at fixture scale the dim side would broadcast
+    # (where salting is moot) — pin the shuffled path being demonstrated
+    return (
+        salted_fact.join(
+            replicated_dim.hint("shuffle_hash"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (salted_fact.salt == replicated_dim.salt),
+        )
+        .select("l_orderkey", "l_linenumber", "s_name")
+    )

@@ -100,3 +100,35 @@ def sql_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_local_supplier_volume", oracle=_Q5_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape as pure SQL text: revenue per nation where customer
+    and supplier share the nation, region- and date-filtered — the widest
+    join tree in the suite (6 tables). Catalyst broadcast-joins the four
+    dimension tables, pushes the date range into the orders scan and the
+    region filter through the nation→region chain; the only wide shuffles
+    are the two fact-table joins and the final small agg. Identical SQL
+    text runs on both engines (decimal-summed for order-independent
+    parity)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)

@@ -188,3 +188,16 @@ def test_curation_pipeline_single_scan(spark, sf_dir):
     scans = plan.count("Scan parquet")  # matches FileScan parquet too
     assert scans <= 2  # gated side + rep side of the self-join, nothing more
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join must run as a shuffled join whose keys include the
+    salt column (each hot key spread over JOIN_SALTS reducers) — not a
+    broadcast (where salting would demonstrate nothing)."""
+    plan = _plan(joins.join_skew_salted(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    join_line = next(
+        l for l in plan.splitlines()
+        if "ShuffledHashJoin" in l or "SortMergeJoin" in l
+    )
+    assert "salt" in join_line
