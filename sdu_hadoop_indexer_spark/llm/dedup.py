@@ -374,12 +374,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _group_pair_cosines, blocked_pair_groups
 
     def pair_thresh(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _group_pair_cosines(pdf)
+        got = _group_pair_cosines(pdf, min_cos=COSINE_DUP_TAU)
         if got is None:
             return pd.DataFrame({"va": [], "vb": [], "cosine": []})
         va, vb, cos = got
-        keep = cos >= COSINE_DUP_TAU
-        return pd.DataFrame({"va": va[keep], "vb": vb[keep], "cosine": cos[keep]})
+        return pd.DataFrame({"va": va, "vb": vb, "cosine": cos})
 
     return (
         blocked_pair_groups(spark, sf_dir)

@@ -363,26 +363,30 @@ def blocked_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
         )
     ]
-    left_map = spark.createDataFrame(
-        [(p, i, i == j) for p, i, j in pair_ids], "pair_id int, blk int, same boolean"
-    )
-    right_map = spark.createDataFrame(
-        [(p, j, i == j) for p, i, j in pair_ids], "pair_id int, blk int, same boolean"
+    # One combined (blk, pair_id, side, same) map — a single broadcast join
+    # replicates each vector to every group it belongs to on either side,
+    # instead of scanning + joining the embeddings relation once per side.
+    side_map = spark.createDataFrame(
+        [(p, i, "L", i == j) for p, i, j in pair_ids]
+        + [(p, j, "R", i == j) for p, i, j in pair_ids],
+        "pair_id int, blk int, side string, same boolean",
     )
     eb = e.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    return (
-        eb.join(F.broadcast(left_map), "blk").withColumn("side", F.lit("L"))
-        .unionByName(
-            eb.join(F.broadcast(right_map), "blk").withColumn("side", F.lit("R"))
-        )
-    )
+    return eb.join(F.broadcast(side_map), "blk")
 
 
-def _group_pair_cosines(pdf):
+def _group_pair_cosines(pdf, min_cos=None, topk=None):
     """One block-pair group → (va, vb, cosine rounded 4dp) numpy arrays, with
-    each unordered pair emitted exactly once (va < vb)."""
+    each unordered pair emitted exactly once (va < vb).
+
+    Selection happens ON THE SIM MATRIX, before pair indices are expanded:
+    `min_cos` keeps entries ≥ the threshold; `topk` tightens the cutoff to
+    the k-th largest value in the group (exact — every true top-k member has
+    cosine ≥ that value; ties are resolved downstream). Without this, a
+    4096² group expands ~16M (va, vb) index pairs only to discard nearly
+    all of them — the expansion, not the BLAS matmul, dominated wall-clock."""
     import numpy as np
 
     l, r = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
@@ -399,9 +403,15 @@ def _group_pair_cosines(pdf):
         # diagonal group: L and R are the same block — strict upper
         # triangle by id so each unordered pair is emitted once
         keep = lid[:, None] < rid[None, :]
-        ai, bj = np.nonzero(keep)
     else:
-        ai, bj = np.nonzero(np.ones_like(sim, dtype=bool))
+        keep = np.ones_like(sim, dtype=bool)
+    if min_cos is not None:
+        keep &= sim >= min_cos
+    if topk is not None:
+        vals = sim[keep]
+        if len(vals) > topk:
+            keep &= sim >= np.partition(vals, -topk)[-topk]
+    ai, bj = np.nonzero(keep)
     if not len(ai):
         return None
     va = np.minimum(lid[ai], rid[bj])
@@ -436,7 +446,7 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 20
 
     def pair_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        got = _group_pair_cosines(pdf)
+        got = _group_pair_cosines(pdf, topk=k)
         if got is None:
             return pd.DataFrame({"va": [], "vb": [], "cosine": []})
         va, vb, cos = got
