@@ -81,6 +81,200 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOLDOUT_PREFIX = "0a"  # md5 hex < "0a" ≈ 10/256 ≈ 3.9% of docs
 
+# Per-language sampling rates for the stratified sampler; 4-hex-digit
+# lexicographic thresholds on the md5 digest (rate ≈ threshold / 65536).
+STRATUM_RATES = {"en": 0.75, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.25}
+DEFAULT_RATE = 0.3
+_thresh = {k: f"{int(v * 65536):04x}" for k, v in STRATUM_RATES.items()}
+_default_thresh = f"{int(DEFAULT_RATE * 65536):04x}"
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang
+              {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _thresh.items())}
+              ELSE '{_default_thresh}' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the domain-mixing primitive of
+    corpus assembly: each language stratum keeps a configured fraction of
+    its documents (en 75%, fr/es/de 50%, zh 25%), decided by comparing the
+    doc's salted md5 digest against a per-stratum threshold. Like
+    `llm_split_holdout` this is a pure function of (salt, doc_id): stable
+    across runs, engines and re-shards, composable with the split (a doc's
+    sample fate never changes when the corpus grows). A stateless filter —
+    no shuffle, no count pass, no reservoir state — so at 100 TB it costs
+    one scan and prunes at the parquet reader."""
+    d = table(spark, sf_dir, "documents")
+    digest = F.substring(
+        F.md5(F.concat(F.lit("sample-v1|"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thr = F.col("lang")
+    expr = F.lit(_default_thresh)
+    for k, v in reversed(_thresh.items()):
+        expr = F.when(thr == k, v).otherwise(expr)
+    return d.where(digest < expr).select("doc_id", "lang")
+
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           start_off % {PACK_BUDGET} AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-and-chunk): lay each source shard's
+    documents end-to-end in deterministic doc_id order and cut the token
+    stream into {PACK_BUDGET}-token training sequences; each doc gets the
+    pack it starts in and its offset there. This is the GPT-style packing
+    every pretraining pipeline runs between curation and tokenized output.
+
+    The running offset is a windowed prefix sum PARTITIONED BY the source
+    shard — each shard packs independently, so the window never funnels the
+    corpus through one partition; at 100 TB parallelism = number of shards
+    (a finer path-level shard key drops in unchanged)."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return t.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start_off") / PACK_BUDGET).alias("pack_id"),
+        (F.col("start_off") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+CONTAM_SHINGLE = 3  # tokens per shingle
+
+
+@register(
+    "llm_contamination_check",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(len(toks) - {CONTAM_SHINGLE - 1}),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])))
+                   AS shingle
+        FROM t
+    ),
+    sp AS (
+        SELECT doc_id,
+               substr(md5('split-v1|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{HOLDOUT_PREFIX}' AS is_holdout
+        FROM documents
+    ),
+    ho AS (
+        SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE is_holdout
+    ),
+    tr AS (
+        SELECT sh.doc_id, shingle FROM sh JOIN sp USING (doc_id) WHERE NOT is_holdout
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN ho USING (shingle) GROUP BY tr.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(n_shingles AS INTEGER) AS n_shingles,
+           CAST(coalesce(n_shared, 0) AS INTEGER) AS n_shared,
+           round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) AS contamination_frac
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: for every TRAIN document, what
+    fraction of its distinct {CONTAM_SHINGLE}-token shingles also appear
+    anywhere in the HOLDOUT set (the reproducible md5 split of
+    `llm_split_holdout`)? The standard n-gram-overlap decontamination check
+    run before any eval is trusted.
+
+    The holdout shingle vocabulary is bounded by design (eval sets stay
+    small while the corpus grows), so it is deduplicated and BROADCAST to
+    the train side — the train relation streams through one scan + one
+    broadcast semi-probe + a doc_id-keyed count, never a shuffle keyed on
+    the (skewed) shingle text."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    m = F.greatest(F.size("toks") - (CONTAM_SHINGLE - 1), F.lit(0))
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.zip_with(
+                F.slice("toks", 1, m),
+                F.slice("toks", 2, m),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            F.slice("toks", 3, m),
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    )
+    is_holdout = (
+        F.substring(
+            F.md5(F.concat(F.lit("split-v1|"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < HOLDOUT_PREFIX
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"), is_holdout.alias("is_holdout"))
+        .select("doc_id", "is_holdout", F.explode(shingles).alias("shingle"))
+    )
+    ho = sh.where("is_holdout").select("shingle").distinct()
+    tr = sh.where(~F.col("is_holdout"))
+    tot = tr.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ho), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_shared", F.lit(0)).cast("int").alias("n_shared"),
+        F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 4).alias(
+            "contamination_frac"
+        ),
+    )
+
 
 @register(
     "llm_split_holdout",

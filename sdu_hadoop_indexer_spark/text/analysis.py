@@ -114,6 +114,107 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text,
+           CAST(length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+    FROM documents
+    """,
+)
+def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first stage of every corpus-cleaning
+    pipeline: lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim. Pure JVM regexp column expressions (one narrow map, no
+    shuffle — a stateless pass at any scale); the same two regexes run on
+    both engines for an EXACT oracle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks) - 1),
+                                     i -> toks[i + 1] || ' ' || toks[i + 2]))
+                   AS bigram
+        FROM t
+    ),
+    c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram),
+    a AS (
+        SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+               round(max(cnt) * 1.0 / sum(cnt), 4) AS top_bigram_frac
+        FROM c GROUP BY doc_id
+    ),
+    d AS (
+        SELECT doc_id,
+               round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+                   AS dup_token_frac
+        FROM t
+    )
+    SELECT a.doc_id, n_bigrams, top_bigram_frac, dup_token_frac
+    FROM a JOIN d ON a.doc_id = d.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of bigram mass
+    taken by the single most frequent bigram, plus the duplicate-token
+    fraction (1 − type/token ratio). High values flag boilerplate / spam /
+    template pages for the quality gate.
+
+    Bigram frequencies go through explode → two hash aggregations keyed on
+    doc_id, so Spark's map-side partial agg does the per-doc counting where
+    the data sits and the shuffle carries only (doc, bigram, count) partials
+    — per-doc O(n) work, unlike an array-expression nested scan which would
+    be O(n²) per doc."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    t = table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    counts = (
+        t.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("count").cast("int").alias("n_bigrams"),
+        F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_frac"),
+    )
+    dup = t.select(
+        "doc_id",
+        F.round(F.lit(1) - F.size(F.array_distinct("toks")) / n, 4).alias(
+            "dup_token_frac"
+        ),
+    )
+    return agg.join(dup, "doc_id").select(
+        "doc_id", "n_bigrams", "top_bigram_frac", "dup_token_frac"
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_intersect(list_distinct(toks), [{words}])) * 1.0 / 5"

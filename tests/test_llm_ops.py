@@ -213,3 +213,66 @@ def test_split_holdout_deterministic_and_stable(spark, sf_dir):
         .collect()
     )
     assert all(a[r.doc_id] == r.split for r in half)
+
+
+def test_pack_sequences_contiguous(spark, sf_dir):
+    """Packing is a contiguous token layout per source shard: offsets line up
+    end-to-end with no gaps or overlaps, and every offset < budget."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = (
+        curation.pack_sequences(spark, sf_dir)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, docs in by_src.items():
+        pos = 0
+        for r in docs:
+            assert 0 <= r.pack_offset < curation.PACK_BUDGET
+            assert r.pack_id * curation.PACK_BUDGET + r.pack_offset == pos
+            pos += r.n_tokens
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Observed per-stratum keep rates must track the configured rates, and
+    the assignment must be deterministic across invocations."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    s1 = curation.sample_stratified(spark, sf_dir)
+    kept = {r.lang: r.cnt for r in s1.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, total in totals.items():
+        rate = curation.STRATUM_RATES.get(lang, curation.DEFAULT_RATE)
+        got = kept.get(lang, 0) / total
+        # md5 is uniform; 3σ binomial tolerance on small strata
+        tol = 3 * (rate * (1 - rate) / total) ** 0.5
+        assert abs(got - rate) <= max(tol, 0.05), (lang, got, rate, tol)
+    assert {tuple(r) for r in s1.collect()} == {
+        tuple(r) for r in curation.sample_stratified(spark, sf_dir).collect()
+    }
+
+
+def test_contamination_bounds_and_holdout_excluded(spark, sf_dir):
+    """Contamination fraction ∈ [0,1], n_shared ≤ n_shingles, and no holdout
+    doc appears in the audited (train) output."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    out = curation.contamination_check(spark, sf_dir)
+    bad = out.where(
+        (F.col("n_shared") > F.col("n_shingles"))
+        | (F.col("contamination_frac") < 0)
+        | (F.col("contamination_frac") > 1)
+    )
+    assert bad.count() == 0
+    holdout = {
+        r.doc_id
+        for r in curation.split_holdout(spark, sf_dir)
+        .where("split = 'holdout'")
+        .collect()
+    }
+    assert holdout, "split produced no holdout docs at this sf"
+    assert not holdout & {r.doc_id for r in out.select("doc_id").collect()}
