@@ -221,6 +221,207 @@ def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+    """,
+)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join, executed as a real streaming query: each
+    click pairs with the same user's views from the preceding 30 minutes —
+    the attribution-join shape (click ⋈ impression) of every event pipeline.
+
+    Both sides carry a watermark and the join condition bounds event time on
+    both inputs, which is exactly what lets Spark EVICT buffered state: a
+    view older than (watermark − 30 min) can never match a future click, so
+    state stays bounded at any scale instead of buffering both streams
+    forever. Inner-join emissions are watermark-independent (matches emit as
+    soon as both rows arrive), so the availableNow drain of the fixture
+    yields the complete batch-join answer — a true EXACT oracle."""
+    ev = streaming_events(spark, sf_dir)
+    clicks = (
+        ev.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    views = (
+        ev.where("event_type = 'view'")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"
+        ),
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator on the transformWithStateInPandas API (the
+    Spark 4 successor to applyInPandasWithState): a per-user MapState keyed
+    by event_type accumulates counts across micro-batches and each batch
+    re-emits the updated state. The operator REQUIRES the RocksDB state
+    store provider — so this query is also the runtime demonstration of the
+    100 TB state backend (`enable_rocksdb_state`).
+
+    Single availableNow drain → last emission per (user, type) equals the
+    batch GROUP BY, giving a custom streaming operator an EXACT oracle; the
+    row_number guard keeps that true under multi-batch replays too.
+
+    GATE: the TransformWithState Python runtime speaks protobuf to the JVM
+    state server (`pyspark/sql/streaming/proto/StateMessage_pb2.py`), and
+    `google.protobuf` is absent from this container (no installs allowed).
+    When the import fails we fall back to `applyInPandasWithState` keyed on
+    (user_id, event_type) — the same per-(user,type) counter state RocksDB
+    would hold for the MapState (one store entry per grouping×map key), the
+    same output, the same oracle. On a cluster with protobuf the primary
+    path runs; tests/test_streaming.py skip-guards the TWS-specific test."""
+    import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401  (TWS runtime dependency)
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+    if not _tws_available:
+        return _tws_fallback_type_counts(spark, sf_dir)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    prev = self.counts.getValue((et,))
+                    self.counts.updateValue(
+                        (et,), ((prev[0] if prev else 0) + int(n),)
+                    )
+            state = [(key[0], k[0], v[0]) for k, v in self.counts.iterator()]
+            yield pd.DataFrame(
+                state, columns=["user_id", "event_type", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    enable_rocksdb_state(spark)
+    ev = streaming_events(spark, sf_dir)
+    counted = ev.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _tws_fallback_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf-absent fallback for `stream_transform_with_state`: identical
+    per-(user, event_type) counter state on the applyInPandasWithState API
+    (which needs no proto bridge), identical output schema and oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = streaming_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "event_type": [key[1]], "n_events": [cnt]}
+        )
+
+    counted = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_type string, n_events long",
+        stateStructType="cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"tws_fallback_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register("stream_late_data_drop")  # ROWS-ONLY: real multi-batch streaming run
 def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the late-data proof (SURVEY §2.B-9 "watermark /

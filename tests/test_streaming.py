@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sdu_hadoop_indexer_spark.streaming import event_windows, pipeline
 
 
@@ -120,3 +122,63 @@ def test_registered_late_data_drop_counts(spark):
     rows = pipeline.late_data_drop(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 1
     assert rows[0].n_events == 3
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join drained with availableNow must equal the
+    batch join (inner-join emissions are watermark-independent)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.streaming import pipeline
+
+    got = {
+        (r.click_id, r.view_id)
+        for r in pipeline.interval_join(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    c = ev.where("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS c_ts"
+    )
+    v = ev.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS vu", "ts AS v_ts"
+    )
+    want = {
+        (r.click_id, r.view_id)
+        for r in c.join(
+            v,
+            F.expr(
+                "cu = vu AND v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"
+            ),
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Custom stateful type-counter (TWS, or its gated fallback) must equal
+    the batch GROUP BY."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.streaming import pipeline
+
+    got = {
+        (r.user_id, r.event_type): r.n_events
+        for r in pipeline.transform_with_state(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_primary_path_requires_protobuf():
+    """The TWS primary path is gated on google.protobuf (absent in this
+    container); this records which path the suite exercised."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent — fallback path exercised instead")
