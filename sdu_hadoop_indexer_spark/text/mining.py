@@ -1,0 +1,195 @@
+"""Corpus mining: iterative graph ranking + frequency sketching.
+
+`text_pagerank_keywords` is the repo's iterative-algorithm demonstration
+beyond connected components (`dedup_minhash_cluster`): damped PageRank
+(TextRank) over the corpus bigram co-occurrence graph. Each iteration is one
+vocabulary-keyed shuffle join + aggregation — the graph is vocabulary-sized,
+orders of magnitude smaller than the corpus that produced it, so ten rounds
+cost ten small shuffles regardless of corpus scale; per-round
+`localCheckpoint(eager=False)` keeps the plan from growing with the
+iteration count (same discipline as the CC loop in `llm/dedup.py`).
+
+`text_countmin_heavyhitters` is the charter's "novel sketch" slot: a
+count-min sketch (depth×width counter grid) built in ONE hash aggregation —
+each token contributes to `CMS_DEPTH` cells via an exploded depth dimension,
+so the whole sketch is a `groupBy(depth, cell).count()` whose output is
+`CMS_DEPTH × CMS_WIDTH` rows no matter how large the corpus. Estimates are
+the min over depths (classic CMS), so `est ≥ true` always and
+`est ≤ true + εN` with the standard guarantee — both asserted in tests
+against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+PR_TOPK = 25
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    return table(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+
+
+def _bigram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted co-occurrence edges from adjacent token pairs."""
+    n = F.size("toks")
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    directed = (
+        _tokens(spark, sf_dir)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    return (
+        directed.unionAll(directed.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin: the same ten damped iterations, unrolled as CTEs."""
+    parts = [
+        """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(len(toks) - 1),
+                                     i -> toks[i + 1] || ' ' || toks[i + 2]))
+                   AS pair
+        FROM t
+    ),
+    dir AS (
+        SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+               count(*) AS w
+        FROM bg GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b, CAST(sum(w) AS DOUBLE) AS w
+        FROM (SELECT a, b, w FROM dir UNION ALL SELECT b, a, w FROM dir)
+        GROUP BY a, b
+    ),
+    outw AS (SELECT a, sum(w) AS tw FROM edges GROUP BY a),
+    en AS (SELECT e.a, e.b, e.w / o.tw AS p FROM edges e JOIN outw o ON e.a = o.a),
+    nodes AS (SELECT DISTINCT a AS v FROM edges),
+    r0 AS (SELECT v, 1.0 AS r FROM nodes)"""
+    ]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+    r{i + 1} AS (
+        SELECT n.v,
+               {1 - PR_DAMPING} + {PR_DAMPING} * coalesce(sum(en.p * r{i}.r), 0)
+                   AS r
+        FROM nodes n
+        LEFT JOIN en ON en.b = n.v
+        LEFT JOIN r{i} ON r{i}.v = en.a
+        GROUP BY n.v
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v AS term, round(r, 4) AS rank
+    FROM r{PR_ITERS}
+    ORDER BY rank DESC, term
+    LIMIT {PR_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("text_pagerank_keywords", oracle=_pagerank_oracle())
+def pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: damped PageRank over the undirected
+    bigram co-occurrence graph, top-{PR_TOPK} terms by rank (rounded, term
+    tie-break). Ranked on the ROUNDED score so cross-engine float-sum order
+    cannot flip the cut."""
+    edges = _bigram_edges(spark, sf_dir)
+    outw = edges.groupBy("a").agg(F.sum("w").alias("tw"))
+    en = edges.join(outw, "a").select("a", "b", (F.col("w") / F.col("tw")).alias("p"))
+    nodes = edges.select(F.col("a").alias("v")).distinct()
+    ranks = nodes.select("v", F.lit(1.0).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            en.join(ranks, en.a == ranks.v)
+            .groupBy("b")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.b, "left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("v", F.round("r", 4).alias("rank"))
+        .select(F.col("v").alias("term"), "rank")
+        .orderBy(F.desc("rank"), "term")
+        .limit(PR_TOPK)
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS counter grid: (depth, cell) → count, built in one hash agg."""
+    toks = _tokens(spark, sf_dir).select(F.explode("toks").alias("term"))
+    depths = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
+    return (
+        toks.select("term", depths)
+        .select("d", F.pmod(F.xxhash64("d", "term"), F.lit(CMS_WIDTH)).alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register("text_countmin_heavyhitters")  # ROWS-ONLY: engine-hash sketch
+def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch: estimate every candidate term's
+    frequency as min over the sketch's depth rows, return the top
+    {CMS_TOPK}. The sketch is fixed-size ({CMS_DEPTH}×{CMS_WIDTH} cells), so
+    at 100 TB it is a broadcastable summary built in one pass — the point of
+    sketching over exact counting. xxhash64 cells are engine-local →
+    ROWS-ONLY; accuracy (est ≥ true, bounded overestimate) is asserted
+    against exact counts in tests/test_text_mining.py."""
+    sketch = countmin_sketch(spark, sf_dir)
+    cand = (
+        _tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .distinct()
+        .select(
+            "term",
+            F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
+        )
+        .select("term", "d", F.pmod(F.xxhash64("d", "term"), F.lit(CMS_WIDTH)).alias("cell"))
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "term").limit(CMS_TOPK)
