@@ -234,3 +234,41 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.nvl(F.lit(None).cast("string"), F.col("c_name")).alias("nvl_name"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           event_type AS t,
+           round(value, 4) AS v,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): each event's fields are
+    serialized into one nested JSON document, parsed into a VARIANT column,
+    and read back through typed `variant_get` paths (including the nested
+    `$.meta.k`). VARIANT stores a parsed binary form, so repeated path
+    extraction skips re-parsing the JSON text — the 100 TB answer to
+    schema-on-read event payloads (vs `get_json_object` re-parsing per
+    call). The oracle extracts the same values directly: the query proves
+    the VARIANT round-trip is lossless."""
+    ev = table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k")
+            ).alias("meta"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.round(F.variant_get(v, "$.v", "double"), 4).alias("v"),
+        F.variant_get(v, "$.meta.k", "int").alias("k"),
+    )

@@ -297,3 +297,67 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+PYDS_N = 10_000
+PYDS_PARTS = 8
+_PYDS_STEP = -(-PYDS_N // PYDS_PARTS)
+
+
+@register(
+    "scan_python_datasource",
+    oracle=f"""
+    SELECT i AS id,
+           CAST(floor(i / {_PYDS_STEP}) AS INTEGER) AS part,
+           (i * i % 97) / 10.0 AS val
+    FROM range({PYDS_N}) t(i)
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM SOURCE via the Python DataSource API (Spark 4): a synthetic
+    sequence source that plans its own input partitions — each of the
+    {PYDS_PARTS} `InputPartition`s carries a [start, end) range and executors
+    read their slice independently, exactly how a real connector (REST
+    cursor, kafka-like offsets, proprietary store) parallelizes. The rows
+    are a pure function of `id`, so DuckDB's `range()` reproduces them for
+    an EXACT oracle. No JVM code: the source registers per-session and
+    ships to executors via pickle."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SeqPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", PYDS_N))
+            self.step = int(options.get("step", _PYDS_STEP))
+
+        def partitions(self):
+            return [
+                _SeqPartition(lo, min(self.n, lo + self.step))
+                for lo in range(0, self.n, self.step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, partition.start // self.step, (i * i % 97) / 10.0)
+
+    class SyntheticSeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sdu_synthetic_seq"
+
+        def schema(self):
+            return "id bigint, part int, val double"
+
+        def reader(self, schema):
+            return _SeqReader(self.options)
+
+    spark.dataSource.register(SyntheticSeqSource)
+    return (
+        spark.read.format("sdu_synthetic_seq")
+        .option("n", PYDS_N)
+        .option("step", _PYDS_STEP)
+        .load()
+    )

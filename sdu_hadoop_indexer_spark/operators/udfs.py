@@ -122,3 +122,44 @@ def udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _zscore, "event_id long, user_id long, z double"
     )
+
+
+@register(
+    "udtf_python_lateral",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i + 1] AS token
+    FROM t, unnest(range(len(toks))) AS u(i)
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 `@udtf` table function) applied as a
+    correlated LATERAL join: each document row fans out to one row per
+    token with its ordinal — the table-function form of the reference's
+    tokenize stage (`App.scala:150-169` map side). Row-Python execution, so
+    like `udf_python` it is the demonstration of the extension point on a
+    bounded input, not the corpus-scale path (that is `text_tokenize`'s
+    JVM-side posexplode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            toks = [w for w in (text or "").lower().split() if w]
+            for i, tok in enumerate(toks):
+                yield (i, tok)
+
+    spark.udtf.register("sdu_tokenize_udtf", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("sdu_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM sdu_docs_for_udtf d, LATERAL sdu_tokenize_udtf(d.text) t
+        WHERE d.doc_id < 40
+        """
+    )

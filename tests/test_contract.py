@@ -21,6 +21,7 @@ EXPECTED_ROWS_ONLY = {
     "sink_parquet",
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
+    "text_countmin_heavyhitters",  # xxhash64 sketch cells engine-local
 }
 
 

@@ -201,3 +201,14 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
         if "ShuffledHashJoin" in l or "SortMergeJoin" in l
     )
     assert "salt" in join_line
+
+
+def test_python_datasource_plans_8_partitions(spark, sf_dir):
+    """The custom source must parallelize: its reader plans PYDS_PARTS
+    input partitions, and the scan reflects that."""
+    from sdu_hadoop_indexer_spark.operators import scans
+
+    df = scans.scan_python_datasource(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == scans.PYDS_PARTS
+    parts = {r.part for r in df.select("part").distinct().collect()}
+    assert parts == set(range(scans.PYDS_PARTS))
