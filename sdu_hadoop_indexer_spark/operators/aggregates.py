@@ -262,3 +262,29 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY cnt DESC, item
+    LIMIT 3
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` frequency sketch (Spark 4 built-in, the JVM sibling of
+    `text_countmin_heavyhitters`): heavy hitters in one pass with a
+    fixed-size sketch that merges map-side — no full GROUP BY materialized.
+    Sketch capacity (10k) ≫ the column's cardinality (3), so the estimates
+    are provably exact and the exact-count oracle is a fair EXACT gate —
+    precisely the claim a sketch must satisfy in its exact regime."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.expr("approx_top_k(l_returnflag, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+    )

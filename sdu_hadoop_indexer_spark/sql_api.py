@@ -132,3 +132,84 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_RCTE_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT a, b FROM (
+        SELECT t.toks[{a_idx}] AS a, t.toks[{b_idx}] AS b
+        FROM (
+            SELECT {tok_expr} AS toks FROM documents
+        ) t{lateral} {range_expr}
+    ) WHERE a <> b
+),
+reach(term, hops) AS (
+    SELECT 'spark', 0
+    UNION ALL
+    SELECT e.b, r.hops + 1
+    FROM reach r JOIN edges e ON e.a = r.term
+    WHERE r.hops < 2
+)
+SELECT term, CAST(min(hops) AS INTEGER) AS hops
+FROM reach GROUP BY term
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RCTE_SQL.format(
+        tok_expr="list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')",
+        lateral=",",
+        range_expr="unnest(range(len(t.toks) - 1)) AS u(i)",
+        a_idx="i + 1",
+        b_idx="i + 2",
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4): graph reachability — every term within two
+    hops of 'spark' in the directed bigram co-occurrence graph, with its
+    minimum hop count. The iterative-join recursion the engine previously
+    only expressed imperatively (`dedup_minhash_cluster`,
+    `text_pagerank_keywords`) now as declarative SQL text, identical shape
+    on both engines. Bounded by `hops < 2` so the recursion depth (and the
+    per-step shuffle count at scale) is explicit in the query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _RCTE_SQL.format(
+            tok_expr="filter(split(lower(text), '\\\\s+'), x -> x != '')",
+            lateral=" ",
+            range_expr="LATERAL VIEW posexplode(slice(t.toks, 1, greatest(size(t.toks) - 1, 0))) AS i, _tok",
+            a_idx="i",
+            b_idx="i + 1",
+        )
+    )
+
+
+@register(
+    "sql_pipe_topn",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 2) AS rev,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    ORDER BY rev DESC, l_returnflag
+    """,
+)
+def sql_pipe_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4): the linear `FROM |> WHERE |> AGGREGATE |>
+    ORDER BY` form of a filtered grouped rollup — same Catalyst plan as the
+    nested ANSI form (the oracle), just authored in evaluation order."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 45
+        |> AGGREGATE round(sum(l_extendedprice), 2) AS rev,
+                     count(*) AS n
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, rev, n
+        |> ORDER BY rev DESC, l_returnflag
+        """
+    )
