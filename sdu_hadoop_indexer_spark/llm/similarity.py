@@ -457,3 +457,49 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_topk, "va long, vb long, cosine double"
     )
     return local.orderBy(F.desc("cosine"), "va", "vb").limit(20)
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS s
+        FROM t
+    )
+    SELECT vec_id,
+           round(s, 6) AS scale,
+           round(list_max(list_transform(
+               x, v -> abs(v - floor(v / s * 127 + 0.5) * s / 127))), 6)
+               AS max_err
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the 4×
+    memory/bandwidth compression every large-scale ANN store applies before
+    indexing. Per vector: scale = max|x|, q_i = round(127·x_i/scale) (as
+    floor(·+0.5) so both engines share one rounding rule), and the reported
+    max reconstruction error, which is bounded by scale/254 — the guarantee
+    asserted in tests. Pure JVM array expressions (`transform`/`array_max`/
+    `zip_with`): one narrow map over the fact table, no shuffle, no Python."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    d = e.select("vec_id", x.alias("x")).select(
+        "vec_id", "x", F.array_max(F.transform("x", F.abs)).alias("s")
+    )
+    dq = F.transform(
+        "x",
+        lambda v: F.floor(v / F.col("s") * 127 + F.lit(0.5)) * F.col("s") / 127,
+    )
+    err = F.array_max(
+        F.zip_with("x", dq, lambda a, b: F.abs(a - b))
+    )
+    return d.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+    )

@@ -276,3 +276,16 @@ def test_contamination_bounds_and_holdout_excluded(spark, sf_dir):
     }
     assert holdout, "split produced no holdout docs at this sf"
     assert not holdout & {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Hard guarantee of symmetric int8 quantization: max reconstruction
+    error ≤ scale/254 (half a quantization step)."""
+    from sdu_hadoop_indexer_spark.llm import similarity
+
+    rows = similarity.sim_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        # +1e-6: both reported values are rounded to 6dp in the query
+        assert r.max_err <= r.scale / 254 + 1e-6, (r.vec_id, r.max_err, r.scale)
