@@ -182,3 +182,76 @@ def test_transform_with_state_primary_path_requires_protobuf():
         import google.protobuf  # noqa: F401
     except ImportError:
         pytest.skip("google.protobuf absent — fallback path exercised instead")
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stateful exactly-once across a QUERY RESTART: a watermarked append-mode
+    aggregation is drained, stopped, handed more data, and restarted from the
+    SAME checkpoint into the same parquet sink. Window state and sink offsets
+    both recover: every finalized window appears exactly once with the full
+    count — no duplicates from reprocessing, no loss from the restart."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    d = dt.datetime(2024, 1, 1)
+    now = time.time()
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: window [01:00,02:00) gets 3 rows; event time advances to 03:00
+    # so the watermark (02:50) finalizes it during this run.
+    _write_batch(
+        str(src / "b0.parquet"),
+        [d.replace(hour=1, minute=m) for m in (5, 15, 25)],
+        now - 100,
+    )
+    _write_batch(str(src / "b1.parquet"), [d.replace(hour=3)], now - 60)
+    run_once()
+    first = {
+        (r.window_start, r.n) for r in spark.read.parquet(sink).collect()
+    }
+    assert (d.replace(hour=1), 3) in first
+
+    # run 2 (restart from the same checkpoint): new data fills [03:00,04:00)
+    # and advances the watermark past it.
+    _write_batch(str(src / "b2.parquet"), [d.replace(hour=3, minute=30)], now - 20)
+    _write_batch(str(src / "b3.parquet"), [d.replace(hour=5)], now - 10)
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    counts = {}
+    for r in rows:
+        counts[r.window_start] = counts.get(r.window_start, 0) + 1
+    # exactly-once: no window emitted twice across the restart
+    assert all(v == 1 for v in counts.values()), counts
+    # state recovered: the [03:00,04:00) window counts BOTH the pre-restart
+    # 03:00 row and the post-restart 03:30 row
+    got = {r.window_start: r.n for r in rows}
+    assert got[d.replace(hour=3)] == 2, got
+    assert got[d.replace(hour=1)] == 3
