@@ -303,3 +303,117 @@ def split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@register(
+    "llm_corpus_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+        FROM documents
+    ),
+    lc AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+    lt AS (SELECT lang, sum(c) AS n FROM lc GROUP BY lang),
+    cc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    ct AS (SELECT sum(c) AS n, count(*) AS v FROM cc),
+    grid AS (
+        SELECT l.lang, t.term FROM (SELECT DISTINCT lang FROM tok) l
+        CROSS JOIN (SELECT DISTINCT term FROM tok) t
+    )
+    SELECT g.lang,
+           round(sum(
+               ((coalesce(lc.c, 0) + 1.0) / (lt.n + ct.v))
+               * ln(((coalesce(lc.c, 0) + 1.0) / (lt.n + ct.v))
+                    / ((cc.c + 1.0) / (ct.n + ct.v)))
+           ), 4) AS kl_divergence
+    FROM grid g
+    JOIN lt ON lt.lang = g.lang
+    JOIN cc ON cc.term = g.term
+    CROSS JOIN ct
+    LEFT JOIN lc ON lc.lang = g.lang AND lc.term = g.term
+    GROUP BY g.lang
+    """,
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitoring: add-one-smoothed KL divergence of each
+    language cohort's token distribution against the whole corpus — the
+    drift metric a production corpus pipeline tracks per ingest batch to
+    catch a source going off-distribution before it poisons training.
+
+    Shapes at 100 TB: token counting is corpus-sized but reduces to
+    vocabulary-sized relations immediately (map-side partial aggs); the
+    (lang × vocab) grid joins are vocabulary-scale, not corpus-scale, and
+    the cohort dimension is broadcastable."""
+    toks = F.explode(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    ).alias("term")
+    tok = table(spark, sf_dir, "documents").select("lang", toks)
+    lc = tok.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    lt = lc.groupBy("lang").agg(F.sum("c").alias("n"))
+    cc = tok.groupBy("term").agg(F.count("*").alias("c").alias("cc_c"))
+    ct = cc.agg(
+        F.sum("cc_c").alias("ct_n"), F.count("*").alias("v")
+    )
+    langs = tok.select("lang").distinct()
+    vocab = cc.select("term")
+    grid = langs.crossJoin(vocab)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v"))
+    q = (F.col("cc_c") + 1.0) / (F.col("ct_n") + F.col("v"))
+    return (
+        grid.join(lt, "lang")
+        .join(cc, "term")
+        .crossJoin(F.broadcast(ct))
+        .join(lc, ["lang", "term"], "left")
+        .groupBy("lang")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_divergence"))
+    )
+
+
+@register(
+    "llm_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT source, lang, n_chars,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               sha256(text) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(count(*) FILTER (lang = 'en') * 1.0 / count(*), 4) AS en_frac,
+           round(1 - count(DISTINCT h) * 1.0 / count(*), 4) AS exact_dup_rate
+    FROM t GROUP BY source
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary block (doc/token
+    counts, mean length, language mix, exact-dup rate) every corpus release
+    ships. One scan → one hash aggregation keyed on source; the dup rate
+    reuses the sha256 content hash so it is consistent with `dedup_exact`.
+    At 100 TB the output is sources-sized — a driver-safe report by
+    construction."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    t = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.sha2("text", 256).alias("h"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"), 4
+        ).alias("en_frac"),
+        F.round(
+            F.lit(1) - F.countDistinct("h") / F.count("*"), 4
+        ).alias("exact_dup_rate"),
+    )

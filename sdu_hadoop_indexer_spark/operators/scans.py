@@ -428,3 +428,115 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey").between(b["pk_lo"], b["pk_hi"]))
         & (F.col("l_suppkey").between(b["sk_lo"], b["sk_hi"]))
     )
+
+
+LOOKUP_TERMS = ("spark", "hash")
+TERM_BUCKETS = 8
+
+
+@register(
+    "sink_term_bucketed_lookup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT u.doc_id, u.term
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ) u
+        WHERE u.term <> ''
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM (
+        SELECT term, doc_id, count(*) AS tf
+        FROM tok
+        WHERE term IN {LOOKUP_TERMS!r}
+        GROUP BY term, doc_id
+    )
+    GROUP BY term
+    """,
+)
+def sink_term_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED search index (VERDICT r1 item 7 / SURVEY §7 hard item 4):
+    the flat postings index persisted as a table BUCKETED AND SORTED BY
+    TERM, then probed with a term-equality lookup. Bucket pruning turns the
+    lookup into a read of SelectedBucketsCount/8 buckets (pinned in
+    tests/test_plans.py) — at 100 TB, a term query touches 1/N of the index
+    files from metadata alone, before any row is read; this is the layout
+    `text_tf_idf`/`text_bm25` would consume instead of re-deriving postings
+    from the corpus per query. The probe aggregates per term, so the bucketed
+    distribution also makes the aggregation Exchange-free — the scan stays
+    `Bucketed: true` instead of being planner-disabled. EXACT oracle proves
+    the stored round trip."""
+    from ..text.indexer import index_flat
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS sdu_bucketed")
+    tbl = "sdu_bucketed.term_index"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/sdu-spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/sdu_bucketed.db/term_index", ignore_errors=True)
+    (
+        index_flat(spark, sf_dir)
+        .select("term", "doc_id", "tf")
+        .write.mode("overwrite")
+        .bucketBy(TERM_BUCKETS, "term")
+        .sortBy("term")
+        .saveAsTable(tbl)
+    )
+    return (
+        spark.table(tbl)
+        .where(F.col("term").isin(*LOOKUP_TERMS))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
+# Row-level expectations for the orders feed (dead-letter pattern). The
+# price cap is deliberately set inside the fixture's value range so the
+# quarantine path is non-empty at every scale factor.
+QUARANTINE_PRED = (
+    "o_totalprice > 0 AND o_totalprice <= 300000 "
+    "AND o_orderstatus IN ('F', 'O', 'P')"
+)
+
+
+@register(
+    "sink_quarantine_split",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE {QUARANTINE_PRED}
+    """,
+)
+def sink_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations with a DEAD-LETTER sink: every row either
+    passes the declared constraints and flows on, or is diverted to a
+    quarantine parquet dir with its violation reason — the
+    validate-don't-drop pattern every production ingest runs, so bad rows
+    are auditable instead of silently vanishing. Both branches are
+    partition-local filters of one scan (no shuffle); the quarantine write
+    is the only extra cost and is proportional to the violation rate.
+    tests/test_quarantine.py asserts the two branches partition the input
+    exactly."""
+    out = os.environ.get(
+        "SPARK_GRAFT_QUARANTINE_DIR", "/tmp/sdu_spark_sink/orders_quarantine"
+    )
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    valid = src.where(QUARANTINE_PRED)
+    rejected = src.where(f"NOT ({QUARANTINE_PRED})").withColumn(
+        "violation",
+        F.when(~F.col("o_totalprice").between(0.01, 300000), "price_out_of_range")
+        .when(~F.col("o_orderstatus").isin("F", "O", "P"), "unknown_status")
+        .otherwise("other"),
+    )
+    rejected.write.mode("overwrite").parquet(out)
+    return valid

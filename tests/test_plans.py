@@ -212,3 +212,17 @@ def test_python_datasource_plans_8_partitions(spark, sf_dir):
     assert df.rdd.getNumPartitions() == scans.PYDS_PARTS
     parts = {r.part for r in df.select("part").distinct().collect()}
     assert parts == set(range(scans.PYDS_PARTS))
+
+
+def test_term_bucketed_lookup_prunes_buckets(spark, sf_dir):
+    """The stored term-bucketed index must satisfy an equality lookup from a
+    subset of buckets (bucket pruning visible in the scan node)."""
+    import re
+
+    from sdu_hadoop_indexer_spark.operators import scans
+
+    plan = _plan(scans.sink_term_bucketed_lookup(spark, sf_dir))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2))
+    assert int(m.group(1)) <= len(scans.LOOKUP_TERMS)
