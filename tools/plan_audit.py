@@ -26,7 +26,10 @@ from sdu_hadoop_indexer_spark.session import get_spark
 # Queries where the flagged construct is the point (documented choices).
 ALLOW = {
     "CARTESIAN": {"join_cross_theta"},  # declared theta/cross join
-    "PY-ROW": {"udf_python"},  # the declared row-UDF demonstration
+    # the declared row-Python demonstrations: the scalar UDF and the @udtf
+    # table function (both documented as extension-point demos on bounded
+    # inputs, not corpus-scale paths)
+    "PY-ROW": {"udf_python", "udtf_python_lateral"},
     # BroadcastNestedLoopJoin is acceptable when one side is provably tiny:
     # scalar corpus stats (count/avgdl), the broadcast query set, or an
     # inequality join against a dimension. Listed, not failed.
