@@ -200,3 +200,48 @@ def resize_images(
 @register("media_resize")  # ROWS-ONLY: stubbed resample is engine-local
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media_table(spark, sf_dir), max_side=256)
+
+
+CHUNK_MS = 5_000  # window length
+CHUNK_STEP_MS = 4_000  # hop (1 s overlap)
+
+
+@register(
+    "media_audio_chunks",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(s / {CHUNK_STEP_MS} AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS chunk_start_ms,
+           CAST(least(s + {CHUNK_MS}, n_chars * 10) AS INTEGER) AS chunk_end_ms
+    FROM (
+        SELECT doc_id, n_chars,
+               unnest(range(0, n_chars * 10, {CHUNK_STEP_MS})) AS s
+        FROM documents
+        WHERE doc_id % 3 = 1
+    )
+    """,
+)
+def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk planning: overlapping {CHUNK_MS} ms windows at a
+    {CHUNK_STEP_MS} ms hop over each audio row's duration — the manifest an
+    ASR/embedding stage consumes, one row per chunk. Unlike the decode
+    family this needs NO codec: chunking is pure metadata arithmetic
+    (`sequence` + `posexplode`, JVM-side), so it carries a true EXACT oracle
+    while payload slicing stays with the gated decode path. At 100 TB this
+    is a narrow map + explode whose output is bounded by total corpus
+    duration / hop — no shuffle."""
+    m = media_table(spark, sf_dir).where(F.col("kind") == "audio")
+    starts = F.sequence(
+        F.lit(0), F.col("duration_ms") - 1, F.lit(CHUNK_STEP_MS)
+    )
+    return (
+        m.select("media_id", "duration_ms", F.posexplode(starts).alias("chunk_idx", "s"))
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("chunk_start_ms"),
+            F.least(F.col("s") + CHUNK_MS, F.col("duration_ms"))
+            .cast("int")
+            .alias("chunk_end_ms"),
+        )
+    )
