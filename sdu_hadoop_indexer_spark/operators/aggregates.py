@@ -288,3 +288,47 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500_000.0, 10
+
+
+@register(
+    "agg_histogram_profile",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(least(floor((o_totalprice - {HIST_LO})
+                          / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})),
+                    {HIST_BUCKETS - 1}) AS INTEGER) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           round({HIST_LO} + bucket * (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS}), 1)
+               AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram profile of order value — the column-profiling
+    aggregation a data-quality monitor emits per batch. Bucketing is an
+    identical floor expression on both engines (DuckDB 1.0 lacks
+    width_bucket), the clamp keeps the top edge in the last bucket, and the
+    whole thing is one map-side-combined hash agg with a buckets-sized
+    output."""
+    w = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / w),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(HIST_LO) + F.col("bucket") * w, 1).alias("bucket_lo"),
+            "n",
+        )
+    )

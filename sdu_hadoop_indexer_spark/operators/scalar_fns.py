@@ -272,3 +272,44 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.variant_get(v, "$.v", "double"), 4).alias("v"),
         F.variant_get(v, "$.meta.k", "int").alias("k"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the web-corpus curation primitive (domain
+    filtering, per-site dedup, quality lists all key on the host): Spark's
+    built-in `parse_url` (HOST / PATH / per-key QUERY extraction, one JVM
+    call each) over a URL synthesized from fixture columns; the oracle
+    re-derives the same parts with explicit regexes. Stateless map — one
+    scan, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
