@@ -131,3 +131,48 @@ def test_phrase_hits_subset_of_and_hits(spark, tmp_path, bodies):
         ).collect()
     }
     assert phrase_docs <= and_docs
+
+
+@given(bodies=corpus)
+@SETTINGS
+def test_pack_sequences_partitions_token_stream(spark, tmp_path, bodies):
+    """Property: packing is a bijective layout of each shard's token stream —
+    offsets are the exclusive prefix sums of token counts, every offset maps
+    into [0, PACK_BUDGET), and pack ids are non-decreasing in doc order."""
+    from sdu_hadoop_indexer_spark.llm.curation import PACK_BUDGET, pack_sequences
+
+    sf = _write_docs(spark, tmp_path, bodies)
+    rows = sorted(
+        pack_sequences(spark, sf).collect(), key=lambda r: (r.source, r.doc_id)
+    )
+    pos = 0
+    for r in rows:  # single synthetic source ⇒ one stream
+        assert r.pack_id * PACK_BUDGET + r.pack_offset == pos
+        assert 0 <= r.pack_offset < PACK_BUDGET
+        pos += r.n_tokens
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@SETTINGS
+def test_zorder_interleave_bit_property(spark, pairs):
+    """Property: the Morton code's even bits are exactly the first column's
+    bits and its odd bits the second's — so z-sort ordering groups rows
+    sharing high-bit prefixes of BOTH dims (the locality the layout needs)."""
+    from sdu_hadoop_indexer_spark.operators.scans import _z_value
+
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", _z_value(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
