@@ -163,3 +163,36 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 40
         """
     )
+
+
+@register(
+    "udf_sql_function",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * CASE WHEN o_orderstatus = 'F' THEN 0.9
+                                     ELSE 1.0 END, 4) AS effective_price
+    FROM orders
+    """,
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN`):
+    business logic packaged as a named catalog function in pure SQL — unlike
+    every Python UDF it inlines into the Catalyst plan (whole-stage codegen,
+    pushdown through it), so it is the ONLY user-defined-function flavor
+    with zero serialization cost; the first choice before any Python escape
+    hatch."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_for_sqludf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION effective_price(
+            price DOUBLE, status STRING) RETURNS DOUBLE
+        RETURN round(price * CASE WHEN status = 'F' THEN 0.9 ELSE 1.0 END, 4)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               effective_price(o_totalprice, o_orderstatus) AS effective_price
+        FROM orders_for_sqludf
+        """
+    )

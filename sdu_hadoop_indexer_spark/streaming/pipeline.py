@@ -461,3 +461,58 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(path, (now - 100 + i * 40, now - 100 + i * 40))
     sink, _ = run_watermark_replay(spark, src)
     return sink
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`foreachBatch` — THE production streaming sink pattern: each
+    micro-batch is handed to arbitrary batch code with its batch_id, here
+    merged key-wise into a parquet state table (read-modify-write upsert;
+    on a real deployment the same callback targets a MERGE-capable store,
+    and batch_id gives idempotent retries). The running per-user totals
+    after the availableNow drain must equal the batch GROUP BY — an EXACT
+    oracle over a multi-batch-safe sink."""
+    out = tempfile.mkdtemp(prefix="sdu-fbatch-state-")
+    ev = streaming_events(spark, sf_dir)
+    per_batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df
+        try:
+            state = spark.read.parquet(out)
+            merged = (
+                state.unionByName(incoming)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        except Exception:  # first batch: no state yet
+            merged = incoming
+        # stage to a temp dir, then overwrite state (read+overwrite of the
+        # same path in one plan is not allowed)
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(out)
+
+    q = (
+        per_batch.writeStream.foreachBatch(merge)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.read.parquet(out).select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    )
