@@ -1,0 +1,316 @@
+"""Event/behavioral analytics operators (SURVEY.md §2.B-12).
+
+The reference's domain is batch log analysis over key-value records
+(App.scala:150-169 map pipeline); this module generalizes that to the event
+analytics a log-processing engine is actually asked for: sessionization,
+ordered funnels, cohort retention, OHLC resampling, grouped correlation, and
+blocked fuzzy entity resolution.
+
+Scale notes (100 TB events):
+- `win_sessionize` / `events_funnel` sort-once per user partition — every
+  window spec shares one `PARTITION BY user_id` Exchange, and the follow-up
+  per-(user, session) aggregation re-uses the user hash partitioning
+  (partitioning on a subset of the grouping keys still co-locates groups).
+- `events_retention_cohort` shuffles on (user, week) then user — both keyed
+  by user, no broadcast of per-user state anywhere.
+- `dedup_fuzzy_names` is a BLOCKED similarity join: equi-join on the block
+  key (shuffle-partitionable, plan-pinned non-cartesian in
+  tests/test_plans.py), Levenshtein evaluated only within blocks — the
+  classic entity-resolution shape that survives a 1000-executor fan-out.
+- `ts_ohlc` tie-breaks first/last by a zero-padded (epoch_us, event_id)
+  string because DuckDB's arg_min/arg_max cannot order by a struct — the
+  string order equals the numeric order, so both engines pick the same row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .parity import SQL_EVENTS_US, sql_epoch_s
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+@register(
+    "win_sessionize",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    f AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           {sql_epoch_s('min(ts)')} AS sess_start_s,
+           {sql_epoch_s('max(ts)')} AS sess_end_s,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a 30-min inactivity gap starts a new session.
+
+    Two window passes (lag → running sum) over the same
+    (user_id | ts, event_id) spec, so Catalyst plans ONE Exchange + one sort;
+    the per-(user, session) rollup then re-uses the user_id partitioning.
+    This is the batch twin of `stream_session` (session_window), kept exact
+    so it can carry a full oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_s = (
+        F.when(F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US), 1)
+        .otherwise(0)
+    )
+    flagged = ev.select("user_id", "event_id", "ts", "value", new_s.alias("new_s"))
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("sess_start_s"),
+        F.unix_timestamp(F.max("ts")).alias("sess_end_s"),
+        F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    u1 AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS s1
+        FROM ev GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, any_value(u1.s1) AS s1,
+               min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > u1.s1) AS s2
+        FROM ev e JOIN u1 USING (user_id) GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, any_value(u2.s1) AS s1, any_value(u2.s2) AS s2,
+               min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > u2.s2) AS s3
+        FROM ev e JOIN u2 USING (user_id) GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_users,
+           count(s1) AS n_view,
+           count(s2) AS n_click_after_view,
+           count(s3) AS n_purchase_after_click,
+           round(count(s3) / count(*), 4) AS conversion
+    FROM u3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase per user.
+
+    Each stage is the earliest event of its type that happens strictly AFTER
+    the previous stage's timestamp. Three windowed mins over the same
+    `PARTITION BY user_id` spec — one Exchange, stages computed in sequence
+    on the sorted partition, then a global one-row rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, ts = F.col("event_type"), F.col("ts")
+    s1 = ev.withColumn("s1", F.min(F.when(t == "view", ts)).over(w))
+    s2 = s1.withColumn(
+        "s2", F.min(F.when((t == "click") & (ts > F.col("s1")), ts)).over(w)
+    )
+    s3 = s2.withColumn(
+        "s3", F.min(F.when((t == "purchase") & (ts > F.col("s2")), ts)).over(w)
+    )
+    per_user = s3.select("user_id", "s1", "s2", "s3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("s1").alias("n_view"),
+        F.count("s2").alias("n_click_after_view"),
+        F.count("s3").alias("n_purchase_after_click"),
+        F.round(F.count("s3") / F.count("*"), 4).alias("conversion"),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM ev
+    ),
+    first AS (
+        SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id
+    )
+    SELECT strftime(first.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', first.cohort, act.wk) / 7 AS BIGINT) AS week_no,
+           count(DISTINCT act.user_id) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active week,
+    counted in each subsequent active week.
+
+    All three shuffles key on user_id (distinct, min-per-user, join), so AQE
+    can chain them without a repartition; the cohort dimension stays tiny
+    (weeks), never a skew risk.
+    """
+    ev = table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_no"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "agg_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bivariate statistics: Pearson correlation, population
+    covariance, sample stddev, and OLS slope — all single-pass partial
+    aggregates (Spark's ImperativeAggregates carry (n, Σx, Σy, Σxy, …)
+    moments through the map-side combine, same shape as any sum).
+    Rounded on both engines: these are O(1e-12) relative-error streaming
+    moments, so 4 (resp. 2 for the price-scaled ones) decimals are stable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 2).alias(
+            "slope_price_per_qty"
+        ),
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    k AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value,
+               printf('%020d-%010d', epoch_us(ts), event_id) AS ord
+        FROM ev
+    )
+    SELECT day, event_type,
+           count(*) AS n_events,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           round(avg(value), 4) AS avg_value
+    FROM k
+    GROUP BY day, event_type
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC down-sampling of the event stream to (day, event_type) bars.
+
+    open/close pick the value of the earliest/latest row via min_by/max_by
+    over a zero-padded (epoch_us, event_id) string key — unique, so the
+    tie-break is total and both engines select the identical row. One hash
+    aggregation, no window sort: at 100 TB this is a single shuffle on the
+    (day, type) bar key.
+    """
+    ev = table(spark, sf_dir, "events")
+    ordk = F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM b a JOIN b b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names.
+
+    Candidate pairs come ONLY from an equi-join on the blocking key (the
+    type word of the name), so the plan is a shuffled/broadcast hash join —
+    never a cartesian — and the O(len²) Levenshtein runs on the few pairs
+    inside each block. This is the scale recipe for fuzzy dedup at 100 TB:
+    block → equi-join → edit-distance filter (same shape the MinHash-LSH
+    family uses for documents, `llm/dedup.py`).
+    """
+    p = table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), 2).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")),
+    )
+    return (
+        pairs.select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+    )

@@ -61,6 +61,7 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         filters,
         joins,
         scalar_fns,

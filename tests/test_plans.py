@@ -226,3 +226,32 @@ def test_term_bucketed_lookup_prunes_buckets(spark, sf_dir):
     assert m, plan
     assert int(m.group(1)) < int(m.group(2))
     assert int(m.group(1)) <= len(scans.LOOKUP_TERMS)
+
+
+def test_fuzzy_dedup_join_is_blocked_equi_join(spark, sf_dir):
+    """Blocked entity resolution must join on the block key (hash/merge
+    equi-join), never evaluate Levenshtein over a cartesian pair space."""
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    plan = _plan(analytics.dedup_fuzzy_names(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_windows_share_one_exchange(spark, sf_dir):
+    """Both window passes (lag flag, running session id) use the same
+    (user_id | ts, event_id) spec — the plan must contain exactly one
+    shuffle for them (plus the final partial→final session rollup, which
+    re-uses the user_id hash partitioning, so: one Exchange total)."""
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    plan = _plan(analytics.win_sessionize(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_stages_share_one_exchange(spark, sf_dir):
+    """Three chained per-user window mins + the distinct + global rollup:
+    the user_id partitioning must be established once."""
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    plan = _plan(analytics.events_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
