@@ -417,3 +417,61 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - F.countDistinct("h") / F.count("*"), 4
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM tf),
+    s AS (
+        SELECT t.doc_id, ln(tf.cnt * 1.0 / tot.total) AS lp
+        FROM t JOIN tf USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-lp), 4) AS avg_neg_logprob,
+           round(exp(avg(-lp)), 3) AS ppl
+    FROM s
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: per-document mean negative log-probability
+    under the corpus's own unigram distribution (low = templated/common
+    vocabulary, high = rare-token-heavy) plus its exp() form, a unigram
+    perplexity. The classic cheap scorer for LLM-corpus filtering before
+    any model-based pass.
+
+    Scale shape: one tokenize scan feeds both the term-frequency table and
+    the per-doc join; the vocabulary relation (term, cnt) is tiny next to
+    the token stream, so the re-join is a broadcast — no shuffle of the
+    token stream beyond the per-doc aggregation. Probabilities are exact
+    bigint ratios evaluated identically on both engines; only the final
+    avg is rounded (ln/avg float noise ~1e-13).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("cnt") * 1.0 / F.col("total")).alias("lp"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(-F.col("lp")), 4).alias("avg_neg_logprob"),
+        F.round(F.exp(F.avg(-F.col("lp"))), 3).alias("ppl"),
+    )

@@ -516,3 +516,53 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "n_events", F.round("total_value", 4).alias("total_value")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming event feed joined to a static
+    dimension (customer → nation) with per-nation running totals — the
+    canonical streaming-ETL shape (enrich each micro-batch against a slowly
+    changing dimension, aggregate downstream).
+
+    The static side is re-read per micro-batch by Structured Streaming's
+    stream-static join and stays broadcast-sized (a dimension table), so at
+    100 TB/day of events the join never shuffles the stream. EXACT oracle:
+    an availableNow drain of the whole fixture makes the complete-mode
+    totals equal the batch join + GROUP BY.
+    """
+    tune(spark)
+    ev = streaming_events(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+    )
+    enriched = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"static_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
