@@ -332,3 +332,41 @@ def agg_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("agg_hll_sketch_merge")  # ROWS-ONLY: DataSketches binary sketches are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): partial
+    sketches built per (returnflag, linestatus) group are UNIONED into
+    per-returnflag estimates — proving the re-aggregation property that
+    makes sketch columns storable in a 100 TB rollup cube (build once at
+    ingest, merge at any coarser grain later; no re-scan of raw data).
+    ROWS-ONLY: the estimate is engine-specific; tests/test_analytics.py
+    bounds its error against the exact distinct count.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_union_agg("sk").alias("sk"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        merged.select(
+            "l_returnflag", F.hll_sketch_estimate("sk").alias("est_distinct")
+        )
+        .join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -302,3 +302,92 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "s_name")
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    d AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+        FROM ev WHERE dayofweek(ts) IN (0, 6)
+    )
+    SELECT f.day, count(*) AS n_events,
+           CAST(sum(CAST(f.value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM ev) f
+    JOIN d USING (day)
+    GROUP BY f.day
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is a day-partitioned parquet
+    table, the dim side (weekend days) is only known at runtime — Catalyst
+    injects a `dynamicpruningexpression` into the fact scan's
+    PartitionFilters (plan-pinned in tests/test_plans.py), reusing the
+    broadcast of the dim to list only the matching partition directories.
+
+    This is THE 100 TB star-join pattern: a date-partitioned fact table
+    joined to a filtered calendar dim must touch only the selected days'
+    files, not scan-then-filter 100 TB. Static pruning
+    (`sink_partitioned_pruned`) can't do it because the day set comes from
+    data, not a literal.
+    """
+    import os
+
+    out = os.environ.get("SPARK_GRAFT_DPP_DIR", "/tmp/sdu_spark_sink/events_by_day")
+    # keep the day partition column a string on read-back (type inference
+    # would widen it to DATE — a silent schema change AND a cast on the DPP
+    # join key); runtime-settable, applied defensively like session.tune().
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    ev = table(spark, sf_dir, "events")
+    fact_src = ev.select(
+        "event_id", "value", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    fact_src.write.mode("overwrite").partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .where(F.col("dow").isin(1, 7))  # Sunday=1, Saturday=7
+        .select("day")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT nullif(c_nationkey % 5, 0) AS k FROM customer),
+    r AS (SELECT nullif(s_nationkey % 5, 0) AS k FROM supplier)
+    SELECT l.k, count(*) AS n_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics entity-resolution
+    and SCD-merge pipelines need for optional keys. Spark plans `<=>` as a
+    real equi-join key (shuffled hash / sort-merge, NOT a nested loop), so
+    it partitions like any other join at scale. Keys are derived with
+    nullif since the fixtures are NULL-free.
+    """
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    l = c.select(F.expr("nullif(c_nationkey % 5, 0)").alias("k"))
+    r = s.select(F.expr("nullif(s_nationkey % 5, 0)").alias("k2"))
+    return (
+        l.join(r, F.col("k").eqNullSafe(F.col("k2")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_pairs"))
+    )

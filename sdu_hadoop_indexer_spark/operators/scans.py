@@ -540,3 +540,41 @@ def sink_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rejected.write.mode("overwrite").parquet(out)
     return valid
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT event_id, event_type, user_id,
+           CASE WHEN event_type IN ('click', 'view') THEN value * 2
+                ELSE value END AS value
+    FROM events
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a restatement job rewrites ONLY the
+    partitions it produced rows for (here click/view, with doubled values),
+    leaving every other partition's files untouched — the idempotent
+    backfill primitive for a 100 TB partitioned lake, where static overwrite
+    mode would truncate the whole table. `partitionOverwriteMode=dynamic` is
+    a writer option, so concurrent jobs restating disjoint partitions don't
+    clobber each other. EXACT oracle over the merged read-back (value*2 is
+    exact in binary floating point — no rounding needed).
+    """
+    out = os.environ.get(
+        "SPARK_GRAFT_DYNOVR_DIR", "/tmp/sdu_spark_sink/events_dyn_overwrite"
+    )
+    base = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    base.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    restated = base.where(F.col("event_type").isin("click", "view")).withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "event_type", "user_id", "value")

@@ -10,6 +10,7 @@ from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
 # reason (sketch/hash divergence, side effect, streaming execution, stub).
 EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",
+    "agg_hll_sketch_merge",  # DataSketches binary sketches engine-specific
     "dedup_minhash_cluster",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -255,3 +255,22 @@ def test_funnel_stages_share_one_exchange(spark, sf_dir):
 
     plan = _plan(analytics.events_funnel(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_dpp_join_has_dynamic_pruning_expression(spark, sf_dir):
+    """The day-partitioned fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters (star-join pruning)."""
+    from sdu_hadoop_indexer_spark.operators import joins
+
+    df = joins.join_dpp_partitioned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """`<=>` must plan as a real equi-join (hash/sort-merge), not a nested
+    loop over the cross space."""
+    from sdu_hadoop_indexer_spark.operators import joins
+
+    plan = _plan(joins.join_null_safe(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
