@@ -475,3 +475,233 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(-F.col("lp")), 4).alias("avg_neg_logprob"),
         F.round(F.exp(F.avg(-F.col("lp"))), 3).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, blocklist filtering, model-free quality scoring, and
+# per-source quota sampling (charter §2.B-10: training-data curation).
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no real PII, so the redaction query first
+# CONSTRUCTS a deterministic contact line from `events` columns on BOTH
+# engines, then redacts it — the regex plumbing (the part that matters at
+# 100 TB) is exercised for real. Patterns are kept in the Java∩RE2 common
+# dialect so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+"
+LONGNUM_RE = r"[0-9]{3,}"
+
+
+@register(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+        SELECT event_id,
+               'contact user' || CAST(user_id AS VARCHAR)
+                   || '@example.com id ' || CAST(event_id AS VARCHAR)
+                   || ' code ' || CAST(CAST(value * 1000 AS BIGINT) AS VARCHAR)
+                   AS line
+        FROM events
+    )
+    SELECT event_id,
+           regexp_replace(regexp_replace(line, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONGNUM_RE}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(line, '{EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(line, '{LONGNUM_RE}')) AS INTEGER)
+               AS n_longnums
+    FROM raw
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email addresses and long digit runs with
+    typed placeholders and count the matches per record.
+
+    Scale shape: pure JVM-side ``regexp_replace``/``regexp_extract_all``
+    column expressions inside one whole-stage-codegen scan — no shuffle, no
+    Python. At 100 TB this is the map-only hygiene pass that runs fused
+    with whatever scan comes next.
+    """
+    ev = table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("contact user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com id "),
+        F.col("event_id").cast("string"),
+        F.lit(" code "),
+        (F.col("value") * 1000).cast("long").cast("string"),
+    )
+    raw = ev.select("event_id", line.alias("line"))
+    red = F.regexp_replace(
+        F.regexp_replace("line", F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(LONGNUM_RE),
+        F.lit("<NUM>"),
+    )
+    return raw.select(
+        "event_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("line", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("line", F.lit(LONGNUM_RE), 0)).alias("n_longnums"),
+    )
+
+
+BLOCKLIST = ("slow", "dup", "the")
+MAX_BLOCKED_FRAC = 0.12
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(len(list_filter(toks,
+                         x -> list_contains(['slow', 'dup', 'the'], x)))
+                     * 1.0 / len(toks), 4) AS blocked_frac
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, blocked_frac
+    FROM scored WHERE blocked_frac <= {MAX_BLOCKED_FRAC}
+    """,
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate: fraction of blocklisted tokens per document; keep
+    documents under the threshold.
+
+    Scale shape: the blocklist is a literal array folded into the column
+    expression (for real-world lists of ~1e4 terms it would become a
+    broadcast semi-join against the exploded tokens); as written it is one
+    scan, zero shuffles, fully codegen'd.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    blocked = F.size(
+        F.filter(
+            "toks",
+            lambda x: F.array_contains(
+                F.array(*[F.lit(b) for b in BLOCKLIST]), x
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(blocked / F.size("toks"), 4).alias("blocked_frac"),
+        )
+        .where(F.col("blocked_frac") <= MAX_BLOCKED_FRAC)
+    )
+
+
+# Fixed, interpretable weights for the model-free quality scorer — the
+# shape of a distilled fasttext-style linear quality classifier, evaluated
+# as a columnar expression (model inference without leaving the JVM).
+LR_W0 = -3.0  # bias
+LR_W_UNIQ = 4.0  # type/token ratio
+LR_W_ATL = 0.4  # mean token length
+LR_W_LOGN = 0.2  # log(token count)
+
+
+@register(
+    "llm_quality_lr",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+                   AS avg_tok_len,
+               ln(len(toks)) AS log_n
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({LR_W0} + {LR_W_UNIQ} * uniq_ratio
+                 + {LR_W_ATL} * avg_tok_len + {LR_W_LOGN} * log_n))), 4)
+               AS quality_score,
+           CASE WHEN 1.0 / (1.0 + exp(-({LR_W0} + {LR_W_UNIQ} * uniq_ratio
+                     + {LR_W_ATL} * avg_tok_len + {LR_W_LOGN} * log_n))) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS tier
+    FROM feats
+    """,
+)
+def quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier scored as a column expression: sigmoid of
+    fixed weights over (type/token ratio, mean token length, log length) —
+    the classic distilled quality-model inference pass, with a keep/drop
+    tier at 0.5.
+
+    Scale shape: model inference with zero Python and zero shuffle — the
+    whole forward pass is one codegen'd projection. A real fasttext/LR
+    distillate with a vocabulary would add one broadcast join for the
+    embedding lookup; the decision shape stays map-only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n = F.size("toks")
+    uniq_ratio = F.size(F.array_distinct("toks")) / n
+    atl = (
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / n
+    )
+    z = (
+        F.lit(LR_W0)
+        + F.lit(LR_W_UNIQ) * uniq_ratio
+        + F.lit(LR_W_ATL) * atl
+        + F.lit(LR_W_LOGN) * F.log(n.cast("double"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias("tier"),
+    )
+
+
+SOURCE_QUOTA = 10
+
+
+@register(
+    "llm_domain_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {SOURCE_QUOTA}
+    """,
+)
+def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep the top-N documents per source
+    (longest first, doc_id tiebreak) — the domain-balancing cap every
+    web-scale corpus applies so one crawl domain can't dominate training.
+
+    Scale shape: one hash shuffle on ``source`` + in-partition top-N via
+    rank; at 100 TB the rank-filter is the standard windowed top-k
+    (map-side nothing to combine, but AQE handles the skewed mega-domains;
+    for truly pathological domains the salted two-phase top-k from
+    `topk_per_group` applies unchanged).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SOURCE_QUOTA)
+    )

@@ -289,3 +289,65 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         assert r.scale > 0
         # +1e-6: both reported values are rounded to 6dp in the query
         assert r.max_err <= r.scale / 254 + 1e-6, (r.vec_id, r.max_err, r.scale)
+
+
+def test_pii_redact_removes_all_matches(spark, sf_dir):
+    """After redaction no email or 3+-digit run survives, and every
+    constructed line had exactly one email."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    out = curation.pii_redact(spark, sf_dir)
+    residual = out.where(
+        F.col("redacted").rlike(curation.EMAIL_RE)
+        | F.col("redacted").rlike(curation.LONGNUM_RE)
+    ).count()
+    assert residual == 0
+    assert out.where(F.col("n_emails") != 1).count() == 0
+
+
+def test_blocklist_filter_threshold_and_complement(spark, sf_dir):
+    """Every kept doc is under the threshold and kept+dropped == corpus."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    kept = curation.blocklist_filter(spark, sf_dir)
+    assert kept.where(F.col("blocked_frac") > curation.MAX_BLOCKED_FRAC).count() == 0
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < kept.count() < total  # the gate actually drops something
+
+
+def test_quality_lr_score_bounds_and_tier(spark, sf_dir):
+    """Sigmoid output in (0,1); tier is exactly the 0.5 cut of the score."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    out = curation.quality_lr(spark, sf_dir)
+    assert out.where((F.col("quality_score") <= 0) | (F.col("quality_score") >= 1)).count() == 0
+    bad = out.where(
+        ((F.col("quality_score") >= 0.5) & (F.col("tier") != "keep"))
+        | ((F.col("quality_score") < 0.5) & (F.col("tier") != "drop"))
+    ).count()
+    # rounding at exactly .5 boundary aside, tiers must match the cut
+    assert bad == 0
+
+
+def test_domain_quota_cap_and_ordering(spark, sf_dir):
+    """No source exceeds the quota and kept docs are that source's longest."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    out = curation.domain_quota(spark, sf_dir)
+    over = (
+        out.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > curation.SOURCE_QUOTA)
+        .count()
+    )
+    assert over == 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every non-kept doc is no longer than the shortest kept doc of its source
+    shortest_kept = out.groupBy("source").agg(F.min("n_chars").alias("min_kept"))
+    dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti")
+    bad = (
+        dropped.join(shortest_kept, "source")
+        .where(F.col("n_chars") > F.col("min_kept"))
+        .count()
+    )
+    assert bad == 0

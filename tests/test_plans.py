@@ -274,3 +274,20 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
 
     plan = _plan(joins.join_null_safe(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Redaction is a fused scan+project: no Exchange, fully codegen'd."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    plan = _plan(curation.pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+def test_quality_lr_is_map_only(spark, sf_dir):
+    """Model inference as a projection: no Exchange in the plan."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    plan = _plan(curation.quality_lr(spark, sf_dir))
+    assert "Exchange" not in plan
