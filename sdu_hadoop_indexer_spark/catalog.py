@@ -40,8 +40,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture variant
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # plain timestamp[us] fixture variant
+            # Session tz is UTC (session.tune), so this cast is the identity
+            # on the stored wall-clock instant — it only moves the type to
+            # TIMESTAMP_LTZ so unix_micros/unix_timestamp/window() resolve.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -28,29 +28,47 @@ from pyspark.sql import types as T
 from ..registry import register
 from ..session import tune
 
-# Raw parquet schema (ts is int64 nanos on disk; see catalog.table).
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_int64(sf_dir: str) -> bool:
+    """True when the fixture stores ts as TIMESTAMP(NANOS) (read as int64)."""
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    return t in ("int64", "timestamp[ns]")
+
+
+def _events_raw_schema(ts_int64: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_int64 else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture as a streaming DataFrame (file source, explicit schema)."""
+    """events fixture as a streaming DataFrame (file source, explicit schema).
+
+    Handles both fixture variants the driver has shipped: TIMESTAMP(NANOS)
+    (no Spark native type → read int64, floor to µs) and plain timestamp[µs]
+    (read directly as TIMESTAMP — session tz is UTC so the instant is
+    identical to what DuckDB's oracle sees).
+    """
     tune(spark)
+    ts_int64 = _events_ts_is_int64(sf_dir)
     # FileStreamSource needs a directory; narrow to the events file via glob.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw_schema(ts_int64))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_int64:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 ROCKSDB_PROVIDER = (
