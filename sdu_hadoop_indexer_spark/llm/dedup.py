@@ -385,3 +385,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair_id")
         .applyInPandas(pair_thresh, "va long, vb long, cosine double")
     )
+
+
+K_GRAM = 8  # window length (tokens) for exact-substring duplication
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {TOK_SQL},
+    g AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', term,
+                   lead(term, 1) OVER w, lead(term, 2) OVER w,
+                   lead(term, 3) OVER w, lead(term, 4) OVER w,
+                   lead(term, 5) OVER w, lead(term, 6) OVER w,
+                   lead(term, 7) OVER w) AS gram,
+               lead(term, 7) OVER w AS tail
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    gg AS (SELECT doc_id, gram FROM g WHERE tail IS NOT NULL),
+    dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1)
+    SELECT gg.doc_id,
+           count(*) AS total_grams,
+           CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_grams,
+           round(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac
+    FROM gg LEFT JOIN dup ON gg.gram = dup.gram
+    GROUP BY gg.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: per-doc fraction of K-token
+    windows that occur more than once in the corpus (across docs OR
+    repeated within one doc).
+
+    The training-data primitive behind suffix-array substring dedup
+    (duplicated passages removed span-wise rather than doc-wise): every
+    doc is exploded into overlapping K=8-token windows via ONE window
+    pass (7 `lead`s over a single per-doc sort), globally duplicated
+    windows are found with a grouped count, and each doc gets its
+    duplicated-window fraction. Docs shorter than K tokens carry no
+    window and drop out (consistent on both engines).
+
+    Scale shape: windows shuffle by a 64-bit xxhash64 of the gram (8 B
+    keys, not ~50 B strings; collisions only merge counts — at 2^32
+    grams the expected collision count is <1 and a collision can only
+    flip a window to "duplicated", never lose one). The duplicated-gram
+    set is a HAVING-filtered aggregate (small — only true repeats), then
+    a left join marks windows; both shuffles are plain hash partitions
+    with map-side partial counts. No all-pairs stage anywhere.
+    """
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("term", i).over(w) for i in range(1, K_GRAM)]
+    g = (
+        tokenize(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("term"), *leads).alias("gram"),
+            leads[-1].alias("tail"),
+        )
+        .where(F.col("tail").isNotNull())
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("gh", F.lit(1).alias("is_dup"))
+    )
+    return (
+        g.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "total_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("total_grams"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -11,7 +11,7 @@ the value is independent of partitioning/summation order on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
@@ -369,4 +369,110 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("rel_err"),
         )
+    )
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH cnt AS (
+        SELECT l_returnflag, l_quantity, count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    m AS (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM cnt
+    ),
+    med AS (
+        SELECT l_returnflag,
+               round(median(l_quantity), 4) AS median_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT med.l_returnflag, median_qty, n_rows, mode_qty
+    FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND m.rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + exact median per group.
+
+    Both engines leave mode() tie-breaking unspecified, so the mode is
+    computed as an explicit (count DESC, value ASC) rank over grouped
+    counts — deterministic on BOTH engines, hence EXACT-oracle-able.
+    Scale shape: the rank runs over the (group, value) COUNT table (tiny,
+    one row per distinct value), not over raw rows; exact median is the
+    one genuinely rank-based aggregate here (Spark sorts within groups) —
+    at 100 TB swap `median` for `approx_percentile(.., 0.5)` and the rest
+    of the plan is unchanged.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), "l_quantity")
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.count("*").alias("n_rows"),
+    )
+    return med.join(mode, "l_returnflag")
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) — bitmap-style
+    rollups; all three are associative+commutative so Spark plans them as
+    ordinary partial→final hash aggregates (map-side combine at scale)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)))
+                FILTER (WHERE l_tax = 0) AS DOUBLE) AS rev_notax,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25)
+               AS bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregates — per-aggregate predicates in ONE
+    pass over the fact table (vs one scan per predicate). Spark rewrites
+    each filtered agg to an internal `agg(if(pred, x, null))`, so the plan
+    stays a single partial→final hash aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.expr("count(*) FILTER (WHERE l_discount > 0.05)").alias("n_disc"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)))"
+            " FILTER (WHERE l_tax = 0) AS DOUBLE)"
+        ).alias("rev_notax"),
+        F.expr(
+            "count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25)"
+        ).alias("bulk_suppliers"),
     )

@@ -314,3 +314,123 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 2)
     )
+
+
+@register(
+    "ts_interpolate",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               round(avg(value), 4) AS v
+        FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    grid AS (
+        SELECT r.event_type,
+               unnest(generate_series(r.lo, r.hi, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT event_type, min(h) AS lo, max(h) AS hi
+              FROM obs GROUP BY event_type) r
+    ),
+    j AS (
+        SELECT g.event_type, g.h, obs.v,
+               CAST(epoch(g.h) AS BIGINT) AS t,
+               last_value(obs.v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN obs.v IS NOT NULL
+                               THEN CAST(epoch(g.h) AS BIGINT) END
+                          IGNORE NULLS) OVER wp AS pt,
+               first_value(obs.v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN obs.v IS NOT NULL
+                                THEN CAST(epoch(g.h) AS BIGINT) END
+                           IGNORE NULLS) OVER wn AS nt
+        FROM grid g LEFT JOIN obs ON g.event_type = obs.event_type
+                                 AND g.h = obs.h
+        WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS bucket_s,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE ((2 * (CAST(round(pv * 10000, 0) AS BIGINT) * (nt - t)
+                            + CAST(round(nv * 10000, 0) AS BIGINT) * (t - pt))
+                       + (nt - pt)) // (2 * (nt - pt))) / 10000.0
+           END AS v_filled,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM j
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with LINEAR interpolation over an hourly grid.
+
+    Classic hypertable `time_bucket_gapfill + interpolate`: hourly means
+    per event_type, a dense hour grid from `sequence()` per type (bounded
+    by each type's observed min/max hour, so edges are always observed),
+    and missing buckets filled by time-weighted linear interpolation
+    between the nearest observed neighbours (IGNORE NULLS window
+    last/first).
+
+    Scale shape: one groupBy on (type, hour); the grid explode is
+    O(type × hours) — rows ∝ calendar span, not event count; the two
+    interpolation windows share ONE per-type sort (same partition/order).
+    Per-type partitions are the scale limit at 100 TB — for
+    high-cardinality keys (per user) the same plan applies with
+    (user, day) range-bounded grids.
+    """
+    ev = table(spark, sf_dir, "events")
+    # Hourly means are 4dp-rounded BEFORE interpolation: with identical
+    # rounded inputs and integer-epoch weights, the interpolation
+    # arithmetic is the same IEEE-double expression on both engines, so
+    # the final round(,4) cannot straddle a half-ulp boundary.
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    t = F.unix_timestamp("h")
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = (
+        grid.join(obs, ["event_type", "h"], "left")
+        .withColumn("t", t)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wn))
+    )
+    # Interpolated values are computed in INTEGER space: 4dp neighbour
+    # means scale to exact bigints, and the time-weighted mean becomes a
+    # half-up integer division — engine-independent, unlike rounding a
+    # double that can land on a .00005 tie (Spark BigDecimal-HALF_UP vs
+    # DuckDB fp-multiply round disagree there).
+    interp = F.expr(
+        "((2 * (CAST(round(pv * 10000, 0) AS BIGINT) * (nt - t)"
+        "       + CAST(round(nv * 10000, 0) AS BIGINT) * (t - pt))"
+        "  + (nt - pt)) div (2 * (nt - pt))) / 10000.0"
+    )
+    return j.select(
+        "event_type",
+        F.col("t").cast("bigint").alias("bucket_s"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("v_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )

@@ -118,3 +118,42 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
     b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
     return a.subtract(b)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a key ordering k times in 1995 and m
+    times in 1996 survives min(k, m) times.
+
+    Spark plans `intersectAll` as a grouped count per side + generate —
+    one shuffle per side on the row value, no join explosion; survives
+    100 TB the same way a groupBy does.
+    """
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: multiplicities subtract (max(k - m, 0))
+    instead of the distinct-set EXCEPT of `set_except`."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.exceptAll(b)

@@ -1,0 +1,174 @@
+"""Behavioral invariants for the round-2 operator additions (the oracle
+gate proves value parity; these pin semantics that parity alone can't)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdu_hadoop_indexer_spark.llm import dedup
+from sdu_hadoop_indexer_spark.operators import aggregates, analytics, sorts_setops
+
+
+def test_intersect_all_multiplicity(spark, sf_dir):
+    """Bag semantics: |A ∩all B| per key = min(count_A, count_B), and the
+    distinct-set intersect is its support."""
+    bag = sorts_setops.set_intersect_all(spark, sf_dir)
+    setv = sorts_setops.set_intersect(spark, sf_dir)
+    assert bag.count() >= setv.count()
+    assert bag.select("o_custkey").distinct().count() == setv.count()
+    # spot-check one key's multiplicity against the definition
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    per_year = (
+        o.groupBy("o_custkey", F.year("o_orderdate").alias("y"))
+        .count()
+        .groupBy("o_custkey")
+        .pivot("y", [1995, 1996])
+        .sum("count")
+        .where(F.col("1995").isNotNull() & F.col("1996").isNotNull())
+        .select("o_custkey", F.least("1995", "1996").alias("expect"))
+    )
+    got = bag.groupBy("o_custkey").count()
+    mismatch = (
+        got.join(per_year, "o_custkey")
+        .where(F.col("count") != F.col("expect"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_except_all_counts(spark, sf_dir):
+    """|A| - |A ∩all B| == |A \\all B| (bag identity)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    a_n = o.where(F.year("o_orderdate") == 1995).count()
+    inter_n = sorts_setops.set_intersect_all(spark, sf_dir).count()
+    except_n = sorts_setops.set_except_all(spark, sf_dir).count()
+    assert except_n == a_n - inter_n
+
+
+def test_mode_median_within_domain(spark, sf_dir):
+    """Mode is an actually-occurring value; median lies within the group's
+    min/max envelope."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    res = aggregates.agg_mode_median(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    env = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")
+    )
+    bad = (
+        res.join(env, "l_returnflag")
+        .where(
+            (F.col("median_qty") < F.col("lo"))
+            | (F.col("median_qty") > F.col("hi"))
+            | (F.col("mode_qty") < F.col("lo"))
+            | (F.col("mode_qty") > F.col("hi"))
+        )
+        .count()
+    )
+    assert bad == 0
+    occurring = li.select("l_returnflag", "l_quantity").distinct()
+    missing = (
+        res.select("l_returnflag", F.col("mode_qty").alias("l_quantity"))
+        .exceptAll(occurring)
+        .count()
+    )
+    assert missing == 0
+
+
+def test_bitwise_identities(spark, sf_dir):
+    """AND result is a submask of OR result; n matches group size."""
+    res = aggregates.agg_bitwise(spark, sf_dir).collect()
+    assert len(res) > 0
+    for r in res:
+        assert r.key_and & r.key_or == r.key_and  # AND ⊆ OR bitmask
+
+
+def test_filter_clause_vs_where(spark, sf_dir):
+    """FILTER (WHERE p) count equals a plain WHERE p count per group."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    res = aggregates.agg_filter_clause(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    expect = (
+        li.where(F.col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("expect_disc"))
+    )
+    bad = (
+        res.join(expect, "l_returnflag")
+        .where(F.col("n_disc") != F.col("expect_disc"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_exact_substring_profile_bounds(spark, sf_dir):
+    """dup_grams ≤ total_grams; every doc with ≥K tokens appears; an exact
+    duplicate text pair (if present) is fully duplicated."""
+    prof = dedup.dedup_exact_substring(spark, sf_dir)
+    assert prof.where(F.col("dup_grams") > F.col("total_grams")).count() == 0
+    assert prof.where(
+        (F.col("dup_frac") < 0) | (F.col("dup_frac") > 1)
+    ).count() == 0
+    # exact-dup docs (same sha) must have dup_frac == 1.0
+    exact = dedup.dedup_exact(spark, sf_dir).where(F.col("n_copies") > 1)
+    if exact.count() > 0:
+        from sdu_hadoop_indexer_spark.catalog import table
+
+        d = table(spark, sf_dir, "documents")
+        dup_docs = (
+            d.join(
+                exact.select("text_hash"),
+                F.sha2("text", 256) == F.col("text_hash"),
+            )
+            .select("doc_id")
+        )
+        not_full = (
+            prof.join(dup_docs, "doc_id")
+            .where(F.col("dup_frac") < 1.0)
+            .count()
+        )
+        assert not_full == 0
+
+
+def test_interpolate_grid_dense_and_bounded(spark, sf_dir):
+    """The hourly grid is gap-free per type, endpoints are observed, and
+    interpolated values lie within the neighbouring observed envelope —
+    linear interpolation never overshoots."""
+    res = analytics.ts_interpolate(spark, sf_dir).cache()
+    # dense grid: count == (max-min)/3600 + 1 per type
+    spans = res.groupBy("event_type").agg(
+        F.min("bucket_s").alias("lo"),
+        F.max("bucket_s").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bad = spans.where(
+        F.col("n") != (F.col("hi") - F.col("lo")) / 3600 + 1
+    ).count()
+    assert bad == 0
+    # endpoints observed
+    first_last = (
+        res.join(spans, "event_type")
+        .where((F.col("bucket_s") == F.col("lo")) | (F.col("bucket_s") == F.col("hi")))
+        .where(F.col("src") != "obs")
+        .count()
+    )
+    assert first_last == 0
+    # no interpolated value outside the global observed min/max per type
+    env = (
+        res.where(F.col("src") == "obs")
+        .groupBy("event_type")
+        .agg(F.min("v_filled").alias("vlo"), F.max("v_filled").alias("vhi"))
+    )
+    overshoot = (
+        res.where(F.col("src") == "interp")
+        .join(env, "event_type")
+        .where((F.col("v_filled") < F.col("vlo")) | (F.col("v_filled") > F.col("vhi")))
+        .count()
+    )
+    assert overshoot == 0
+    res.unpersist()
