@@ -476,3 +476,40 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 25)"
         ).alias("bulk_suppliers"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via mergeable bitmaps (Spark 3.5 bitmap_* family)
+    — the scale path between count_distinct (exact, but one shuffle of every
+    distinct value) and HLL (mergeable, but approximate).
+
+    Keys bucket into 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), each (group, bucket) builds its bitmap with a
+    map-side-combined `bitmap_construct_agg`, and the per-group total is
+    `sum(bitmap_count(...))`. Like the HLL sketch column this is
+    re-aggregatable (`bitmap_or_agg` merges partials across ingest batches)
+    but stays EXACT — the pattern for distinct-user cubes at 100 TB. The
+    shuffle carries one bitmap per (group, 32k-key bucket), not one row per
+    distinct key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+                "bm"
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct"))
+    )

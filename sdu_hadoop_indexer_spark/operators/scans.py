@@ -578,3 +578,31 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select("event_id", "event_type", "user_id", "value")
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT parse_filename(filename) AS fname, size AS length
+    FROM read_blob('/root/testdata/sf0.001/*.parquet')
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingest (`binaryFile` source) — the entry point for
+    multimodal corpora (images/audio/video land as (path, bytes) rows that
+    `multimodal.media` then decodes via mapInPandas).
+
+    One row per file with content as an opaque BINARY column; the scan
+    parallelizes per file and `spark.sql.files.maxPartitionBytes` does not
+    split files (whole-file semantics). Only (fname, length) are emitted
+    here: the driver gate needs scalar columns, and DuckDB 1.0's md5()
+    can't hash raw BLOBs for a content oracle. NOTE the oracle path is
+    literal: binaryFile has no DuckDB view twin, so the oracle pins the
+    sf0.001 fixture dir regardless of --sf (both engines list the same
+    files either way).
+    """
+    df = spark.read.format("binaryFile").load("/root/testdata/sf0.001/*.parquet")
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        "length",
+    )

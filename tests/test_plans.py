@@ -291,3 +291,44 @@ def test_quality_lr_is_map_only(spark, sf_dir):
 
     plan = _plan(curation.quality_lr(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (SURVEY §4.2): with a selective
+    filter on the build side of a shuffled join, Spark injects a
+    `might_contain(bloom_filter_agg(...))` predicate on the probe side so
+    the big fact shuffle drops non-joining rows BEFORE the exchange — the
+    100 TB complement to dynamic partition pruning for non-partition keys.
+    Size thresholds are production-tuned, so this scopes them down to
+    fixture scale (and restores them) rather than leaving toy thresholds in
+    the shared session.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "1024PB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        df = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert df.count() > 0  # executes with the bloom filter in place
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

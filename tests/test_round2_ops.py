@@ -172,3 +172,29 @@ def test_interpolate_grid_dense_and_bounded(spark, sf_dir):
     )
     assert overshoot == 0
     res.unpersist()
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The bitmap path must be EXACT, not approximate."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    res = aggregates.agg_bitmap_distinct(spark, sf_dir)
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("expect"))
+    )
+    bad = (
+        res.join(exact, "l_returnflag")
+        .where(F.col("n_distinct") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_binary_scan_lists_fixture_files(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.operators import scans
+
+    rows = {r.fname: r.length for r in scans.scan_binary_files(spark, sf_dir).collect()}
+    assert "lineitem.parquet" in rows and "documents.parquet" in rows
+    assert all(n > 0 for n in rows.values())
