@@ -471,3 +471,61 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM tri) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(DISTINCT d) FROM
+               (SELECT u AS d FROM e UNION SELECT v FROM e)) AS n_nodes
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the τ=0.9 near-dup similarity graph — the
+    standard distributed-graph benchmark op, composed from the engine's
+    own join algebra (the near-dup clusters are near-cliques, so the
+    fixture graph is triangle-rich).
+
+    Edges are canonically oriented (u < v), so each triangle a<b<c is
+    found exactly once via two equi-joins: wedge (a,b)+(b,c), closed by
+    edge (a,c). At 100 TB the standard refinement is degree-ordering
+    (orient edges low-degree → high-degree) so wedge fan-out is bounded
+    by the smaller endpoint's degree; the join shape is unchanged.
+    """
+    e = (
+        dedup_near_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = e.select(F.col("u").alias("d")).union(
+        e.select(F.col("v").alias("d"))
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(nodes.agg(F.count_distinct("d").alias("n_nodes")))
+    )

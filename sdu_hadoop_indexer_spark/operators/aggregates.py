@@ -513,3 +513,30 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct"))
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP, Spark 4).
+
+    The explicit ORDER BY inside the aggregate is what makes a string agg
+    deterministic (and therefore oracle-able) — an unordered listagg is
+    partition-order-dependent. Scalar output, so no to_json wrapping
+    needed. Scale: per-group result strings must stay driver/row-size
+    sane — this is a dimension-table op, not a fact-table one.
+    """
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -146,3 +146,45 @@ def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sub_quantified",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+        SELECT avg(o_totalprice) FROM orders GROUP BY o_orderstatus
+    )
+    OR o_totalprice < ANY (
+        SELECT min(o_totalprice) * 1.001 FROM orders GROUP BY o_orderstatus
+    )
+    """,
+)
+def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (`> ALL` / `< ANY`) via their decorrelated
+    scalar rewrite: `x > ALL (S) ≡ x > max(S)` and `x < ANY (S) ≡
+    x < min(S)` over a non-empty, NULL-free subquery.
+
+    Spark's parser has no ALL/ANY comparison, so the engine exposes the
+    rewrite the optimizer would produce anyway — each quantifier folds to
+    ONE scalar aggregate broadcast into the filter (no per-row subquery
+    execution at any scale). The DuckDB oracle runs the true ANSI
+    quantified form, proving the rewrite's semantics.
+    """
+    o = table(spark, sf_dir, "orders")
+    all_max = o.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("g")
+    ).agg(F.max("g").alias("m"))
+    any_bound = o.groupBy("o_orderstatus").agg(
+        (F.min("o_totalprice") * 1.001).alias("g")
+    ).agg(F.max("g").alias("m"))
+    return (
+        o.join(F.broadcast(all_max.select(F.col("m").alias("all_m"))))
+        .join(F.broadcast(any_bound.select(F.col("m").alias("any_m"))))
+        .where(
+            (F.col("o_totalprice") > F.col("all_m"))
+            | (F.col("o_totalprice") < F.col("any_m"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )

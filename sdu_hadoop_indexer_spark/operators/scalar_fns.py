@@ -313,3 +313,38 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS pri_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_digit,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_custkey % 10) * 10000)
+                          AS BIGINT) END AS per_unit_e4
+    FROM orders
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (`try_cast` / `try_divide`): malformed
+    input and division-by-zero yield NULL instead of failing the job —
+    the ingest-hardening mode for dirty corpora (one bad cell must not
+    kill a 100 TB batch; pair with `sink_quarantine_split` to route the
+    NULLs). Stays fully codegen'd: try_* are builtin expressions, not
+    UDFs.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_num"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "pri_digit"
+        ),
+        # floor of the 1e4-scaled quotient: IEEE divide/multiply/floor are
+        # bit-identical across engines, unlike round() at .00005 ties
+        F.floor(
+            F.try_divide("o_totalprice", F.col("o_custkey") % 10) * 10000
+        ).cast("bigint").alias("per_unit_e4"),
+    )

@@ -606,3 +606,32 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         "length",
     )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT parse_filename(filename) AS fname,
+           count(*) AS n_rows,
+           min(file_row_number) AS first_idx,
+           max(file_row_number) AS last_idx
+    FROM read_parquet('/root/testdata/sf0.001/orders.parquet',
+                      filename=true, file_row_number=true)
+    GROUP BY parse_filename(filename)
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` columns (file_name, row_index) — file-level
+    lineage surfaced relationally: per-file row counts and row-index
+    ranges without a separate listing job. The lakehouse audit primitive
+    (which file produced this row?) and the basis of row-level
+    idempotent re-ingest. Like `scan_binary_files`, the oracle side has
+    no view twin, so the fixture dir is pinned to sf0.001 on both
+    engines.
+    """
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    return df.groupBy(F.col("_metadata.file_name").alias("fname")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("_metadata.row_index").alias("first_idx"),
+        F.max("_metadata.row_index").alias("last_idx"),
+    )

@@ -198,3 +198,46 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "win_locf_fill",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM ev
+    )
+    SELECT user_id, event_id, {sql_epoch_s('ts')} AS ts_s,
+           round(last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS last_purchase_value
+    FROM s
+    """,
+)
+def win_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry each user's most recent purchase value
+    onto every subsequent event via `last_value ... IGNORE NULLS` — the
+    state-propagation window (sessionless attribution, sensor carry-
+    forward). Rows before a user's first purchase stay NULL.
+
+    One window pass over a per-user sort; at 100 TB the partition key is
+    the user, so state never crosses executors and no broadcast exists.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+        F.round(F.last(pv, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )

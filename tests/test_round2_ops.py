@@ -198,3 +198,89 @@ def test_binary_scan_lists_fixture_files(spark, sf_dir):
     rows = {r.fname: r.length for r in scans.scan_binary_files(spark, sf_dir).collect()}
     assert "lineitem.parquet" in rows and "documents.parquet" in rows
     assert all(n > 0 for n in rows.values())
+
+
+def test_listagg_ordered_and_complete(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    res = {r.n_regionkey: r for r in aggregates.agg_listagg(spark, sf_dir).collect()}
+    n = table(spark, sf_dir, "nation")
+    for rk, row in res.items():
+        names = sorted(
+            x.n_name for x in n.where(F.col("n_regionkey") == rk).collect()
+        )
+        assert row.nations == ",".join(names)
+        assert row.n == len(names)
+
+
+def test_try_safe_nulls_not_errors(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.operators import scalar_fns
+
+    res = scalar_fns.fn_try_safe(spark, sf_dir)
+    # non-numeric priority strings → NULL, never an exception
+    assert res.where(F.col("pri_num").isNotNull()).count() == 0
+    assert res.where(F.col("pri_digit").isNull()).count() == 0
+    # custkey % 10 == 0 rows divide by zero → NULL
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    zero_div = o.where(F.col("o_custkey") % 10 == 0).count()
+    assert res.where(F.col("per_unit_e4").isNull()).count() == zero_div
+
+
+def test_quantified_rewrite_bounds(spark, sf_dir):
+    """Every surviving row beats the max group-average (ALL branch) or is
+    under the max scaled group-min (ANY branch)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators import filters
+
+    o = table(spark, sf_dir, "orders")
+    avgs = [
+        r.g
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.avg("o_totalprice").alias("g"))
+        .collect()
+    ]
+    mins = [
+        r.g
+        for r in o.groupBy("o_orderstatus")
+        .agg((F.min("o_totalprice") * 1.001).alias("g"))
+        .collect()
+    ]
+    res = filters.sub_quantified(spark, sf_dir)
+    outside = res.where(
+        ~(
+            (F.col("o_totalprice") > max(avgs))
+            | (F.col("o_totalprice") < max(mins))
+        )
+    ).count()
+    assert outside == 0
+
+
+def test_locf_fill_carries_only_purchases(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.operators import windows as winops
+
+    res = winops.win_locf_fill(spark, sf_dir)
+    # a user with no purchases at all stays NULL on every row
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    no_purchase = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p")
+    ).where(F.col("p") == 0)
+    leaked = (
+        res.join(no_purchase.select("user_id"), "user_id")
+        .where(F.col("last_purchase_value").isNotNull())
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_triangle_count_identities(spark, sf_dir):
+    """Triangles ≤ C(edges over shared vertex) and every triangle's edges
+    exist: spot-check via the closed-form identity tri ≤ e*(e-1)/2."""
+    from sdu_hadoop_indexer_spark.llm import dedup as dd
+
+    row = dd.graph_triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0
+    assert row.n_triangles <= row.n_edges * (row.n_edges - 1) // 2
