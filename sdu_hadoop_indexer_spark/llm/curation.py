@@ -705,3 +705,143 @@ def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= SOURCE_QUOTA)
     )
+
+
+MIX_BUDGET = 50_000  # total token budget for the mixed corpus
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant
+_M32 = 4294967296  # 2^32
+
+
+@register(
+    "llm_mixing_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               (doc_id * {_KNUTH}) % {_M32} AS r
+        FROM documents
+    ),
+    s AS (
+        SELECT source, count(*) AS n_docs, sum(n_tokens) AS tokens,
+               least(1.0, ({MIX_BUDGET} / (SELECT count(DISTINCT source)
+                                           FROM documents))
+                          / sum(n_tokens)) AS w
+        FROM t GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.tokens, round(s.w, 6) AS weight,
+           count(*) FILTER (WHERE t.r < s.w * {_M32}) AS n_sampled,
+           CAST(sum(t.n_tokens) FILTER (WHERE t.r < s.w * {_M32})
+                AS BIGINT) AS tokens_sampled
+    FROM t JOIN s USING (source)
+    GROUP BY s.source, s.n_docs, s.tokens, s.w
+    """,
+)
+def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling: give every source an equal share of a fixed
+    token budget, derive a per-source keep probability w = min(1, share /
+    tokens_source), and sample docs DETERMINISTICALLY by a multiplicative
+    hash of doc_id — re-running the pipeline (or re-balancing after new
+    data lands) reproduces the same sample, no RNG state anywhere.
+
+    The hash is integer math (`doc_id * 2654435761 mod 2^32`), so both
+    engines agree bit-for-bit on who is sampled (no engine-specific
+    `rand(seed)` sequence). Scale shape: one token-count scan, a
+    sources-sized weight relation broadcast back onto docs, one grouped
+    rollup — the weight table is what a 100 TB mixing job ships to its
+    writer stage.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        (F.col("doc_id") * _KNUTH % _M32).alias("r"),
+    )
+    n_sources = d.select("source").distinct().count()
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.least(
+            F.lit(1.0), F.lit(MIX_BUDGET / n_sources) / F.sum("n_tokens")
+        ).alias("w"),
+    )
+    sampled = F.col("r") < F.col("w") * _M32
+    return (
+        t.join(F.broadcast(s), "source")
+        .groupBy("source", "n_docs", "tokens", "w")
+        .agg(
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(sampled, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_sampled"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round("w", 6).alias("weight"),
+            "n_sampled",
+            "tokens_sampled",
+        )
+    )
+
+
+@register(
+    "llm_global_sort_index",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS global_idx
+    FROM documents
+    """,
+)
+def global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GLOBAL ordering index (curriculum order: longest docs
+    first) without a single-partition sort.
+
+    The classic two-phase shape: `repartitionByRange` on the sort key →
+    `sortWithinPartitions` (each partition holds a contiguous key range,
+    locally sorted) → per-partition row counts (tiny collect, one bigint
+    per partition) → prefix-sum offsets broadcast into an Arrow-batched
+    `mapInPandas` that assigns offset + local ordinal. A window
+    `row_number() OVER (ORDER BY ...)` — the oracle's formulation — would
+    funnel ALL rows through one partition; this plan keeps every stage
+    parallel at any scale. The persist pins range boundaries so the count
+    job and the index job see identical partitioning.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = (
+        d.repartitionByRange(8, F.desc("n_chars"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("n_chars"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r.pid: r.cnt
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def add_idx(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            out = pdf[["doc_id", "n_chars"]].copy()
+            out["global_idx"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    return parts.mapInPandas(
+        add_idx, "doc_id bigint, n_chars bigint, global_idx bigint"
+    )

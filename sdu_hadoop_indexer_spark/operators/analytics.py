@@ -434,3 +434,79 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interp"))
         .alias("src"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type, h, n,
+               sum(n)     OVER w AS s,
+               sum(n * n) OVER w AS s2,
+               count(*)   OVER w AS c
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_s, n,
+           round((n - s / c)
+                 / nullif(sqrt((s2 - s * s / c) / (c - 1)), 0), 4) AS z,
+           CASE WHEN abs((n - s / c)
+                 / nullif(sqrt((s2 - s * s / c) / (c - 1)), 0)) > 3.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM stats
+    WHERE c >= 12
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event-rate series: each
+    hour's count vs the trailing-24h (exclusive) mean/std; |z| > 3 flags.
+
+    Mean and variance come from EXACT integer window sums (Σn, Σn²) — not
+    `stddev_samp`, whose one-pass implementation differs between engines in
+    the last float bits. With identical integer inputs, both engines run
+    the same IEEE expression, so the ROUNDED oracle is stable. Warm-up
+    hours (<12 trailing points) are suppressed. One window pass per type
+    over the hours-sized hourly table (not raw events) — the rate series
+    is calendar-sized, so this costs nothing even at 100 TB event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("*").over(w).alias("c"),
+    ).where(F.col("c") >= 12)
+    mu = F.col("s") / F.col("c")
+    # nullif guards the all-equal-counts window (variance exactly 0 on
+    # both engines — integer sums make the fp cancellation exact)
+    sigma = F.nullif(
+        F.sqrt(
+            (F.col("s2") - F.col("s") * F.col("s") / F.col("c"))
+            / (F.col("c") - 1)
+        ),
+        F.lit(0.0),
+    )
+    z = (F.col("n") - mu) / sigma
+    return stats.select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_s"),
+        "n",
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("is_anomaly"),
+    )

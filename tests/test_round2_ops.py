@@ -284,3 +284,52 @@ def test_triangle_count_identities(spark, sf_dir):
     row = dd.graph_triangle_count(spark, sf_dir).collect()[0]
     assert row.n_nodes > 0 and row.n_edges > 0
     assert row.n_triangles <= row.n_edges * (row.n_edges - 1) // 2
+
+
+def test_anomaly_zscore_flags_consistent(spark, sf_dir):
+    res = analytics.events_anomaly_zscore(spark, sf_dir)
+    # flag definition: is_anomaly == 1 iff |z| > 3 (and z non-null)
+    bad = res.where(
+        (F.col("is_anomaly") == 1) & ~(F.abs("z") > 3.0)
+    ).count()
+    bad += res.where(
+        (F.col("is_anomaly") == 0) & (F.abs("z") > 3.0)
+    ).count()
+    assert bad == 0
+
+
+def test_mixing_weights_budget_respected(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = curation.mixing_weights(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.weight <= 1.0
+        assert r.n_sampled <= r.n_docs
+        # sampled token mass tracks weight * total within sampling noise
+        if r.weight == 1.0:
+            assert r.n_sampled == r.n_docs and r.tokens_sampled == r.tokens
+
+
+def test_global_sort_index_is_permutation(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    res = curation.global_sort_index(spark, sf_dir).cache()
+    n = res.count()
+    # indices are exactly 0..n-1
+    assert res.select("global_idx").distinct().count() == n
+    mm = res.agg(
+        F.min("global_idx").alias("lo"), F.max("global_idx").alias("hi")
+    ).collect()[0]
+    assert mm.lo == 0 and mm.hi == n - 1
+    # order respects the sort key: smaller idx → n_chars >= next
+    from pyspark.sql import Window
+
+    w = Window.orderBy("global_idx")
+    viol = (
+        res.withColumn("nxt", F.lead("n_chars").over(w))
+        .where(F.col("nxt").isNotNull() & (F.col("n_chars") < F.col("nxt")))
+        .count()
+    )
+    assert viol == 0
+    res.unpersist()
