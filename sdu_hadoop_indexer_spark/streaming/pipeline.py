@@ -584,3 +584,113 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.table(name)
+
+
+@register("stream_outer_join_watermark")  # ROWS-ONLY: real multi-batch streaming run
+def outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join with watermark-driven NULL emission —
+    the semantics inner `stream_interval_join` cannot show: an unmatched
+    left row is held in state until the watermark proves no future match
+    can arrive, THEN emits with a NULL right side.
+
+    Deterministic 3-batch replay (one file per micro-batch): batch 1
+    delivers view v1 + matching click c1 (inner match emits immediately)
+    plus click c2 with no view; batches 2-3 advance event time to 03:00+
+    so the watermark passes c2's match horizon and the (c2, NULL) row
+    flushes; each advancing batch carries a click AND a matching view
+    because the global watermark is the MIN over both branch watermarks.
+    Final sink: the four inner matches plus (c2, NULL) — pinned in
+    tests/test_streaming.py. State stays bounded for the same reason as
+    the inner join: the event-time bound lets Spark evict. `sf_dir` is
+    unused — the replay is synthetic, so the result is scale-invariant.
+    """
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="sdu-outer-join-replay-")
+    d = dt.datetime(2024, 1, 1)
+    batches = [
+        [
+            (101, "view", 1, d.replace(hour=1, minute=0)),
+            (201, "click", 1, d.replace(hour=1, minute=5)),
+            (202, "click", 2, d.replace(hour=1, minute=10)),
+        ],
+        # advancing batches carry BOTH types: the global watermark is the
+        # MIN over the two branch watermarks, so a view-only tail would
+        # leave the click watermark (and c2's state) frozen forever
+        [
+            (901, "view", 9, d.replace(hour=2, minute=55)),
+            (911, "click", 9, d.replace(hour=3)),
+        ],
+        [
+            (902, "view", 8, d.replace(hour=3, minute=5)),
+            (921, "click", 8, d.replace(hour=3, minute=10)),
+        ],
+        [
+            (903, "view", 7, d.replace(hour=3, minute=15)),
+            (931, "click", 7, d.replace(hour=3, minute=20)),
+        ],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        path = f"{src}/b{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": [r[1] for r in rows],
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now - 100 + i * 40, now - 100 + i * 40))
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, event_type string, user_id bigint, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        raw.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    views = (
+        raw.where("event_type = 'view'")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"
+        ),
+        "leftOuter",
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+    name = f"outer_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)

@@ -255,3 +255,16 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     got = {r.window_start: r.n for r in rows}
     assert got[d.replace(hour=3)] == 2, got
     assert got[d.replace(hour=1)] == 3
+
+
+def test_stream_outer_join_emits_null_after_expiry(spark, sf_dir):
+    """Left-outer stream-stream join: the unmatched click emits exactly one
+    NULL-padded row once the (min-of-both-sides) watermark passes its match
+    horizon; matched clicks emit inner rows only."""
+    from sdu_hadoop_indexer_spark.streaming import pipeline
+
+    rows = {
+        r.click_id: r.view_id
+        for r in pipeline.outer_join_watermark(spark, sf_dir).collect()
+    }
+    assert rows == {201: 101, 202: None, 911: 901, 921: 902, 931: 903}
