@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import register_views, table
 from ..registry import register
 from .parity import SQL_EVENTS_US
 
@@ -390,4 +390,37 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(r, F.col("k").eqNullSafe(F.col("k2")))
         .groupBy("k")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — each customer row drives a
+    per-customer ordered LIMIT over orders ("top-3 orders per customer"
+    in its natural SQL form).
+
+    Catalyst DECORRELATES the lateral limit into a ranking window over one
+    customer-keyed join (no per-row subquery execution) — the same
+    physical plan as `topk_per_group`, reached from the SQL surface. The
+    deterministic tie-break (price DESC, orderkey) is what makes the
+    oracle exact.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        """
     )

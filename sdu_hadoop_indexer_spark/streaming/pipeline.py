@@ -694,3 +694,42 @@ def outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.table(name)
+
+
+@register("scan_state_store")  # ROWS-ONLY: reads a real streaming checkpoint
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DATA SOURCE (Spark 4 `statestore` format): the retained
+    state of a streaming checkpoint read back as a relational table — the
+    ops/debugging primitive for stateful pipelines (inspect exactly what a
+    100 TB job is holding in RocksDB without touching the running query).
+
+    Runs a watermarked tumbling count over the events fixture to produce a
+    checkpoint, then reads it via `spark.read.format('statestore')`. In
+    append mode, finalized windows are EVICTED, so the retained state is
+    exactly the windows still inside the watermark horizon — asserted in
+    tests. Output flattened to scalars (window_start_s, n, partition_id).
+    """
+    ev = streaming_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    ck = tempfile.mkdtemp(prefix="sdu-state-scan-ckpt-")
+    name = f"state_scan_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    st = spark.read.format("statestore").load(ck)
+    return st.select(
+        F.unix_timestamp(F.col("key.window.start")).alias("window_start_s"),
+        F.col("value.count").alias("n"),
+        F.col("partition_id"),
+    )

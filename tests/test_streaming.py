@@ -268,3 +268,22 @@ def test_stream_outer_join_emits_null_after_expiry(spark, sf_dir):
         for r in pipeline.outer_join_watermark(spark, sf_dir).collect()
     }
     assert rows == {201: 101, 202: None, 911: 901, 921: 902, 931: 903}
+
+
+def test_state_store_scan_holds_unfinalized_windows(spark, sf_dir):
+    """The statestore reader must surface exactly the windows the watermark
+    has NOT yet finalized (append mode evicts the rest)."""
+    from pyspark.sql import functions as F
+
+    from sdu_hadoop_indexer_spark.catalog import table as t
+    from sdu_hadoop_indexer_spark.streaming import pipeline
+
+    st = pipeline.scan_state_store(spark, sf_dir).collect()
+    assert len(st) > 0
+    ev = t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    wm = max_ts - 600  # 10-minute watermark delay
+    for r in st:
+        assert r.n > 0
+        # retained window ends after the watermark (not yet finalized)
+        assert r.window_start_s + 3600 > wm
