@@ -245,3 +245,100 @@ def media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_end_ms"),
         )
     )
+
+
+PHASH_BANDS = 4  # 4 × 16-bit bands → hamming-tolerant candidate buckets
+
+
+def _fake_phash(payload: bytes) -> int:
+    """Deterministic 64-bit perceptual-hash stand-in: the payload is split
+    into an 8×8 grid of byte blocks, each bit = block mean above the global
+    mean (the real pipeline thresholds DCT coefficients the same way)."""
+    b = memoryview(payload)
+    n = len(b)
+    if n == 0:
+        return 0
+    total = sum(b)
+    gmean = total / n
+    step = max(n // 64, 1)
+    h = 0
+    for i in range(64):
+        blk = b[i * step : (i + 1) * step]
+        if len(blk) and (sum(blk) / len(blk)) > gmean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h  # two's-complement long
+
+
+def phash_neardup(media: DataFrame) -> DataFrame:
+    """Banded perceptual-hash near-dup candidates over media payloads.
+
+    Stage 1 (Python, Arrow-batched): 64-bit phash per payload inside
+    `mapInPandas` — the only byte-level step. Stage 2 (pure JVM): the hash
+    splits into 4 × 16-bit bands with shift/mask EXPRESSIONS, candidates
+    equi-join within (kind, band_idx, band_val) buckets — two media items
+    within hamming distance 16 share ≥1 identical band (pigeonhole), so
+    banding is a recall-complete blocking for small distances, exactly the
+    `dedup_minhash_lsh` shape transplanted to media space.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pdf["payload"].map(_fake_phash).astype("int64"),
+                }
+            )
+
+    hashed = media.mapInPandas(batches, "media_id long, kind string, phash long")
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright("phash", i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for i in range(PHASH_BANDS)
+            ]
+        )
+    ).alias("b")
+    bands = hashed.select("media_id", "kind", "phash", band).select(
+        "media_id", "kind", "phash", "b.band_idx", "b.band_val"
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("phash").alias("ph_a"),
+        "kind",
+        "band_idx",
+        "band_val",
+    )
+    bside = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("phash").alias("ph_b"),
+        "kind",
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        a.join(bside, ["kind", "band_idx", "band_val"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select(
+            "kind",
+            "media_a",
+            "media_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@register("media_phash_neardup")  # ROWS-ONLY: stubbed decode is engine-local
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phash_neardup(media_table(spark, sf_dir))

@@ -79,3 +79,30 @@ def test_real_codec_path_is_explicit_stub(spark, sf_dir):
     mt = media.media_table(spark, sf_dir)
     with pytest.raises(NotImplementedError):
         media.extract_features(mt, use_real_codecs=True)
+
+
+def test_phash_identical_payloads_collide(spark, sf_dir):
+    """Exact-duplicate payloads (same text, same kind) must appear as
+    candidate pairs with hamming distance 0; hamming is bounded by 64."""
+    from pyspark.sql import functions as F
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.multimodal import media
+
+    pairs = media.media_phash_neardup(spark, sf_dir).cache()
+    assert pairs.where((F.col("hamming") < 0) | (F.col("hamming") > 64)).count() == 0
+    d = table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("media_a"), F.sha2("text", 256).alias("h"))
+    b = d.select(F.col("doc_id").alias("media_b"), F.sha2("text", 256).alias("h"))
+    same_kind = (F.col("media_a") % 3) == (F.col("media_b") % 3)
+    exact = (
+        a.join(b, "h")
+        .where((F.col("media_a") < F.col("media_b")) & same_kind)
+        .select("media_a", "media_b")
+    )
+    n_exact = exact.count()
+    if n_exact:
+        found = pairs.where(F.col("hamming") == 0).select("media_a", "media_b")
+        missing = exact.join(found, ["media_a", "media_b"], "left_anti").count()
+        assert missing == 0
+    pairs.unpersist()
