@@ -424,3 +424,62 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
         """
     )
+
+
+@register(
+    "join_range_banded",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, ts FROM ev WHERE event_type = 'purchase'),
+    e AS (SELECT ts FROM ev WHERE event_type = 'error')
+    SELECT p.event_id, count(*) AS n_err
+    FROM p JOIN e
+      ON e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key: errors from ANY user in the hour
+    before each purchase) executed as a BANDED EQUI-JOIN — the scale form
+    of the predicate `join_range` handles with its user_id key.
+
+    Without an equi column Spark plans a BroadcastNestedLoopJoin —
+    O(|p|×|e|) comparisons. Banding restores a shuffle key: each probe
+    interval [ts-1h, ts) is exploded to the (≤2, because band width =
+    interval length) hour bands it overlaps, each build row keys by its
+    own hour band, and the join becomes equi on `band` + residual range
+    filter. Every matching pair survives in EXACTLY one band (the event's
+    band), so no dedup pass is needed. Plan pinned non-BNLJ in
+    tests/test_plans.py; identical results to the naive formulation (the
+    oracle IS the naive formulation).
+    """
+    band = lambda c: F.floor(F.unix_micros(c) / 3_600_000_000)  # noqa: E731
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        band(F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+                        band(F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")),
+                    )
+                )
+            ).alias("band"),
+        )
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts"), band(F.col("ts")).alias("band")
+    )
+    return (
+        p.join(e, "band")
+        .where(
+            (F.col("e_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("e_ts") < F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_err"))
+    )

@@ -332,3 +332,13 @@ def test_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_banded_range_join_is_equi_not_bnlj(spark, sf_dir):
+    """The banded pure-range join must plan as a shuffled equi-join on the
+    band key — the whole point is escaping BroadcastNestedLoopJoin."""
+    from sdu_hadoop_indexer_spark.operators import joins
+
+    plan = _plan(joins.join_range_banded(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
