@@ -845,3 +845,76 @@ def global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.mapInPandas(
         add_idx, "doc_id bigint, n_chars bigint, global_idx bigint"
     )
+
+
+@register(
+    "llm_dataset_version_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, sha256(text) AS h FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, sha256(text || ' rev2') AS h
+        FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, sha256(text || ' new') AS h
+        FROM documents WHERE doc_id % 19 = 0
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           min(coalesce(v1.doc_id, v2.doc_id)) AS min_doc,
+           max(coalesce(v1.doc_id, v2.doc_id)) AS max_doc
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot diff — the data-versioning primitive behind every
+    "what changed between corpus v1 and v2" audit: FULL OUTER join on the
+    primary key, content compared by hash, rows classified
+    added / removed / changed / unchanged.
+
+    v2 is derived deterministically from the fixture (docs ∤17 kept, ∤13
+    rewritten, a ∤19 cohort appended under new ids) so the diff is
+    oracle-able. Scale shape: one key-partitioned full-outer join of two
+    snapshot scans — content hashes computed in-scan (no material-ized
+    intermediate), diff classes reduced map-side to a 4-row report.
+    """
+    d = table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.sha2("text", 256).alias("h"))
+    v2 = (
+        d.where((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0))
+        .select("doc_id", F.sha2(F.concat(F.col("text"), F.lit(" rev2")), 256).alias("h"))
+        .unionAll(
+            d.where((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 17 != 0))
+            .select("doc_id", F.sha2("text", 256).alias("h"))
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.sha2(F.concat(F.col("text"), F.lit(" new")), 256).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.h").isNull(), "added")
+        .when(F.col("b.h").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), F.col("doc_id"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

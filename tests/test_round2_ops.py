@@ -333,3 +333,19 @@ def test_global_sort_index_is_permutation(spark, sf_dir):
     )
     assert viol == 0
     res.unpersist()
+
+
+def test_version_diff_partitions_union(spark, sf_dir):
+    """Diff classes are disjoint and complete: n_added + n_changed +
+    n_unchanged + n_removed == |v1 ∪ v2| keys."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = {r.status: r.n_docs for r in curation.dataset_version_diff(spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    n_removed = d.where(F.col("doc_id") % 17 == 0).count()
+    n_added = d.where(F.col("doc_id") % 19 == 0).count()
+    assert rows.get("removed", 0) == n_removed
+    assert rows.get("added", 0) == n_added
+    assert sum(rows.values()) == n + n_added
