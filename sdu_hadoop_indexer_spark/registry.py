@@ -72,7 +72,7 @@ def load_all() -> None:
     )
     from . import sql_api  # noqa: F401
     from .text import analysis, indexer, mining, search  # noqa: F401
-    from .llm import curation, dedup, similarity  # noqa: F401
+    from .llm import curation, dedup, similarity, tokenizer  # noqa: F401
     from .streaming import event_windows, pipeline  # noqa: F401
     from .multimodal import media  # noqa: F401
 

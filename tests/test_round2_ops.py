@@ -349,3 +349,36 @@ def test_version_diff_partitions_union(spark, sf_dir):
     assert rows.get("removed", 0) == n_removed
     assert rows.get("added", 0) == n_added
     assert sum(rows.values()) == n + n_added
+
+
+def test_bpe_train_deterministic_and_greedy(spark, sf_dir):
+    """The merge table is deterministic across runs; merge 0 is the true
+    most-frequent adjacent char pair (independently computed); each merged
+    symbol is the concat of its parts."""
+    from sdu_hadoop_indexer_spark.llm import tokenizer
+    from sdu_hadoop_indexer_spark.text.indexer import tokenize
+
+    m1 = [tuple(r) for r in tokenizer.bpe_train(spark, sf_dir).collect()]
+    m2 = [tuple(r) for r in tokenizer.bpe_train(spark, sf_dir).collect()]
+    assert m1 == m2 and len(m1) == tokenizer.N_MERGES
+    for rank, left, right, merged, cnt in m1:
+        assert merged == left + right and cnt > 0
+    # independent greedy check for merge 0 over raw char bigrams
+    words = (
+        tokenize(spark, sf_dir)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    from collections import Counter
+
+    c = Counter()
+    for r in words:
+        w = r.word
+        for i in range(len(w) - 1):
+            c[(w[i], w[i + 1])] += r.freq
+    ((a, b), cnt0) = max(c.items(), key=lambda kv: (kv[1], [-ord(x) for x in kv[0][0]+kv[0][1]]) )
+    best = max(c.values())
+    ties = sorted(k for k, v in c.items() if v == best)
+    assert (m1[0][1], m1[0][2]) == ties[0]
+    assert m1[0][4] == best
