@@ -529,3 +529,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(nodes.agg(F.count_distinct("d").alias("n_nodes")))
     )
+
+
+@register(
+    "text_dup_spans",
+    oracle=f"""
+    WITH {TOK_SQL},
+    g AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', term,
+                   lead(term, 1) OVER w, lead(term, 2) OVER w,
+                   lead(term, 3) OVER w, lead(term, 4) OVER w,
+                   lead(term, 5) OVER w, lead(term, 6) OVER w,
+                   lead(term, 7) OVER w) AS gram,
+               lead(term, 7) OVER w AS tail
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    gg AS (SELECT doc_id, pos, gram FROM g WHERE tail IS NOT NULL),
+    dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+    dp AS (
+        SELECT gg.doc_id, gg.pos FROM gg JOIN dup ON gg.gram = dup.gram
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w2 IS NULL
+                      OR pos - lag(pos) OVER w2 > {{K}} THEN 1 ELSE 0 END AS new_span
+        FROM dp WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM isl
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           min(pos) AS span_start,
+           max(pos) + {{K}} - 1 AS span_end,
+           max(pos) + {{K}} - min(pos) AS span_tokens
+    FROM sp GROUP BY doc_id, span_id
+    """.replace("{K}", "8"),
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup output: duplicated K-gram windows
+    merged into MAXIMAL duplicated token spans per doc — what a span-wise
+    dedup pass would actually cut, and the classic gaps-and-islands SQL
+    pattern (lag-gap flag → running island id → per-island rollup).
+
+    Overlapping or adjacent windows (start gap ≤ K) fuse into one span;
+    span_end is inclusive. Same scale shape as `dedup_exact_substring`
+    (gram-hash shuffle + filtered dup set) plus one per-doc window pass
+    over only the duplicated positions.
+    """
+    K = K_GRAM
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("term", i).over(w) for i in range(1, K)]
+    g = (
+        tokenize(spark, sf_dir)
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("term"), *leads).alias("gram"),
+            leads[-1].alias("tail"),
+        )
+        .where(F.col("tail").isNotNull())
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("gh")
+    )
+    dp = g.join(dup, "gh").select("doc_id", "pos")
+    new_span = (
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > K),
+            1,
+        )
+        .otherwise(0)
+    )
+    sp = dp.select(
+        "doc_id",
+        "pos",
+        F.sum(new_span)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("span_id"),
+    )
+    return sp.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + K - 1).alias("span_end"),
+        (F.max("pos") + K - F.min("pos")).alias("span_tokens"),
+    )

@@ -382,3 +382,34 @@ def test_bpe_train_deterministic_and_greedy(spark, sf_dir):
     ties = sorted(k for k, v in c.items() if v == best)
     assert (m1[0][1], m1[0][2]) == ties[0]
     assert m1[0][4] == best
+
+
+def test_dup_spans_disjoint_and_cover(spark, sf_dir):
+    """Spans are per-doc disjoint (gap > 0 between consecutive), each ≥ K
+    tokens, and every duplicated gram position falls inside some span."""
+    from sdu_hadoop_indexer_spark.llm import dedup as dd
+    from pyspark.sql import Window
+
+    spans = dd.text_dup_spans(spark, sf_dir).cache()
+    assert spans.where(
+        F.col("span_tokens") < dd.K_GRAM
+    ).count() == 0
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    overlap = (
+        spans.withColumn("prev_end", F.lag("span_end").over(w))
+        .where(F.col("prev_end").isNotNull() & (F.col("span_start") <= F.col("prev_end")))
+        .count()
+    )
+    assert overlap == 0
+    # coverage: per-doc sum(span_tokens) >= per-doc dup_grams (each dup gram
+    # contributes K positions that lie inside spans; spans fuse overlaps)
+    prof = dd.dedup_exact_substring(spark, sf_dir)
+    cov = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("covered"))
+    bad = (
+        prof.where(F.col("dup_grams") > 0)
+        .join(cov, "doc_id", "left")
+        .where(F.col("covered").isNull() | (F.col("covered") < F.col("dup_grams")))
+        .count()
+    )
+    assert bad == 0
+    spans.unpersist()
