@@ -241,3 +241,63 @@ def win_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    f AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM ev
+    )
+    SELECT user_id, event_id, {sql_epoch_s('ts')} AS ts_s,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_seen
+    FROM f
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user (how many distinct event types seen
+    so far) — the window aggregate SQL engines don't support directly
+    (`COUNT(DISTINCT) OVER` is invalid in both Spark and DuckDB).
+
+    The O(n) first-occurrence rewrite: rank within (user, type) marks each
+    type's first row, then a running SUM of the flags over the user
+    timeline IS the running distinct count. Costs two window passes with
+    different partition keys (one (user, type) exchange, one (user)
+    exchange) — still linear, vs the quadratic correlated-subquery
+    formulation. A `size(collect_set() OVER)` alternative is linear-pass
+    but carries a growing set per row; the flag rewrite shuffles only
+    bigints.
+    """
+    ev = table(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_first = F.when(F.row_number().over(wf) == 1, 1).otherwise(0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+            is_first.alias("is_first"),
+            F.col("ts"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_s",
+            F.sum("is_first").over(wu).cast("bigint").alias(
+                "distinct_types_seen"
+            ),
+        )
+    )

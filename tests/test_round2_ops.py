@@ -413,3 +413,36 @@ def test_dup_spans_disjoint_and_cover(spark, sf_dir):
     )
     assert bad == 0
     spans.unpersist()
+
+
+def test_running_distinct_monotone_and_bounded(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.operators import windows as winops
+    from pyspark.sql import Window
+
+    res = winops.win_running_distinct(spark, sf_dir).cache()
+    # monotone non-decreasing per user, steps of ≤1, bounded by 5 types
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    stepped = res.withColumn("prev", F.lag("distinct_types_seen").over(w))
+    bad = stepped.where(
+        F.col("prev").isNotNull()
+        & (
+            (F.col("distinct_types_seen") < F.col("prev"))
+            | (F.col("distinct_types_seen") > F.col("prev") + 1)
+        )
+    ).count()
+    assert bad == 0
+    assert res.agg(F.max("distinct_types_seen")).collect()[0][0] <= 5
+    # final value per user equals the true distinct count
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    true = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("expect")
+    )
+    final = res.groupBy("user_id").agg(
+        F.max("distinct_types_seen").alias("got")
+    )
+    assert final.join(true, "user_id").where(
+        F.col("got") != F.col("expect")
+    ).count() == 0
+    res.unpersist()
