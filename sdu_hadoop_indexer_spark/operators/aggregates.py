@@ -540,3 +540,30 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register("agg_approx_percentile_sketch")  # ROWS-ONLY: sketch-merge order engine-local
+def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the mergeable quantile sketch
+    (`approx_percentile`, Greenwald-Khanna): the 100 TB path for "p50/p95
+    latency per group" dashboards where the exact `agg_percentiles` sort
+    is unaffordable — partial sketches merge map-side like any partial
+    agg, memory O(1/ε) per group regardless of row count.
+
+    ROWS-ONLY: the sketch's partition-merge order is engine-local;
+    tests/test_round2_ops.py bounds each estimate against the exact
+    percentile instead (rank error ≤ ε·n with ε = 1/accuracy).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
+        )[0].alias("p50"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
+        )[1].alias("p95"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
+        )[2].alias("p99"),
+    )

@@ -446,3 +446,25 @@ def test_running_distinct_monotone_and_bounded(spark, sf_dir):
         F.col("got") != F.col("expect")
     ).count() == 0
     res.unpersist()
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """GK sketch guarantee: each estimate's RANK error ≤ n/accuracy
+    (accuracy=1000 → ≤ 0.1% of rows, checked with slack 2x)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    res = aggregates.agg_approx_percentile_sketch(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    for r in res:
+        vals = sorted(
+            x.l_extendedprice
+            for x in li.where(F.col("l_returnflag") == r.l_returnflag).collect()
+        )
+        n = len(vals)
+        tol = max(2 * n // 1000, 2)
+        for q, est in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            import bisect
+
+            rank = bisect.bisect_left(vals, est)
+            target = q * n
+            assert abs(rank - target) <= tol + 1, (r.l_returnflag, q, rank, target)
