@@ -482,12 +482,22 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
-    e AS (
+    e0 AS (
         SELECT doc_a AS u, doc_b AS v
         FROM pairs
         JOIN tsize sa ON doc_a = sa.doc_id
         JOIN tsize sb ON doc_b = sb.doc_id
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    deg AS (
+        SELECT d, count(*) AS dg FROM (
+            SELECT u AS d FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY d
+    ),
+    e AS (
+        SELECT u, v FROM e0
+        JOIN deg du ON e0.u = du.d JOIN deg dv ON e0.v = dv.d
+        WHERE du.dg <= 64 AND dv.dg <= 64
     ),
     tri AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -508,13 +518,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edges are canonically oriented (u < v), so each triangle a<b<c is
     found exactly once via two equi-joins: wedge (a,b)+(b,c), closed by
-    edge (a,c). At 100 TB the standard refinement is degree-ordering
-    (orient edges low-degree → high-degree) so wedge fan-out is bounded
-    by the smaller endpoint's degree; the join shape is unchanged.
+    edge (a,c). Hub nodes with degree > 64 are DROPPED first (both
+    engines): near-universal duplicates form giant cliques whose triangle
+    count is cubic in clique size — uninformative output that no counter
+    can enumerate at scale; degree-capping is the standard mitigation
+    (count triangles among discriminative edges only), and it bounds the
+    wedge join at m×64 rows at ANY corpus size. The further 100 TB
+    refinement is degree-ORDERING (orient low→high degree), same join
+    shape.
     """
+    e0 = dedup_near_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        e0.select(F.col("u").alias("d"))
+        .unionAll(e0.select(F.col("v").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").alias("dg"))
+        .where(F.col("dg") <= 64)
+        .select("d")
+    )
     e = (
-        dedup_near_jaccard(spark, sf_dir)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        e0.join(deg.select(F.col("d").alias("u")), "u")
+        .join(deg.select(F.col("d").alias("v")), "v")
+        .select("u", "v")
         .persist()
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
