@@ -196,3 +196,47 @@ def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_for_sqludf
         """
     )
+
+
+@register(
+    "udtf_applyinarrow",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_quantity) AS qty_sum,
+           CAST(max(l_extendedprice) - min(l_extendedprice) AS DOUBLE)
+               AS price_range
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udtf_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`applyInArrow` (Spark 4): grouped table-function over RAW Arrow
+    tables — the zero-copy sibling of `applyInPandas` for when the Python
+    logic speaks Arrow natively (no pandas conversion on either edge).
+    Same exchange-per-group scale shape as `udtf_applyinpandas`; sums here
+    are exact (integral doubles), so the oracle is EXACT.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity")
+        p = t.column("l_extendedprice")
+        return pa.table(
+            {
+                "l_returnflag": [t.column("l_returnflag")[0].as_py()],
+                "n": [t.num_rows],
+                "qty_sum": [pc.sum(q).as_py()],
+                "price_range": [
+                    pc.max(p).as_py() - pc.min(p).as_py()
+                ],
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        summarize,
+        "l_returnflag string, n bigint, qty_sum double, price_range double",
+    )
