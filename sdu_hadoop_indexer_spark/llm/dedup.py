@@ -390,6 +390,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_GRAM = 8  # window length (tokens) for exact-substring duplication
 
 
+def _kgram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gh): 64-bit xxhash64 of each K_GRAM-token window, built
+    in ONE window pass (K-1 `lead`s over the per-doc sort). Shared gram
+    stage of `dedup_exact_substring` / `text_dup_spans`."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("term", i).over(w) for i in range(1, K_GRAM)]
+    return (
+        tokenize(spark, sf_dir)
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("term"), *leads).alias("gram"),
+            leads[-1].alias("tail"),
+        )
+        .where(F.col("tail").isNotNull())
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+
+
+
+
 @register(
     "dedup_exact_substring",
     oracle=f"""
@@ -437,18 +458,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     a left join marks windows; both shuffles are plain hash partitions
     with map-side partial counts. No all-pairs stage anywhere.
     """
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("term", i).over(w) for i in range(1, K_GRAM)]
-    g = (
-        tokenize(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("term"), *leads).alias("gram"),
-            leads[-1].alias("tail"),
-        )
-        .where(F.col("tail").isNotNull())
-        .select("doc_id", F.xxhash64("gram").alias("gh"))
-    )
+    g = _kgram_hashes(spark, sf_dir).select("doc_id", "gh")
     dup = (
         g.groupBy("gh")
         .agg(F.count("*").alias("n"))
@@ -609,18 +619,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     K = K_GRAM
     w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("term", i).over(w) for i in range(1, K)]
-    g = (
-        tokenize(spark, sf_dir)
-        .select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", F.col("term"), *leads).alias("gram"),
-            leads[-1].alias("tail"),
-        )
-        .where(F.col("tail").isNotNull())
-        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
-    )
+    g = _kgram_hashes(spark, sf_dir)
     dup = (
         g.groupBy("gh")
         .agg(F.count("*").alias("n"))
