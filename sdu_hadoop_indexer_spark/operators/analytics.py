@@ -465,7 +465,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection over hourly event-rate series: each
-    hour's count vs the trailing-24h (exclusive) mean/std; |z| > 3 flags.
+    hour's count vs the trailing 24 OBSERVED hours (exclusive ROWS frame —
+    identical to wall-clock on a gap-free series); |z| > 3 flags.
 
     Mean and variance come from EXACT integer window sums (Σn, Σn²) — not
     `stddev_samp`, whose one-pass implementation differs between engines in
