@@ -348,3 +348,43 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide("o_totalprice", F.col("o_custkey") % 10) * 10000
         ).cast("bigint").alias("per_unit_e4"),
     )
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS k,
+           o_orderpriority AS p,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+    FROM orders
+    """,
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest (`from_xml`, Spark 4): schema-directed parse of an XML
+    string column into a typed struct — the third semi-structured format
+    next to `scan_json_props` (JSON) and `fn_variant_json` (VARIANT).
+    The XML here is synthesized from the fixture so the parse is
+    round-trip verifiable: the oracle reads the same values straight from
+    the source columns, proving lossless encode→parse.
+    """
+    o = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p><price>"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.lit("</price></o>"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(xml, "k BIGINT, p STRING, price DOUBLE").alias("v"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.k").alias("k"),
+        F.col("v.p").alias("p"),
+        F.col("v.price").alias("price"),
+    )

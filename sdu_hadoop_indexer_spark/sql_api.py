@@ -213,3 +213,31 @@ def sql_pipe_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY rev DESC, l_returnflag
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice < 150000.0 AND year(o_orderdate) = 1995
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 `spark.sql(query, args=...)`): named
+    `:param` markers bound server-side — the injection-safe templating
+    surface every SQL gateway needs (values are typed literals in the
+    plan, so constant folding and pushdown see them exactly like inline
+    constants).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+        FROM orders
+        WHERE o_totalprice < :cap AND year(o_orderdate) = :yr
+        GROUP BY o_orderpriority
+        """,
+        args={"cap": 150000.0, "yr": 1995},
+    )
