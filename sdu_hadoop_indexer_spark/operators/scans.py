@@ -168,9 +168,18 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(d, "doc_id").select("term", "doc_id", "tf", "dl")
 
 
-@register("sink_parquet")  # ROWS-ONLY: side-effecting; read-back equals source
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overwrite parquet sink + read-back (R13).
+    """Overwrite parquet sink + read-back (R13) — EXACT oracle: the
+    partitioned round-trip must reproduce the source table bit-for-bit
+    (round-2 upgrade from the round-1 ROWS-ONLY row).
 
     The reference deleted its output dir by hand before the job
     (App.scala:261-263); ``mode("overwrite")`` is the engine-level equivalent.
@@ -178,7 +187,15 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/sdu_spark_sink/orders_by_status")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    return spark.read.parquet(out).select(*src.columns)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    return spark.read.parquet(out).select(*cols)
 
 
 @register(

@@ -19,7 +19,6 @@ EXPECTED_ROWS_ONLY = {
     "media_resize",
     "sim_topk_ivf",
     "sim_topk_lsh",
-    "sink_parquet",
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
     "stream_outer_join_watermark",  # real multi-batch run; row set pinned in tests
