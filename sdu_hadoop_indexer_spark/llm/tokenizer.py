@@ -100,3 +100,36 @@ def bpe_train(
 @register("llm_bpe_train")  # ROWS-ONLY: iterative loop not one-statement SQL
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, sf_dir)
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Apply trained merges: re-run the training fold sequence over the
+    vocab (merge application is the SAME `aggregate` fold used in
+    training, replayed in rank order), yielding each word's BPE symbol
+    sequence. Corpus encoding is then a vocab-sized broadcast join — the
+    corpus itself is never re-folded."""
+    words = (
+        tokenize(spark, sf_dir)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        "word", "freq", F.split("word", "").alias("sym")
+    ).localCheckpoint()
+    merges = bpe_train(spark, sf_dir, n_merges).collect()
+    for m in sorted(merges, key=lambda r: r.rank):
+        vocab = _apply_merge(vocab, m.left, m.right).localCheckpoint()
+    return vocab.select(
+        "word",
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size("sym").alias("n_symbols"),
+        F.array_join("sym", "|").alias("symbols"),
+    )
+
+
+@register("llm_bpe_encode")  # ROWS-ONLY: depends on learned merge table
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode(spark, sf_dir)

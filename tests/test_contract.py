@@ -25,6 +25,7 @@ EXPECTED_ROWS_ONLY = {
     "scan_state_store",  # reads a real streaming checkpoint
     "media_phash_neardup",  # stubbed decode is engine-local
     "llm_bpe_train",  # iterative loop not one-statement SQL; pinned in tests
+    "llm_bpe_encode",  # depends on the learned merge table
     "agg_approx_percentile_sketch",  # GK sketch merge order engine-local
     "text_countmin_heavyhitters",  # xxhash64 sketch cells engine-local
 }

@@ -468,3 +468,19 @@ def test_approx_percentile_rank_error_bounded(spark, sf_dir):
             rank = bisect.bisect_left(vals, est)
             target = q * n
             assert abs(rank - target) <= tol + 1, (r.l_returnflag, q, rank, target)
+
+
+def test_bpe_encode_lossless_and_compressive(spark, sf_dir):
+    """Symbols concatenate back to the word (lossless), symbol count never
+    exceeds char count, and ≥1 word actually compressed."""
+    from sdu_hadoop_indexer_spark.llm import tokenizer
+
+    rows = tokenizer.bpe_encode(spark, sf_dir).collect()
+    assert len(rows) > 0
+    compressed = 0
+    for r in rows:
+        assert r.symbols.replace("|", "") == r.word
+        assert r.n_symbols <= r.n_chars
+        if r.n_symbols < r.n_chars:
+            compressed += 1
+    assert compressed > 0
