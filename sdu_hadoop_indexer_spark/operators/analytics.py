@@ -377,10 +377,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) range-bounded grids.
     """
     ev = table(spark, sf_dir, "events")
-    # Hourly means are 4dp-rounded BEFORE interpolation: with identical
-    # rounded inputs and integer-epoch weights, the interpolation
-    # arithmetic is the same IEEE-double expression on both engines, so
-    # the final round(,4) cannot straddle a half-ulp boundary.
+    # Hourly means are 4dp-rounded BEFORE interpolation so they scale to
+    # exact bigints for the integer-space interpolation below.
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.round(F.avg("value"), 4).alias("v"))
