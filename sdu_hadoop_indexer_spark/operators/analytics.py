@@ -509,3 +509,58 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM ev
+    ),
+    c AS (
+        SELECT cur, nxt, count(*) AS cnt
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(cnt) AS total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.cnt,
+           ((2 * c.cnt * 10000 + tot.total) // (2 * tot.total)) / 10000.0
+               AS prob
+    FROM c JOIN tot ON c.cur = tot.cur
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral model behind
+    next-action prediction and anomalous-flow detection.
+
+    One user-partitioned window pass builds (cur, next) pairs, a hash agg
+    counts them, and per-state totals broadcast back for the row-wise
+    probability. Probabilities use the half-up INTEGER division pattern
+    (exact bigints both engines) rather than `round(cnt/total, 4)`, whose
+    double-tie behaviour differs across engines. Output is
+    |types|²-sized — driver-safe at any event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("cur").agg(F.sum("cnt").alias("total"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "cnt",
+            (
+                F.expr("(2 * cnt * 10000 + total) div (2 * total)")
+                / 10000.0
+            ).alias("prob"),
+        )
+    )
