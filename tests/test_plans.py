@@ -342,3 +342,35 @@ def test_banded_range_join_is_equi_not_bnlj(spark, sf_dir):
     plan = _plan(joins.join_range_banded(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cbo_stats_inform_planner(spark, sf_dir):
+    """ANALYZE TABLE stats must reach the optimizer: after COMPUTE
+    STATISTICS the table's row count and size appear in the catalog and the
+    CBO (spark.sql.cbo.enabled) can use them — the 100 TB prerequisite for
+    stats-driven join reordering on tables too big to sample at plan time."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "cbo_nation"
+    )
+    spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    stats = spark.sql("DESCRIBE EXTENDED cbo_nation").collect()
+    blob = "\n".join(str(r) for r in stats)
+    assert "rowCount" in blob or "Statistics" in blob
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        joined = li.join(
+            spark.table("cbo_nation"),
+            li.l_suppkey % 25 == spark.table("cbo_nation").n_nationkey,
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        # the analyzed dim's stats mark it broadcast-eligible
+        assert "cbo_nation" in plan or "nation" in plan
+        phys = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in phys or "BroadcastHashJoin" in phys
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
