@@ -648,3 +648,39 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + K - 1).alias("span_end"),
         (F.max("pos") + K - F.min("pos")).alias("span_tokens"),
     )
+
+
+@register("dedup_cluster_keep_best")  # ROWS-ONLY: cluster ids are engine-local
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: near-dup clusters (MinHash connected
+    components) each keep their single best member by model quality score
+    — what a curation pipeline actually writes out, completing
+    discover-candidates → cluster → choose-survivor.
+
+    One ranking window over (cluster | score DESC, doc_id) picks the
+    survivor; output is one row per cluster with the keeper, its score,
+    and the cluster size. ROWS-ONLY because cluster representatives hash
+    engine-locally; tests pin one-keeper-per-cluster and keeper-is-max-
+    score invariants.
+    """
+    from . import curation as _c
+
+    labels = dedup_minhash_cluster(spark, sf_dir)
+    scores = _c.quality_lr(spark, sf_dir).select("doc_id", "quality_score")
+    j = labels.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_rep"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("keeper"),
+            F.round("quality_score", 4).alias("keeper_score"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

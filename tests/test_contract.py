@@ -12,6 +12,7 @@ EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",
     "agg_hll_sketch_merge",  # DataSketches binary sketches engine-specific
     "dedup_minhash_cluster",
+    "dedup_cluster_keep_best",  # cluster reps engine-local
     "dedup_minhash_lsh",
     "dedup_simhash",
     "media_features",

@@ -484,3 +484,31 @@ def test_bpe_encode_lossless_and_compressive(spark, sf_dir):
         if r.n_symbols < r.n_chars:
             compressed += 1
     assert compressed > 0
+
+
+def test_cluster_keep_best_invariants(spark, sf_dir):
+    """One keeper per cluster; the keeper carries the cluster's max score;
+    cluster sizes sum to the doc count."""
+    from sdu_hadoop_indexer_spark.llm import curation
+    from sdu_hadoop_indexer_spark.llm import dedup as dd
+
+    kept = dd.dedup_cluster_keep_best(spark, sf_dir).cache()
+    labels = dd.dedup_minhash_cluster(spark, sf_dir)
+    assert kept.count() == labels.select("cluster_rep").distinct().count()
+    assert kept.select("cluster_rep").distinct().count() == kept.count()
+    total = kept.agg(F.sum("cluster_size")).collect()[0][0]
+    assert total == labels.count()
+    # keeper score is the cluster max (4dp-rounded on both sides)
+    scores = curation.quality_lr(spark, sf_dir).select("doc_id", "quality_score")
+    best = (
+        labels.join(scores, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(F.round(F.max("quality_score"), 4).alias("max_score"))
+    )
+    bad = (
+        kept.join(best, "cluster_rep")
+        .where(F.col("keeper_score") != F.col("max_score"))
+        .count()
+    )
+    assert bad == 0
+    kept.unpersist()
