@@ -322,7 +322,8 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SQL_EVENTS_US},
     obs AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               round(avg(value), 4) AS v
+               ((2 * sum(CAST(round(value * 10000, 0) AS BIGINT))
+                 + count(*)) // (2 * count(*))) / 10000.0 AS v
         FROM ev GROUP BY event_type, date_trunc('hour', ts)
     ),
     grid AS (
@@ -377,11 +378,21 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) range-bounded grids.
     """
     ev = table(spark, sf_dir, "events")
-    # Hourly means are 4dp-rounded BEFORE interpolation so they scale to
-    # exact bigints for the integer-space interpolation below.
+    # Hourly means are computed ENTIRELY in integer space (values quantized
+    # to 1e-4 per row, half-up integer-division mean): `round(avg(x), 4)`
+    # ties differently across engines when the true mean lands on .00005
+    # (seen at sf0.1), while bigint sums + integer division are exact.
     obs = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg(
+        (
+            F.expr(
+                "(2 * sum(CAST(round(value * 10000, 0) AS BIGINT))"
+                " + count(*)) div (2 * count(*))"
+            )
+            / 10000.0
+        ).alias("v")
+    )
     grid = (
         obs.groupBy("event_type")
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
