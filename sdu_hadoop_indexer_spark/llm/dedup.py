@@ -492,19 +492,19 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v
         FROM pairs
         JOIN tsize sa ON doc_a = sa.doc_id
         JOIN tsize sb ON doc_b = sb.doc_id
         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT d, count(*) AS dg FROM (
             SELECT u AS d FROM e0 UNION ALL SELECT v FROM e0
         ) GROUP BY d
     ),
-    e AS (
+    e AS MATERIALIZED (
         SELECT u, v FROM e0
         JOIN deg du ON e0.u = du.d JOIN deg dv ON e0.v = dv.d
         WHERE du.dg <= 64 AND dv.dg <= 64
