@@ -503,3 +503,74 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 6).alias("scale"),
         F.round(err, 6).alias("max_err"),
     )
+
+
+@register("sim_pca_power")  # ROWS-ONLY: eigensolver not SQL-expressible
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud: DISTRIBUTED
+    covariance accumulation + driver-side power iteration — the
+    dimensionality-reduction/whitening primitive for embedding pipelines
+    (e.g. de-meaning + top-PC removal, the classic embedding
+    post-processing step).
+
+    Scale split: executors reduce the corpus to ONE dim×dim Gram matrix
+    (per-row outer products exploded to (i, j, x_i·x_j) cells → a single
+    map-side-combined hash agg on 64² keys — corpus-sized work, fixed-size
+    output); the driver then runs 64×64 power iteration (fixed start
+    vector, fixed 100 steps → deterministic) on data that no longer grows
+    with N. Output: top eigenvalue, total variance (trace), explained
+    ratio, dominant dimension. ROWS-ONLY (no SQL eigensolver); the
+    eigenpair residual ‖Cv − λv‖ ≤ 1e-6·λ is pinned in tests.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (xi, i) ->"
+                " transform(embedding, (xj, j) ->"
+                " struct(i AS i, j AS j,"
+                " CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    sums = (
+        cells.groupBy("i", "j")
+        .agg(F.sum("p").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    means = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    dim = len(means)
+    n = sums[0].n
+    m = np.zeros(dim)
+    for r in means:
+        m[r.i] = r.m
+    cov = np.zeros((dim, dim))
+    for r in sums:
+        cov[r.i, r.j] = r.s / n
+    cov -= np.outer(m, m)
+    v = np.zeros(dim)
+    v[0] = 1.0
+    for _ in range(100):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ cov @ v)
+    trace = float(np.trace(cov))
+    return spark.createDataFrame(
+        [
+            (
+                round(lam, 4),
+                round(trace, 4),
+                round(lam / trace, 4),
+                int(np.argmax(np.abs(v))),
+            )
+        ],
+        "top_eigenvalue double, total_variance double, "
+        "explained_ratio double, dominant_dim int",
+    )

@@ -19,6 +19,7 @@ EXPECTED_ROWS_ONLY = {
     "media_frame_sample",
     "media_resize",
     "sim_topk_ivf",
+    "sim_pca_power",  # no SQL eigensolver
     "sim_topk_lsh",
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",

