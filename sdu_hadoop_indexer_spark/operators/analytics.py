@@ -575,3 +575,57 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob"),
         )
     )
+
+
+@register(
+    "events_path_regex",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    paths AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS path
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id, length(path) AS path_len,
+           CASE WHEN regexp_matches(path, 'v.*c.*p') THEN 1 ELSE 0 END
+               AS funnel_vcp,
+           CASE WHEN regexp_matches(path, 'ee') THEN 1 ELSE 0 END
+               AS double_error,
+           CASE WHEN regexp_matches(path, '^s') THEN 1 ELSE 0 END
+               AS signup_first
+    FROM paths
+    """,
+)
+def events_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over behavior paths (MATCH_RECOGNIZE-lite):
+    each user's time-ordered events collapse to a compact path string (one
+    char per event) and patterns become plain regexes — ordered funnel
+    (`v.*c.*p`), immediate repetition (`ee`), prefix anchors (`^s`).
+
+    The path build is one ordered string agg per user (the same
+    user-partitioned exchange every other behavioral op uses); the regex
+    evaluation is a zero-shuffle projection. Paths are events-per-user
+    long — bounded at any corpus scale by per-user activity, not corpus
+    size (cap with a windowed LIMIT for pathological users at 100 TB).
+    """
+    ev = table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(substring(event_type, 1, 1), '')"
+            " WITHIN GROUP (ORDER BY ts, event_id)"
+        ).alias("path")
+    )
+    return paths.select(
+        "user_id",
+        F.length("path").alias("path_len"),
+        F.when(F.col("path").rlike("v.*c.*p"), 1).otherwise(0).alias(
+            "funnel_vcp"
+        ),
+        F.when(F.col("path").rlike("ee"), 1).otherwise(0).alias(
+            "double_error"
+        ),
+        F.when(F.col("path").rlike("^s"), 1).otherwise(0).alias(
+            "signup_first"
+        ),
+    )
