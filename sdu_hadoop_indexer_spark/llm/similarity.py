@@ -574,3 +574,68 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_eigenvalue double, total_variance double, "
         "explained_ratio double, dominant_dim int",
     )
+
+
+RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+@register(
+    "sim_random_projection",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS j,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    grid AS (
+        SELECT x.vec_id, k.k, x.j,
+               CAST(round(CAST(x.v AS DOUBLE) * 100000000, 0) AS BIGINT) AS sv,
+               CASE WHEN ((k.k * 64 + x.j + 1) * 2654435761) % 4294967296
+                         < 2147483648
+                    THEN 1 ELSE -1 END AS s
+        FROM x, (SELECT unnest(range({RP_DIM})) AS k) k
+    )
+    SELECT vec_id, CAST(k AS INTEGER) AS k,
+           sum(sv * s) / 100000000.0 AS y
+    FROM grid GROUP BY vec_id, k
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    DETERMINISTIC hash-derived ±1 sign matrix (no RNG state — the matrix
+    is a pure function of (k, j), so any executor, any engine, any rerun
+    projects identically). The standard ANN pre-reduction: pairwise
+    distances are preserved within (1±ε) whp, and downstream LSH/IVF run
+    on 4× narrower vectors.
+
+    Zero shuffle for the projection itself: each output coordinate is a
+    JVM-side fold over the embedding array (values quantized to exact
+    1e-8 bigints first — float→DECIMAL casts round differently across
+    engines, integer sums cannot). Long output form (vec_id, k, y) keeps
+    the driver gate scalar-typed.
+    """
+    sign = (
+        "IF(pmod((({k} * 64 + j + 1) * 2654435761), 4294967296)"
+        " < 2147483648, 1L, -1L)"
+    )
+    fold = (
+        "aggregate(zip_with(embedding,"
+        " transform(sequence(0, 63), j -> {sign}),"
+        " (x, s) -> CAST(round(CAST(x AS DOUBLE) * 100000000, 0) AS BIGINT)"
+        " * s), 0L, (a, b) -> a + b) / CAST(1e8 AS DOUBLE)"
+    )
+    e = table(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(fold.format(sign=sign.format(k=k))).alias(f"y{k}")
+        for k in range(RP_DIM)
+    ]
+    wide = e.select("vec_id", *cols)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.col(f"y{k}").alias("y"))
+            for k in range(RP_DIM)
+        ]
+    )
+    return wide.select("vec_id", F.explode(pairs).alias("p")).select(
+        "vec_id", F.col("p.k").alias("k"), F.col("p.y").alias("y")
+    )

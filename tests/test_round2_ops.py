@@ -533,3 +533,33 @@ def test_pca_power_eigenpair_residual(spark, sf_dir):
     # distributed top eigenvalue matches numpy's (4dp rounding slack)
     assert abs(row.top_eigenvalue - vals[-1]) < 2e-3
     assert abs(row.total_variance - np.trace(C)) < 2e-3
+
+
+def test_random_projection_preserves_norms(spark, sf_dir):
+    """JL guarantee: after the k/d scale correction, each vector's projected
+    norm is within a constant band of its original norm (norm concentration
+    — the actual JL statement; pairwise-distance correlation is vacuous
+    under concentration of measure), and the projection is deterministic."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.llm import similarity
+
+    proj = similarity.sim_random_projection(spark, sf_dir)
+    P = {}
+    for r in proj.collect():
+        P.setdefault(r.vec_id, [0.0] * similarity.RP_DIM)[r.k] = float(r.y)
+    X = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    scale = np.sqrt(similarity.RP_DIM)  # E[y_k^2] = ||x||^2 for +-1 signs
+    ratios = []
+    for vid in sorted(X)[:200]:
+        o = np.linalg.norm(X[vid])
+        p = np.linalg.norm(np.array(P[vid])) / scale
+        if o > 0:
+            ratios.append(p / o)
+    ratios = np.array(ratios)
+    assert 0.7 < ratios.mean() < 1.3, ratios.mean()
+    assert (ratios > 0.2).all() and (ratios < 3.0).all()
