@@ -15,7 +15,7 @@ term-pair) row), not positional explode, so its cost is O(matching docs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -346,4 +346,76 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "c", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
+    )
+
+
+@register(
+    "text_fuzzy_term_lookup",
+    oracle=f"""
+    WITH {TOK_SQL},
+    vocab AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term
+    ),
+    q AS (
+        SELECT term AS qterm,
+               substr(term, 1, 1) || substr(term, 3) AS typo
+        FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+              FROM vocab)
+        WHERE rn <= 5 AND length(qterm) >= 4
+    )
+    SELECT q.typo, v.term AS matched, v.df,
+           levenshtein(q.typo, v.term) AS dist
+    FROM q JOIN vocab v
+      ON abs(length(q.typo) - length(v.term)) <= 2
+     AND levenshtein(q.typo, v.term) <= 2
+    """,
+)
+def text_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant term lookup against the index vocabulary: the 5 most
+    frequent terms, each corrupted by dropping their 2nd character, are
+    matched back to every vocab term within edit distance 2.
+
+    BLOCKED fuzzy join (same shape as `dedup_fuzzy_names` and
+    `join_range_banded`): each query term explodes to the 5 length bands
+    its matches can inhabit (edit distance ≤ 2 bounds the length delta),
+    the join is EQUI on the length key, and Levenshtein runs only inside
+    blocks — never a cartesian over the vocabulary. At 100 TB the vocab
+    relation is the big side and the length-band key (optionally + first
+    char) is its shuffle partition.
+    """
+    vocab = (
+        tokenize(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), "term")
+    q = (
+        vocab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1), F.expr("substring(term, 3)")
+            ).alias("typo")
+        )
+        .where(F.length("typo") >= 3)
+        .select(
+            "typo",
+            F.explode(
+                F.sequence(
+                    F.length("typo") - 2, F.length("typo") + 2
+                )
+            ).alias("blk"),
+        )
+    )
+    v = vocab.select("term", "df", F.length("term").alias("blk"))
+    return (
+        q.join(v, "blk")
+        .where(F.levenshtein("typo", "term") <= 2)
+        .select(
+            "typo",
+            F.col("term").alias("matched"),
+            "df",
+            F.levenshtein("typo", "term").alias("dist"),
+        )
     )
