@@ -629,3 +629,38 @@ def events_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_first"
         ),
     )
+
+
+@register(
+    "events_hour_heatmap",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hod,
+           event_type,
+           count(*) AS n,
+           {{dsum}}
+    FROM ev
+    GROUP BY isodow(ts), hour(ts), event_type
+    """.replace("{dsum}", "CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value"),
+)
+def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: (ISO day-of-week × hour-of-day × type) counts and
+    value mass — the 2D seasonal profile behind load forecasting and
+    anomaly baselines (pairs with `events_anomaly_zscore`, which scores
+    deviations from exactly this kind of profile).
+
+    One map-side-combined hash agg on a ≤ 7×24×|types| key space — the
+    canonical corpus-sized-input, calendar-sized-output reduction.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("CAST(extract(DAYOFWEEK_ISO FROM ts) AS INT)").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
