@@ -301,3 +301,49 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}
+    SELECT event_id, event_type, {sql_epoch_s('ts')} AS ts_s,
+           median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+               AS med25
+    FROM ev
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over a 25-row window — a window aggregate Spark has
+    no native function for (`median()` is grouped-only), rewritten as
+    `sort_array(collect_list(...))` over the frame + middle-element
+    arithmetic. The robust-location twin of the rolling mean in
+    `events_anomaly_zscore` (medians shrug off the outliers that drag a
+    mean).
+
+    Cost note: the array rewrite carries O(frame) state per row — right
+    for bounded ROWS frames (25 here); for unbounded or very wide frames
+    the scale path is a two-heap/sketch `transformWithState` processor
+    instead. Median of an even frame = mean of the two middles, the same
+    IEEE `(a+b)/2` DuckDB interpolates, so the oracle stays EXACT.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    mid_lo = F.floor((n + 1) / 2).cast("int")
+    mid_hi = F.floor((n + 2) / 2).cast("int")
+    lo = F.element_at(arr, mid_lo)
+    hi = F.element_at(arr, mid_hi)
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+        med.alias("med25"),
+    )
