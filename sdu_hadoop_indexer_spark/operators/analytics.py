@@ -664,3 +664,78 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    anchor AS (SELECT max(ts) AS now FROM ev),
+    per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(ts), any_value(a.now)) AS BIGINT)
+                   AS recency_days,
+               count(*) FILTER (WHERE event_type = 'purchase') AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(25,4)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                   AS monetary
+        FROM ev, anchor a GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, recency_days, frequency,
+               coalesce(monetary, 0.0) AS monetary,
+               ntile(4) OVER (ORDER BY recency_days, user_id) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+               ntile(4) OVER (ORDER BY coalesce(monetary, 0.0) DESC, user_id)
+                   AS m
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r || '' || f || '' || m AS rfm
+    FROM scored
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event),
+    Frequency (purchases), Monetary (purchase value), each quartiled into
+    1-4 and concatenated to the classic 'rfm' segment code.
+
+    One per-user hash agg, then three ntile windows over the users-sized
+    relation (each with a deterministic user_id tie-break, which is what
+    makes quartile assignment oracle-able). Users-sized work after the
+    first agg — at 100 TB the ntile total orders run on the aggregate,
+    never the raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now"))
+    per_user = (
+        ev.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("now"), F.max("ts")).cast("bigint").alias(
+                "recency_days"
+            ),
+            F.expr("count(*) FILTER (WHERE event_type = 'purchase')").alias(
+                "frequency"
+            ),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(25,4)))"
+                " FILTER (WHERE event_type = 'purchase') AS DOUBLE)"
+            ).alias("monetary"),
+        )
+        .withColumn("monetary", F.coalesce("monetary", F.lit(0.0)))
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    wm = Window.orderBy(F.desc("monetary"), "user_id")
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat(
+            F.ntile(4).over(wr).cast("string"),
+            F.ntile(4).over(wf).cast("string"),
+            F.ntile(4).over(wm).cast("string"),
+        ).alias("rfm"),
+    )

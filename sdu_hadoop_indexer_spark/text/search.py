@@ -419,3 +419,55 @@ def text_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("typo", "term").alias("dist"),
         )
     )
+
+
+PROX_K = 3  # proximity window (tokens) for near-phrase search
+
+
+@register(
+    "text_proximity_search",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT a.doc_id,
+           CAST(len(list_filter(a.positions, pa ->
+                len(list_filter(b.positions, pb ->
+                    abs(pa - pb) <= 3 AND pa <> pb)) > 0))
+                AS INTEGER) AS n_anchor_hits
+    FROM flat a JOIN flat b ON a.doc_id = b.doc_id
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+      AND len(list_filter(a.positions, pa ->
+            len(list_filter(b.positions, pb ->
+                abs(pa - pb) <= 3 AND pa <> pb)) > 0)) > 0
+    """,
+)
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY query (`"t0 NEAR/k t1"`): docs where the two terms occur
+    within K=3 tokens of each other, in either order — the relevance
+    primitive between bag-of-words AND (`text_bool_and`) and strict
+    adjacency (`text_phrase`). Counts anchor positions of t0 with ≥1
+    near-miss t1 occurrence.
+
+    Same postings self-join as the phrase query — the window widens only
+    the ARRAY predicate (JVM lambda over the two position lists), so the
+    scale shape is unchanged: one doc_id-keyed join of two term postings,
+    no token re-explosion.
+    """
+    flat = index_flat(spark, sf_dir)
+    a = flat.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pos_a")
+    )
+    b = flat.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pos_b")
+    )
+    near = F.filter(
+        "pos_a",
+        lambda pa: F.exists(
+            "pos_b",
+            lambda pb: (F.abs(pa - pb) <= PROX_K) & (pa != pb),
+        ),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", F.size(near).alias("n_anchor_hits"))
+        .where(F.col("n_anchor_hits") > 0)
+    )
