@@ -918,3 +918,43 @@ def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "llm_repeat_upsample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN n_chars >= 400 THEN 3
+                    WHEN n_chars >= 200 THEN 2
+                    ELSE 1 END AS n_epochs
+        FROM documents
+    )
+    SELECT doc_id, source, n_epochs,
+           CAST(u.e AS INTEGER) AS epoch
+    FROM scored, unnest(range(1, n_epochs + 1)) AS u(e)
+    """,
+)
+def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted epoch repetition: high-value docs are emitted for
+    more training epochs (here 1-3 by a deterministic length tier) — the
+    data-mixing upsampling primitive (see-the-good-data-more-often),
+    executed as a zero-join row expansion.
+
+    `explode(sequence(1, n))` multiplies rows inside the scan projection —
+    no shuffle, no Python; downstream shuffling (packing, sharding) sees
+    the repeated rows as ordinary input. Bound the expansion factor (≤3
+    here) — an unbounded multiplier is a data-size foot-gun at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_epochs = (
+        F.when(F.col("n_chars") >= 400, 3)
+        .when(F.col("n_chars") >= 200, 2)
+        .otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n_epochs.alias("n_epochs"),
+        F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"),
+    )

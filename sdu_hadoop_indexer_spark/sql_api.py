@@ -241,3 +241,29 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cap": 150000.0, "yr": 1995},
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+           count(*) AS n, max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` (Spark 4 + DuckDB shared syntax): every non-aggregate
+    select item becomes a grouping key — kills the copy-the-select-list
+    failure mode in wide rollups. Planner output is identical to the
+    explicit form (one partial→final hash aggregate).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, year(o_orderdate) AS yr,
+               count(*) AS n, max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )
