@@ -13,7 +13,7 @@ semi join — the same shapes proven by the component operators' own plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -710,6 +710,11 @@ def domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_BUDGET = 50_000  # total token budget for the mixed corpus
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant
 _M32 = 4294967296  # 2^32
+# doc_id is reduced mod 2^31 BEFORE the Knuth multiply: (2^31-1)·KNUTH ≈
+# 5.7e18 stays inside int64, so Spark (silent wrap) and DuckDB (raises on
+# BIGINT overflow) keep agreeing bit-for-bit at any doc_id — the round-2
+# ADVICE overflow at doc_id ≥ ~3.5e9. 2^31 of salt is ample for sampling.
+_M31 = 2147483648  # 2^31
 
 
 @register(
@@ -719,7 +724,7 @@ _M32 = 4294967296  # 2^32
         SELECT doc_id, source,
                CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens,
-               (doc_id * {_KNUTH}) % {_M32} AS r
+               ((doc_id % {_M31}) * {_KNUTH}) % {_M32} AS r
         FROM documents
     ),
     s AS (
@@ -744,8 +749,9 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash of doc_id — re-running the pipeline (or re-balancing after new
     data lands) reproduces the same sample, no RNG state anywhere.
 
-    The hash is integer math (`doc_id * 2654435761 mod 2^32`), so both
-    engines agree bit-for-bit on who is sampled (no engine-specific
+    The hash is integer math (`(doc_id mod 2^31) * 2654435761 mod 2^32` —
+    the mod-2^31 reduction keeps the product inside int64, see `_M31`), so
+    both engines agree bit-for-bit on who is sampled (no engine-specific
     `rand(seed)` sequence). Scale shape: one token-count scan, a
     sources-sized weight relation broadcast back onto docs, one grouped
     rollup — the weight table is what a 100 TB mixing job ships to its
@@ -762,7 +768,7 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_tokens"),
-        (F.col("doc_id") * _KNUTH % _M32).alias("r"),
+        (F.col("doc_id") % _M31 * _KNUTH % _M32).alias("r"),
     )
     n_sources = d.select("source").distinct().count()
     s = t.groupBy("source").agg(
@@ -793,6 +799,9 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SORT_IDX_PARTS = 8  # range-bucket fan-out for the global ordering
+
+
 @register(
     "llm_global_sort_index",
     oracle="""
@@ -805,45 +814,40 @@ def global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed GLOBAL ordering index (curriculum order: longest docs
     first) without a single-partition sort.
 
-    The classic two-phase shape: `repartitionByRange` on the sort key →
-    `sortWithinPartitions` (each partition holds a contiguous key range,
-    locally sorted) → per-partition row counts (tiny collect, one bigint
-    per partition) → prefix-sum offsets broadcast into an Arrow-batched
-    `mapInPandas` that assigns offset + local ordinal. A window
-    `row_number() OVER (ORDER BY ...)` — the oracle's formulation — would
-    funnel ALL rows through one partition; this plan keeps every stage
-    parallel at any scale. The persist pins range boundaries so the count
-    job and the index job see identical partitioning.
+    Two-phase, fully deterministic (the round-2 `repartitionByRange` +
+    persist + `mapInPandas` form is gone — range-partitioner boundaries
+    come from reservoir sampling, which is why it needed a pinning persist
+    that then leaked in the long-lived gate session): documents are
+    range-bucketed by `approx_percentile` pivots of the sort key (a
+    deterministic sketch — pivots only balance the fan-out, never affect
+    correctness because ties share a bucket by construction), bucket row
+    counts are collected (≤ 8 longs), and global_idx = prefix-sum offset
+    of the bucket + a row_number over a window PARTITIONED by bucket. The
+    oracle's `row_number() OVER (ORDER BY …)` total order would funnel all
+    rows through one task; here every exchange and sort is bucket-parallel
+    at any scale, all JVM-side, nothing persisted.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts = (
-        d.repartitionByRange(8, F.desc("n_chars"), F.asc("doc_id"))
-        .sortWithinPartitions(F.desc("n_chars"), F.asc("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {
-        r.pid: r.cnt
-        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    key = -F.col("n_chars").cast("double")  # ascending == n_chars DESC
+    pcts = [i / SORT_IDX_PARTS for i in range(1, SORT_IDX_PARTS)]
+    pivots = d.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+    b = d.withColumn("_b", bexpr)
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    def add_idx(batches):
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = offsets.get(int(pdf["pid"].iloc[0]), 0)
-            out = pdf[["doc_id", "n_chars"]].copy()
-            out["global_idx"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield out
-
-    return parts.mapInPandas(
-        add_idx, "doc_id bigint, n_chars bigint, global_idx bigint"
+    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
+        offsets[r._b] = acc
+        acc += r.c
+    off = F.coalesce(
+        *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_b").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return b.select(
+        "doc_id",
+        "n_chars",
+        (off + F.row_number().over(w) - 1).cast("bigint").alias("global_idx"),
     )
 
 

@@ -561,10 +561,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("u").alias("d")).union(
         e.select(F.col("v").alias("d"))
     )
-    return (
-        tri.agg(F.count("*").alias("n_triangles"))
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
-        .crossJoin(nodes.agg(F.count_distinct("d").alias("n_nodes")))
+    # The three scalars are computed EAGERLY so the persisted edge set can
+    # be released before returning (round-2 ADVICE: persists accumulating
+    # across queries in the long-lived gate/bench session). The distributed
+    # work is identical; only three longs cross the driver boundary.
+    try:
+        n_tri = tri.count()
+        n_edges = e.count()
+        n_nodes = nodes.select("d").distinct().count()
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(n_tri, n_edges, n_nodes)],
+        "n_triangles bigint, n_edges bigint, n_nodes bigint",
     )
 
 

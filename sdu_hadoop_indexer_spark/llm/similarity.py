@@ -575,7 +575,18 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     dim = len(means)
-    n = sums[0].n
+    if not dim:
+        raise ValueError("sim_pca_power: embeddings table is empty")
+    # n from a direct count, NOT sums[0].n — and every Gram cell must have
+    # seen exactly n rows, else the arrays are ragged and the covariance
+    # normalization would be silently wrong (round-2 ADVICE).
+    n = e.count()
+    bad = [(r.i, r.j) for r in sums if r.n != n]
+    if bad:
+        raise ValueError(
+            f"sim_pca_power: ragged embedding arrays — Gram cells {bad[:5]} "
+            f"saw fewer than n={n} rows"
+        )
     m = np.zeros(dim)
     for r in means:
         m[r.i] = r.m

@@ -597,11 +597,18 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("event_id", "event_type", "user_id", "value")
 
 
+# scan_binary_files / scan_file_metadata have no DuckDB *view* twin (they
+# read the filesystem directly), so BOTH engines pin the same fixture dir
+# through this one constant — the two sides can never drift apart, and the
+# pinning is explicit rather than buried in two literals (round-2 ADVICE).
+PINNED_FILE_SCAN_DIR = "/root/testdata/sf0.001"
+
+
 @register(
     "scan_binary_files",
-    oracle="""
+    oracle=f"""
     SELECT parse_filename(filename) AS fname, size AS length
-    FROM read_blob('/root/testdata/sf0.001/*.parquet')
+    FROM read_blob('{PINNED_FILE_SCAN_DIR}/*.parquet')
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,12 +620,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes per file and `spark.sql.files.maxPartitionBytes` does not
     split files (whole-file semantics). Only (fname, length) are emitted
     here: the driver gate needs scalar columns, and DuckDB 1.0's md5()
-    can't hash raw BLOBs for a content oracle. NOTE the oracle path is
-    literal: binaryFile has no DuckDB view twin, so the oracle pins the
-    sf0.001 fixture dir regardless of --sf (both engines list the same
-    files either way).
+    can't hash raw BLOBs for a content oracle. Both engines read
+    `PINNED_FILE_SCAN_DIR` (no DuckDB view twin exists), so the sides
+    move together by construction.
     """
-    df = spark.read.format("binaryFile").load("/root/testdata/sf0.001/*.parquet")
+    df = spark.read.format("binaryFile").load(f"{PINNED_FILE_SCAN_DIR}/*.parquet")
     return df.select(
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         "length",
@@ -627,12 +633,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_file_metadata",
-    oracle="""
+    oracle=f"""
     SELECT parse_filename(filename) AS fname,
            count(*) AS n_rows,
            min(file_row_number) AS first_idx,
            max(file_row_number) AS last_idx
-    FROM read_parquet('/root/testdata/sf0.001/orders.parquet',
+    FROM read_parquet('{PINNED_FILE_SCAN_DIR}/orders.parquet',
                       filename=true, file_row_number=true)
     GROUP BY parse_filename(filename)
     """,
@@ -642,11 +648,10 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage surfaced relationally: per-file row counts and row-index
     ranges without a separate listing job. The lakehouse audit primitive
     (which file produced this row?) and the basis of row-level
-    idempotent re-ingest. Like `scan_binary_files`, the oracle side has
-    no view twin, so the fixture dir is pinned to sf0.001 on both
-    engines.
+    idempotent re-ingest. Like `scan_binary_files`, no view twin exists,
+    so both engines read `PINNED_FILE_SCAN_DIR` via the shared constant.
     """
-    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df = spark.read.parquet(f"{PINNED_FILE_SCAN_DIR}/orders.parquet")
     return df.groupBy(F.col("_metadata.file_name").alias("fname")).agg(
         F.count("*").alias("n_rows"),
         F.min("_metadata.row_index").alias("first_idx"),

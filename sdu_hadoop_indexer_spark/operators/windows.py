@@ -336,11 +336,19 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arr = F.sort_array(F.collect_list(F.col("value").cast("double")).over(w))
     n = F.size(arr)
-    mid_lo = F.floor((n + 1) / 2).cast("int")
-    mid_hi = F.floor((n + 2) / 2).cast("int")
+    # collect_list drops NULLs: an all-NULL frame yields an EMPTY array, and
+    # element_at(arr, 0) raises INVALID_INDEX_OF_ZERO — clamp the indices to
+    # 1 and emit NULL when n == 0 (median of no observations), so nullable
+    # inputs degrade instead of hard-failing (round-2 ADVICE).
+    mid_lo = F.greatest(F.floor((n + 1) / 2).cast("int"), F.lit(1))
+    mid_hi = F.greatest(F.floor((n + 2) / 2).cast("int"), F.lit(1))
     lo = F.element_at(arr, mid_lo)
     hi = F.element_at(arr, mid_hi)
-    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, lo)
+        .otherwise((lo + hi) / 2.0)
+    )
     return ev.select(
         "event_id",
         "event_type",

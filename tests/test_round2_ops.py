@@ -563,3 +563,30 @@ def test_random_projection_preserves_norms(spark, sf_dir):
     ratios = np.array(ratios)
     assert 0.7 < ratios.mean() < 1.3, ratios.mean()
     assert (ratios > 0.2).all() and (ratios < 3.0).all()
+
+
+def test_rolling_median_all_null_frame_yields_null(spark, sf_dir):
+    """Round-2 ADVICE: a frame of only NULL values must produce NULL, not
+    INVALID_INDEX_OF_ZERO (collect_list drops NULLs -> empty array). The
+    fixtures carry no NULL `value`s, so exercise the guard on a synthetic
+    relation through the same median expression shape."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5.0), (4, 7.0)],
+        "event_id bigint, value double",
+    )
+    w = Window.orderBy("event_id").rowsBetween(-1, 0)
+    arr = F.sort_array(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    mid_lo = F.greatest(F.floor((n + 1) / 2).cast("int"), F.lit(1))
+    mid_hi = F.greatest(F.floor((n + 2) / 2).cast("int"), F.lit(1))
+    lo, hi = F.element_at(arr, mid_lo), F.element_at(arr, mid_hi)
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, lo)
+        .otherwise((lo + hi) / 2.0)
+    )
+    rows = {r.event_id: r.m for r in df.select("event_id", med.alias("m")).collect()}
+    assert rows[1] is None and rows[2] is None  # all-NULL frames -> NULL
+    assert rows[3] == 5.0 and rows[4] == 6.0
