@@ -287,7 +287,8 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(value) AS high,
            min(value) AS low,
            arg_max(value, ord) AS close,
-           round(avg(value), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+                 / count(value), 4) AS avg_value
     FROM k
     GROUP BY day, event_type
     """,
@@ -317,7 +318,13 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", "ord").alias("close"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact decimal accumulation (schema_audit rule): a rounded raw
+            # float avg is order-dependent across engines
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+                / F.count("value"),
+                4,
+            ).alias("avg_value"),
         )
     )
 

@@ -1,10 +1,14 @@
 """Cross-engine parity helpers (SURVEY.md §5.2 rule list).
 
 Floating-point SUMs are order-dependent; at 60k+ rows the Spark-vs-DuckDB
-difference can exceed round(,4) resolution. Rule: route every large SUM
-through an exact ``decimal(25,4)`` accumulation and cast the result back to
-double — bit-identical on both engines, independent of partitioning. AVGs
-divide the error by n, so ``round(avg, 4)`` is safe directly.
+difference can exceed round(,4) resolution. Rule: route every large SUM —
+and since round 3, every AVG too — through an exact ``decimal(25,4)``
+accumulation and cast the result back to double: bit-identical on both
+engines, independent of partitioning. (The round-2 "avg error ~ 1/n of sum
+error, so round(avg) is safe" heuristic was replaced after
+``agg_stats_moments`` demonstrated that ANY engine-divergent float under
+``round()`` can land on a .5-ulp boundary; ``tools/schema_audit.py``
+enforces the exact-accumulation rule across all registered oracles.)
 
 At 100 TB this costs nothing: decimal sum is still a single-pass partial agg
 (Spark plans ``HashAggregate[partial]→Exchange→HashAggregate[final]``), and
@@ -24,9 +28,12 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def ravg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
-    """Rounded average (error ~1/n of sum error → 4dp-safe)."""
+    """Rounded average over the exact decimal sum: identical dividend and
+    divisor on both engines ⇒ identical pre-round double ⇒ stable round."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.avg(c), ndigits).alias(alias)
+    return F.round(
+        F.sum(c.cast("decimal(25,4)")).cast("double") / F.count(c), ndigits
+    ).alias(alias)
 
 
 # SQL-side counterpart (DuckDB): use in oracle strings.
@@ -35,7 +42,10 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_ravg(expr: str, alias: str, ndigits: int = 4) -> str:
-    return f"round(avg({expr}), {ndigits}) AS {alias}"
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,4))) AS DOUBLE)"
+        f" / count({expr}), {ndigits}) AS {alias}"
+    )
 
 
 # DuckDB reads events.ts as TIMESTAMP_NS; Spark's catalog floors it to µs

@@ -76,30 +76,51 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_grouped_agg",
     oracle="""
-    SELECT event_type, round(sqrt(avg(value * value)), 4) AS rms_value
-    FROM events GROUP BY event_type
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    )
+    SELECT event_type,
+           round(sqrt(CAST(sum(v4 * v4) AS DOUBLE) / 1e8 / count(*)), 4)
+               AS rms_value
+    FROM c GROUP BY event_type
     """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pandas UDAF: root-mean-square per group."""
+    """pandas UDAF: root-mean-square per group — computed from the EXACT
+    integer sum of squared ten-thousandths (schema_audit rule: a rounded
+    float mean is accumulation-order-dependent across engines; identical
+    integer sums + identical final expression are not)."""
 
     @pandas_udf("double")
     def rms(v: pd.Series) -> float:
         import numpy as np
 
-        return float(np.sqrt(np.mean(np.square(v.to_numpy(dtype="float64")))))
+        v4 = np.rint(v.to_numpy(dtype="float64") * 1e4).astype("int64")
+        s2 = float(int((v4.astype(object) * v4.astype(object)).sum()))
+        return float(np.sqrt(s2 / 1e8 / len(v4)))
 
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.round(rms("value"), 4).alias("rms_value"))
 
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-    v = pdf["value"].to_numpy(dtype="float64")
-    std = v.std()  # ddof=0 == stddev_pop
+    # Mean/std from EXACT integer sums of ten-thousandths, evaluated through
+    # the same expression shape as the oracle (schema_audit rule): numpy's
+    # one-pass mean/std and DuckDB's streaming stddev_pop disagree in the
+    # last float bits, which round() can amplify into a hash mismatch.
+    import numpy as np
+
+    v4 = np.rint(pdf["value"].to_numpy(dtype="float64") * 1e4).astype("int64")
+    n = float(len(v4))
+    sv = float(int(v4.astype(object).sum()))
+    sv2 = float(int((v4.astype(object) * v4.astype(object)).sum()))
+    var = max((sv2 / 1e8 - (sv / 1e4) * (sv / 1e4) / n) / n, 0.0)
+    std = float(np.sqrt(var))
     if std > 0:
-        z = pd.Series((v - v.mean()) / std).round(4)
+        z = pd.Series((v4 / 1e4 - (sv / 1e4) / n) / std).round(4)
     else:
-        z = pd.Series([None] * len(v), dtype="float64")
+        z = pd.Series([None] * len(v4), dtype="float64")
     return pd.DataFrame(
         {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
     )
@@ -108,11 +129,24 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
 @register(
     "udtf_applyinpandas",
     oracle="""
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events
+    ), s AS (
+        SELECT event_id, user_id, v4,
+               CAST(sum(v4) OVER w AS DOUBLE) AS sv,
+               CAST(sum(v4 * v4) OVER w AS DOUBLE) AS sv2,
+               CAST(count(*) OVER w AS DOUBLE) AS n
+        FROM c
+        WINDOW w AS (PARTITION BY user_id)
+    )
     SELECT event_id, user_id,
-           round((value - avg(value) OVER (PARTITION BY user_id))
-                 / nullif(stddev_pop(value) OVER (PARTITION BY user_id), 0),
-                 4) AS z
-    FROM events
+           round((v4 / 1e4 - (sv / 1e4) / n)
+                 / nullif(sqrt(greatest(
+                       (sv2 / 1e8 - (sv / 1e4) * (sv / 1e4) / n) / n, 0)),
+                     0), 4) AS z
+    FROM s
     """,
 )
 def udtf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,7 +189,8 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pipe_topn",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice), 2) AS rev,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE),
+                 2) AS rev,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_quantity > 45
@@ -206,7 +207,8 @@ def sql_pipe_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         FROM lineitem
         |> WHERE l_quantity > 45
-        |> AGGREGATE round(sum(l_extendedprice), 2) AS rev,
+        |> AGGREGATE round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)))
+                                AS DOUBLE), 2) AS rev,
                      count(*) AS n
            GROUP BY l_returnflag
         |> SELECT l_returnflag, rev, n

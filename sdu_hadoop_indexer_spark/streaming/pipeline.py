@@ -174,7 +174,9 @@ def run_watermark_replay(
 @register(
     "stream_stateful_counter",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 1e4
+               AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -197,19 +199,30 @@ def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
-        cnt, tot = state.get if state.exists else (0, 0.0)
+        # state carries the sum in EXACT ten-thousandths (int64): float
+        # accumulation order differs between engines/batches, but integer
+        # sums are order-free, so the final total matches the oracle's
+        # identical integer-sum expression bit-for-bit (schema_audit rule)
+        import numpy as np
+
+        cnt, tot4 = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
-            tot += float(pdf["value"].sum())
-        state.update((cnt, tot))
+            v4 = np.rint(pdf["value"].to_numpy(dtype="float64") * 1e4)
+            tot4 += int(v4.astype("int64").sum())
+        state.update((cnt, tot4))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [cnt], "total_value": [round(tot, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [tot4 / 1e4],
+            }
         )
 
     counted = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="cnt long, total double",
+        stateStructType="cnt long, tot4 long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -485,7 +498,7 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_foreachbatch_upsert",
     oracle="""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -499,8 +512,11 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over a multi-batch-safe sink."""
     out = tempfile.mkdtemp(prefix="sdu-fbatch-state-")
     ev = streaming_events(spark, sf_dir)
+    # exact decimal accumulation (schema_audit rule) — decimal sums merge
+    # exactly across micro-batches too, so the upsert is order-free
     per_batch = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value"),
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -532,7 +548,9 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.read.parquet(out).select(
-        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
