@@ -415,6 +415,108 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-3 null-stress family (round-2 verdict item 9): the fixtures are
+# NULL-free, so outer-join null semantics were only exercised through
+# join_null_safe's one shape. These derive NULL keys in-query (nullif, the
+# join_null_safe pattern) and gate-check the THREE outer families under
+# standard equality: NULL keys must never match, and each side's unmatched
+# rows must survive with NULL partners.
+
+
+@register(
+    "join_left_nullkeys",
+    oracle="""
+    WITH l AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer),
+    r AS (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k FROM supplier)
+    SELECT l.c_custkey, l.k,
+           count(r.s_suppkey) AS n_matched,
+           CAST(coalesce(sum(r.s_suppkey), 0) AS BIGINT) AS sum_supp
+    FROM l LEFT JOIN r ON l.k = r.k
+    GROUP BY l.c_custkey, l.k
+    """,
+)
+def join_left_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER with NULL-bearing keys: NULL-keyed customers match
+    nothing (standard equality) but are preserved with zero matches —
+    both behaviors checked EXACTly. Same equi-join scale shape as
+    join_left; the null keys hash to one partition, which is precisely the
+    skew a production job would salt (join_skew_salted)."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    l = c.select("c_custkey", F.expr("nullif(c_nationkey % 7, 3)").alias("k"))
+    r = s.select("s_suppkey", F.expr("nullif(s_nationkey % 7, 3)").alias("rk"))
+    return (
+        l.join(r, l.k == r.rk, "left")
+        .groupBy("c_custkey", "k")
+        .agg(
+            F.count("s_suppkey").alias("n_matched"),
+            F.coalesce(F.sum("s_suppkey"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_supp"),
+        )
+    )
+
+
+@register(
+    "join_right_nullkeys",
+    oracle="""
+    WITH l AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer),
+    r AS (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k FROM supplier)
+    SELECT r.s_suppkey, r.k,
+           count(l.c_custkey) AS n_matched
+    FROM l RIGHT JOIN r ON l.k = r.k
+    GROUP BY r.s_suppkey, r.k
+    """,
+)
+def join_right_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER mirror of join_left_nullkeys: NULL-keyed suppliers are
+    preserved unmatched."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    l = c.select("c_custkey", F.expr("nullif(c_nationkey % 7, 3)").alias("lk"))
+    r = s.select("s_suppkey", F.expr("nullif(s_nationkey % 7, 3)").alias("k"))
+    return (
+        l.join(r, F.col("lk") == F.col("k"), "right")
+        .groupBy("s_suppkey", "k")
+        .agg(F.count("c_custkey").alias("n_matched"))
+    )
+
+
+@register(
+    "join_full_nullkeys",
+    oracle="""
+    WITH l AS (
+        SELECT nullif(c_nationkey % 6, 2) AS k, count(*) AS nl
+        FROM customer GROUP BY 1
+    ),
+    r AS (
+        SELECT nullif(s_nationkey % 6, 4) AS k, count(*) AS nr
+        FROM supplier GROUP BY 1
+    )
+    SELECT l.k AS lk, r.k AS rk, l.nl, r.nr
+    FROM l FULL JOIN r ON l.k = r.k
+    """,
+)
+def join_full_nullkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with ASYMMETRIC NULL keys (left nulls value 2, right
+    nulls value 4): the result must contain matched keys, each side's
+    NULL group unmatched, AND each side's exclusive key unmatched — the
+    complete outer-join null matrix in one EXACT gate row set."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    l = (
+        c.select(F.expr("nullif(c_nationkey % 6, 2)").alias("lk"))
+        .groupBy("lk")
+        .agg(F.count("*").alias("nl"))
+    )
+    r = (
+        s.select(F.expr("nullif(s_nationkey % 6, 4)").alias("rk"))
+        .groupBy("rk")
+        .agg(F.count("*").alias("nr"))
+    )
+    return l.join(r, l.lk == r.rk, "full").select("lk", "rk", "nl", "nr")
+
+
 @register(
     "join_lateral_topk",
     oracle="""

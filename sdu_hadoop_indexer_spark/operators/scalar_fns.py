@@ -237,6 +237,56 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_conditional_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               nullif(o_custkey % 10, 4) AS a,
+               nullif(o_custkey % 7, 0) AS b
+        FROM orders
+    )
+    SELECT o_orderkey, a, b,
+           coalesce(a, b, -1) AS first_non_null,
+           CASE WHEN a IS NULL THEN 'null-a'
+                WHEN a > 5 THEN 'big' ELSE 'small' END AS case_on_null,
+           ifnull(a, -1) AS a_defaulted,
+           a + b AS propagated,
+           least(a, b) AS least_skipnull,
+           CAST(a IS DISTINCT FROM b AS BOOLEAN) AS distinct_from
+    FROM t
+    """,
+)
+def fn_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional functions under NULL inputs (round-2 verdict item 9: the
+    NULL-free fixtures left null semantics un-gated). Keys are NULLed
+    in-query via nullif, then every null-handling construct is checked
+    EXACTly on both engines: coalesce chains, CASE null-tests, ifnull
+    defaults, arithmetic NULL propagation, least's skip-null rule, and
+    three-valued IS DISTINCT FROM. Pure per-row projection — map-only at
+    any scale."""
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.expr("nullif(o_custkey % 10, 4)").alias("a"),
+        F.expr("nullif(o_custkey % 7, 0)").alias("b"),
+    )
+    return t.select(
+        "o_orderkey",
+        "a",
+        "b",
+        F.coalesce("a", "b", F.lit(-1)).alias("first_non_null"),
+        F.when(F.col("a").isNull(), "null-a")
+        .when(F.col("a") > 5, "big")
+        .otherwise("small")
+        .alias("case_on_null"),
+        F.ifnull("a", F.lit(-1)).alias("a_defaulted"),
+        (F.col("a") + F.col("b")).alias("propagated"),
+        F.least("a", "b").alias("least_skipnull"),
+        F.col("a").eqNullSafe(F.col("b")).__invert__().alias("distinct_from"),
+    )
+
+
+@register(
     "fn_variant_json",
     oracle="""
     SELECT event_id,
