@@ -278,7 +278,7 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SQL_EVENTS_US},
     k AS (
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value,
-               printf('%020d-%010d', epoch_us(ts), event_id) AS ord
+               printf('%020d-%019d', epoch_us(ts), event_id) AS ord
         FROM ev
     )
     SELECT day, event_type,
@@ -303,7 +303,9 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, type) bar key.
     """
     ev = table(spark, sf_dir, "events")
-    ordk = F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    # widths cover full int64 so zero-padding (and the lexicographic tie-
+    # break) holds at any event_id scale
+    ordk = F.format_string("%020d-%019d", F.unix_micros("ts"), F.col("event_id"))
     return (
         ev.select(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),

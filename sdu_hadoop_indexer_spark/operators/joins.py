@@ -253,9 +253,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     # prior-key: lexicographic max == (max e_ts, max event_id); type rides
-    # along (never compared — the (tsu, event_id) prefix is unique).
+    # along (never compared — the (tsu, event_id) prefix is unique). Widths
+    # cover full int64 so the padding never breaks at any id scale.
     key = F.format_string(
-        "%020d-%010d-%s", F.unix_micros("ts"), F.col("event_id"), F.col("event_type")
+        "%020d-%019d-%s", F.unix_micros("ts"), F.col("event_id"), F.col("event_type")
     )
     w = (
         Window.partitionBy("user_id")
@@ -271,8 +272,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_id",
-            F.substring("pk", 22, 10).cast("bigint").alias("prior_event_id"),
-            F.expr("substring(pk, 33)").alias("prior_type"),
+            F.substring("pk", 22, 19).cast("bigint").alias("prior_event_id"),
+            F.expr("substring(pk, 42)").alias("prior_type"),
         )
     )
 

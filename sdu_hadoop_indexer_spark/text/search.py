@@ -382,17 +382,19 @@ def text_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is EQUI on the length key, and Levenshtein runs only inside
     blocks — never a cartesian over the vocabulary. At 100 TB the vocab
     relation is the big side and the length-band key (optionally + first
-    char) is its shuffle partition.
+    char) is its shuffle partition. The 5 query terms come from
+    `orderBy().limit(5)` — Catalyst plans TakeOrderedAndProject (per-
+    partition top-5 + tiny driver merge), not the single-partition
+    WindowExec a global `row_number` would force (round-2 verdict note).
     """
     vocab = (
         tokenize(spark, sf_dir)
         .groupBy("term")
         .agg(F.count_distinct("doc_id").alias("df"))
     )
-    w = Window.orderBy(F.desc("df"), "term")
     q = (
-        vocab.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        vocab.orderBy(F.desc("df"), "term")
+        .limit(5)
         .select(
             F.concat(
                 F.substring("term", 1, 1), F.expr("substring(term, 3)")
