@@ -176,3 +176,49 @@ def test_zorder_interleave_bit_property(spark, pairs):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    )
+)
+@SETTINGS
+def test_distributed_ntile_matches_native(spark, vals):
+    """Property (round-3 RFM plan): `_ntile4_distributed` — percentile-pivot
+    buckets + prefix-sum offsets + the ntile bucket-size formula — must
+    reproduce Spark's native `ntile(4) OVER (ORDER BY key, user_id)`
+    bit-for-bit on arbitrary tie-heavy inputs (ties are the hard case: they
+    must share a bucket id yet still split across quartiles by the user_id
+    tie-break, exactly as ntile does)."""
+    from pyspark.sql import Window
+
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        _ntile4_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "user_id long, v double"
+    )
+    pivots = df.agg(
+        F.percentile_approx("v", [i / 4 for i in range(1, 4)], 1000).alias("p")
+    ).first()["p"]
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(F.col("v") > F.lit(pv), 1).otherwise(0)
+    b = df.withColumn("_b", bexpr)
+    counts = [
+        (r._b, r.c)
+        for r in b.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    ]
+    got = b.select(
+        "user_id",
+        _ntile4_distributed(b, F.col("v"), "_b", counts).alias("nt"),
+    )
+    want = df.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("v", "user_id")).alias("nt"),
+    )
+    assert {(r.user_id, r.nt) for r in got.collect()} == {
+        (r.user_id, r.nt) for r in want.collect()
+    }
