@@ -316,6 +316,82 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_acid_merge",
+    oracle="""
+    WITH upd1 AS (
+        SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 10000000,
+               'new-' || CAST(c_custkey AS VARCHAR), 1000.0
+        FROM customer WHERE c_custkey % 97 = 5
+    ),
+    after1 AS (
+        SELECT * FROM upd1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM upd1)
+    ),
+    upd2 AS (
+        SELECT c_custkey, c_name, c_acctbal - 50.0 AS c_acctbal
+        FROM after1 WHERE c_custkey % 10 = 7
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (
+        SELECT * FROM upd2
+        UNION ALL
+        SELECT * FROM after1
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM upd2)
+    )
+    """,
+)
+def sink_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ACID MERGE on the minimal transaction-log table format
+    (`sdu_hadoop_indexer_spark.acid` — Delta-protocol commit semantics:
+    atomic exclusive-create commits, optimistic concurrency, snapshot
+    isolation, copy-on-write with file-level min/max pruning; see that
+    module for the 100 TB argument). Upgrades `sink_merge_upsert`'s
+    keep-latest *simulation* to real commit-log semantics, closing the
+    round-2 "real ACID table format" gap without external jars.
+
+    Two sequential MERGEs against a customer snapshot: (1) re-price 10% of
+    keys AND insert new high-key rows (update+insert in one batch),
+    (2) discount a different 10% — then the final snapshot is returned and
+    gate-compared against the closed-form relational spec (an independent
+    formulation: the oracle never sees the log). The log's pruning/
+    isolation invariants are pinned separately in tests/test_acid.py."""
+    import tempfile
+
+    from .. import acid
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tbl = tempfile.mkdtemp(prefix="sdu-acid-") + "/customers"
+    acid.create_table(c, tbl, "c_custkey", n_files=8)
+    upd1 = c.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    ).unionByName(
+        c.where(F.col("c_custkey") % 97 == 5).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            F.lit(1000.0).alias("c_acctbal"),
+        )
+    )
+    acid.merge_upsert(spark, tbl, upd1, "c_custkey")
+    after1 = acid.read_table(spark, tbl)
+    upd2 = after1.where(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") - 50.0).alias("c_acctbal")
+    )
+    acid.merge_upsert(spark, tbl, upd2, "c_custkey")
+    return acid.read_table(spark, tbl).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
 PYDS_N = 10_000
 PYDS_PARTS = 8
 _PYDS_STEP = -(-PYDS_N // PYDS_PARTS)
