@@ -608,32 +608,38 @@ LR_W_UNIQ = 4.0  # type/token ratio
 LR_W_ATL = 0.4  # mean token length
 LR_W_LOGN = 0.2  # log(token count)
 
-
-@register(
-    "llm_quality_lr",
-    oracle=f"""
-    WITH t AS (
+# DuckDB CTE chain ending in qscore(doc_id, sigma) — the unrounded sigmoid.
+# Shared by llm_quality_lr's oracle and dedup_cluster_keep_best's (which
+# ranks cluster members on the rounded score).
+QSCORE_CTES = f"""qt AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
                    AS toks
         FROM documents
     ),
-    feats AS (
+    qfeats AS (
         SELECT doc_id,
                len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
                list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
                    AS avg_tok_len,
                ln(len(toks)) AS log_n
-        FROM t WHERE len(toks) > 0
-    )
-    SELECT doc_id,
-           round(1.0 / (1.0 + exp(-({LR_W0} + {LR_W_UNIQ} * uniq_ratio
-                 + {LR_W_ATL} * avg_tok_len + {LR_W_LOGN} * log_n))), 4)
-               AS quality_score,
-           CASE WHEN 1.0 / (1.0 + exp(-({LR_W0} + {LR_W_UNIQ} * uniq_ratio
-                     + {LR_W_ATL} * avg_tok_len + {LR_W_LOGN} * log_n))) >= 0.5
-                THEN 'keep' ELSE 'drop' END AS tier
-    FROM feats
+        FROM qt WHERE len(toks) > 0
+    ),
+    qscore AS (
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-({LR_W0} + {LR_W_UNIQ} * uniq_ratio
+                     + {LR_W_ATL} * avg_tok_len + {LR_W_LOGN} * log_n))) AS sigma
+        FROM qfeats
+    )"""
+
+
+@register(
+    "llm_quality_lr",
+    oracle=f"""
+    WITH {QSCORE_CTES}
+    SELECT doc_id, round(sigma, 4) AS quality_score,
+           CASE WHEN sigma >= 0.5 THEN 'keep' ELSE 'drop' END AS tier
+    FROM qscore
     """,
 )
 def quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:

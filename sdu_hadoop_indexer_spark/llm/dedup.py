@@ -2,9 +2,10 @@
 
 Charter-mandated extensions over the `documents` corpus: exact hashing,
 token-set / n-gram Jaccard near-dup (the EXACT-oracle baselines), and the
-scale paths — MinHash-LSH and SimHash — which are ROWS-ONLY by design
-(engine hash functions differ) and are instead validated against the exact
-Jaccard baseline in tests (recall check, SURVEY §5.2 rule 6).
+scale paths — MinHash-LSH and SimHash — built on the cross-engine hash
+family in ``xhash.py`` so even the sketch operators carry EXACT DuckDB
+oracles (round 3; previously ROWS-ONLY on xxhash64). The Jaccard-recall
+tests (SURVEY §5.2 rule 6) remain as semantic validation on top.
 
 Scale notes (100 TB):
 - exact dedup is one hash-shuffle on sha256(text) — embarrassingly scalable;
@@ -26,6 +27,17 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
+from ..xhash import (
+    XH_P,
+    combine,
+    combine_sql,
+    hfam,
+    hfam_sql,
+    xh1,
+    xh1_sql,
+    xh2,
+    xh2_sql,
+)
 
 JACCARD_TAU = 0.9
 
@@ -164,24 +176,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 16
 N_BANDS = 4  # 4 bands × 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h15): min of xxhash64(term, seed_i) per doc — one grouped
-    agg over distinct (doc, term), no per-row Python."""
-    tset = _token_sets(spark, sf_dir)
+    """(doc_id, h0..h15): min of the i-th cross-engine family hash over each
+    doc's distinct terms — one grouped agg, no per-row Python. The term hash
+    pair (x1, x2) is char-fold arithmetic (xhash.py) evaluated identically by
+    DuckDB, which is what lets the whole MinHash family be EXACT-oracled."""
+    tset = _token_sets(spark, sf_dir).select(
+        "doc_id", xh1("term").alias("x1"), xh2("term").alias("x2")
+    )
     aggs = [
-        F.min(F.xxhash64("term", F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)
+        F.min(hfam(i, F.col("x1"), F.col("x2"))).alias(f"h{i}")
+        for i in range(N_HASHES)
     ]
     return tset.groupBy("doc_id").agg(*aggs)
 
 
-@register("dedup_minhash_lsh")  # ROWS-ONLY: xxhash64 is engine-specific
+def _bands_sql() -> str:
+    """DuckDB CTE chain tok→tset→th→sig→bands mirroring minhash_signatures +
+    _lsh_bands bit-for-bit (same fold, family, and band combine)."""
+    mins = ", ".join(f"min({hfam_sql(i)}) AS h{i}" for i in range(N_HASHES))
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + combine_sql(
+            [f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        )
+        + " AS band_hash FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""{TOK_SQL},
+    tset AS (SELECT DISTINCT doc_id, term FROM tok),
+    th AS (SELECT doc_id, {xh1_sql('term')} AS x1, {xh2_sql('term')} AS x2
+           FROM tset),
+    sig AS (SELECT doc_id, {mins} FROM th GROUP BY doc_id),
+    bands AS ({band_selects})"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_bands_sql()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (the 100 TB near-dup path).
 
     Signature → band hashes → self-join within (band_idx, band_hash) buckets.
-    Validated in tests by recall against dedup_near_jaccard (τ=0.9 pairs).
+    EXACT oracle: the DuckDB twin rebuilds identical signatures via the
+    shared xhash family and emits the same pair set (its DISTINCT equals the
+    Spark side's first-matching-band dedup by construction). Recall against
+    dedup_near_jaccard (τ=0.9 pairs) is additionally asserted in tests.
     """
     # bands fans out to three consumers (a, b, sig_arr); persist() computes
     # the tokenize→signature→band lineage ONCE instead of 4× (round-1
@@ -226,11 +276,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_hash): one row per doc per LSH band."""
+    """(doc_id, band_idx, band_hash): one row per doc per LSH band. Band
+    hash = the xhash combine-fold over the band's row minima (DuckDB twin:
+    combine_sql), keeping the bucket keys engine-portable."""
     sig = minhash_signatures(spark, sf_dir)
-    rows_per_band = N_HASHES // N_BANDS
     band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        combine([F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)
     ]
     return sig.select(
@@ -238,10 +289,36 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_CC_ITERS = 10
+MAX_CC_ITERS = 20
 
 
-@register("dedup_minhash_cluster")  # ROWS-ONLY: xxhash64 is engine-specific
+@register(
+    "dedup_minhash_cluster",
+    # The oracle resolves the SAME doc↔bucket graph to exact connected
+    # components with a recursive transitive closure (components are
+    # near-cliques, so the closure stays quadratic-in-cluster-size, not
+    # corpus-size). Spark's iterative propagation converges to the identical
+    # fixed point (monotone min-label), making this an EXACT compare.
+    oracle=f"""
+    WITH RECURSIVE {_bands_sql()},
+    edge AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id <> b.doc_id
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edge
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+    ),
+    docs AS (SELECT DISTINCT doc_id FROM tset)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
+    FROM docs d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
 def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the linear-output 100 TB dedup path.
 
@@ -259,9 +336,13 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is idempotent."""
     # member is re-read twice per iteration — checkpoint it once up front so
     # the signature pipeline doesn't rerun 2×MAX_CC_ITERS times.
+    # bkt packs (band_idx, band_hash) collision-free: band_hash < XH_P.
     member = (
         _lsh_bands(spark, sf_dir)
-        .select(F.xxhash64("band_idx", "band_hash").alias("bkt"), "doc_id")
+        .select(
+            (F.col("band_idx").cast("long") * XH_P + F.col("band_hash")).alias("bkt"),
+            "doc_id",
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -299,26 +380,52 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
-@register("dedup_simhash")  # ROWS-ONLY: engine-specific hash bits
+def _simhash_oracle() -> str:
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN {hfam_sql(i)} % 2 = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(64)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2 ** i}::BIGINT ELSE 0::BIGINT END)"
+        if i < 63
+        else f"(CASE WHEN v{i} > 0 THEN (-9223372036854775807 - 1)::BIGINT "
+        "ELSE 0::BIGINT END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH {TOK_SQL},
+    flat AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    th AS (SELECT doc_id, tf, {xh1_sql('term')} AS x1, {xh2_sql('term')} AS x2
+           FROM flat),
+    votes AS (SELECT doc_id, {votes}
+              FROM th GROUP BY doc_id)
+    SELECT doc_id, {pack} AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per doc (tf-weighted bit votes).
 
-    Bit i of xxhash64(term) votes ±tf; fingerprint bit = sign of the vote sum.
-    Assembled from 64 per-bit conditional sums in ONE hash aggregation (no
-    explode), then packed into a bigint with bit arithmetic — all JVM-side.
-    Tests assert: identical docs → identical fingerprints; hamming distance
-    correlates with Jaccard on near-dup pairs.
+    Bit i votes ±tf on the parity of the i-th cross-engine family hash of
+    the term (xhash.py — previously bit i of xxhash64, which kept this op
+    ROWS-ONLY); fingerprint bit = sign of the vote sum. Assembled from 64
+    per-bit conditional sums in ONE hash aggregation (no explode), then
+    packed into a bigint with bit arithmetic — all JVM-side, and the DuckDB
+    oracle replays the identical votes for an EXACT compare. Tests assert:
+    identical docs → identical fingerprints; hamming distance correlates
+    with Jaccard on near-dup pairs.
     """
     from ..text.indexer import index_flat
 
     flat = index_flat(spark, sf_dir).select(
-        "doc_id", "tf", F.xxhash64("term").alias("th")
+        "doc_id", "tf", xh1("term").alias("x1"), xh2("term").alias("x2")
     )
     votes = [
         F.sum(
-            F.when(F.shiftright("th", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(
+                hfam(i, F.col("x1"), F.col("x2")) % 2 == 1, F.col("tf")
+            ).otherwise(-F.col("tf"))
         ).alias(f"v{i}")
         for i in range(64)
     ]
@@ -659,7 +766,49 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster_keep_best")  # ROWS-ONLY: cluster ids are engine-local
+def _keep_best_oracle() -> str:
+    from .curation import QSCORE_CTES
+
+    return f"""
+    WITH RECURSIVE {_bands_sql()},
+    edge AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id <> b.doc_id
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edge
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
+    ),
+    docs AS (SELECT DISTINCT doc_id FROM tset),
+    labels AS (
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
+        FROM docs d LEFT JOIN reach r ON r.u = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    {QSCORE_CTES},
+    j AS (
+        SELECT l.cluster_rep, l.doc_id, round(q.sigma, 4) AS quality_score
+        FROM labels l JOIN qscore q ON l.doc_id = q.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_rep, doc_id, quality_score,
+               row_number() OVER (PARTITION BY cluster_rep
+                                  ORDER BY quality_score DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+        FROM j
+    )
+    SELECT cluster_rep, doc_id AS keeper,
+           round(quality_score, 4) AS keeper_score,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("dedup_cluster_keep_best", oracle=_keep_best_oracle())
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION step: near-dup clusters (MinHash connected
     components) each keep their single best member by model quality score
@@ -668,9 +817,10 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One ranking window over (cluster | score DESC, doc_id) picks the
     survivor; output is one row per cluster with the keeper, its score,
-    and the cluster size. ROWS-ONLY because cluster representatives hash
-    engine-locally; tests pin one-keeper-per-cluster and keeper-is-max-
-    score invariants.
+    and the cluster size. EXACT oracle (round 3): the DuckDB twin rebuilds
+    the same clusters from the shared xhash band graph and ranks on the
+    same rounded score; tests additionally pin one-keeper-per-cluster and
+    keeper-is-max-score invariants.
     """
     from . import curation as _c
 

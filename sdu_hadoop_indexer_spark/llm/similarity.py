@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..xhash import A as XH_A
+from ..xhash import B as XH_B
+from ..xhash import XH_P
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 5
@@ -127,20 +130,30 @@ def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8  # LSH: 8 random hyperplanes → 256 buckets
 
 
+def _plane_sign_flips(i: int, x: Column, d: Column) -> Column:
+    """±x for hyperplane i at (0-based) dim d — parity of the i-th xhash
+    family member applied to the dim index (cross-engine arithmetic, so
+    DuckDB rebuilds the identical plane pattern)."""
+    parity = (
+        F.lit(XH_A[i]).cast("long") * (d.cast("long") + 1) + XH_B[i]
+    ) % F.lit(XH_P) % 2
+    return F.when(parity == 1, x.cast("double")).otherwise(-x.cast("double"))
+
+
 def _lsh_bucket(col: str | Column) -> Column:
     """Random-hyperplane LSH bucket id for a float32 vector column.
 
-    Hyperplane i = deterministic pseudo-random ±1 pattern from xxhash64(dim, i)
-    parity: sign bit of sum over dims of (±1 · x_d). All JVM-side.
+    Hyperplane i = deterministic pseudo-random ±1 pattern from the xhash
+    family parity over the dim index: sign bit of sum over dims of
+    (±1 · x_d). All JVM-side; DuckDB folds the same signed sum in the same
+    order, so bucket ids match bit-for-bit (enabling the EXACT oracle).
     """
+    def _flipper(i: int):
+        return lambda x, d: _plane_sign_flips(i, x, d)
+
     bits = []
     for i in range(N_PLANES):
-        signed = F.transform(
-            col,
-            lambda x, d: F.when(
-                F.xxhash64(d, F.lit(i)).bitwiseAND(F.lit(1)) == 1, x.cast("double")
-            ).otherwise(-x.cast("double")),
-        )
+        signed = F.transform(col, _flipper(i))
         proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
     out = bits[0]
@@ -149,11 +162,59 @@ def _lsh_bucket(col: str | Column) -> Column:
     return out.cast("int")
 
 
-@register("sim_topk_lsh")  # ROWS-ONLY: bucket assignment is engine-specific
+def _lsh_bucket_sql(col: str) -> str:
+    """DuckDB twin of :func:`_lsh_bucket` (1-based lambda index == d+1)."""
+    bits = []
+    for i in range(N_PLANES):
+        signed = (
+            f"list_transform({col}, (x, i) -> CASE WHEN "
+            f"({XH_A[i]} * i + {XH_B[i]}) % {XH_P} % 2 = 1 "
+            f"THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)"
+        )
+        proj = f"list_reduce(list_prepend(0.0::DOUBLE, {signed}), (a, b) -> a + b)"
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS va, c.vec_id AS vb,
+               q.embedding AS ea, c.embedding AS eb
+        FROM b q JOIN b c ON q.bucket = c.bucket
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    cos AS (
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   AS cosine
+        FROM (
+            SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
+                   CAST(unnest(eb) AS DOUBLE) AS y
+            FROM pairs
+        )
+        GROUP BY va, vb
+    ),
+    ranked AS (
+        SELECT va AS query_id, vb AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY va
+                                  ORDER BY cosine DESC, vb) AS rn
+        FROM cos
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (scale path): queries only scan same-bucket
-    candidates. Recall vs brute force asserted in tests (same-bucket
-    probability rises with cosine)."""
+    candidates. EXACT oracle (round 3): bucket ids are cross-engine xhash
+    parity planes, so DuckDB reproduces the identical candidate sets; recall
+    vs brute force additionally asserted in tests (same-bucket probability
+    rises with cosine)."""
     e = table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _lsh_bucket("embedding")
     )

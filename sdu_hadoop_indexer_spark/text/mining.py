@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..xhash import hfam, hfam_sql, xh1, xh1_sql, xh2, xh2_sql
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
@@ -155,37 +156,65 @@ CMS_WIDTH = 256
 CMS_TOPK = 20
 
 
-def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CMS counter grid: (depth, cell) → count, built in one hash agg."""
-    toks = _tokens(spark, sf_dir).select(F.explode("toks").alias("term"))
-    depths = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d")
-    return (
-        toks.select("term", depths)
-        .select("d", F.pmod(F.xxhash64("d", "term"), F.lit(CMS_WIDTH)).alias("cell"))
-        .groupBy("d", "cell")
-        .agg(F.count("*").alias("cnt"))
+def _cms_cells(df: DataFrame) -> DataFrame:
+    """term → (CMS_DEPTH rows of) (d, cell) via the cross-engine hash family
+    (depth d uses family member d over the fold pair), keeping the grid
+    coordinates identical in DuckDB."""
+    x1, x2 = xh1("term"), xh2("term")
+    cells = F.array(*[(hfam(d, x1, x2) % CMS_WIDTH) for d in range(CMS_DEPTH)])
+    return df.select("term", F.posexplode(cells).alias("d", "cell"))
+
+
+def _cms_cells_sql(src: str) -> str:
+    """DuckDB twin of :func:`_cms_cells` over CTE `src`(term, x1, x2)."""
+    return "\n        UNION ALL ".join(
+        f"SELECT term, {d} AS d, {hfam_sql(d)} % {CMS_WIDTH} AS cell FROM {src}"
+        for d in range(CMS_DEPTH)
     )
 
 
-@register("text_countmin_heavyhitters")  # ROWS-ONLY: engine-hash sketch
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS counter grid: (depth, cell) → count, built in one hash agg."""
+    toks = _tokens(spark, sf_dir).select(F.explode("toks").alias("term"))
+    return _cms_cells(toks).groupBy("d", "cell").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "text_countmin_heavyhitters",
+    oracle=f"""
+    WITH occ AS (
+        SELECT term, {xh1_sql('term')} AS x1, {xh2_sql('term')} AS x2
+        FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+            FROM documents
+        )
+    ),
+    cells AS ({_cms_cells_sql('occ')}),
+    sketch AS (SELECT d, cell, count(*) AS cnt FROM cells GROUP BY d, cell),
+    cand AS (SELECT DISTINCT term, x1, x2 FROM occ),
+    cc AS ({_cms_cells_sql('cand')}),
+    est AS (
+        SELECT cc.term, min(s.cnt) AS est_count
+        FROM cc JOIN sketch s ON cc.d = s.d AND cc.cell = s.cell
+        GROUP BY cc.term
+    )
+    SELECT term, est_count FROM est
+    ORDER BY est_count DESC, term LIMIT {CMS_TOPK}
+    """,
+)
 def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min sketch: estimate every candidate term's
     frequency as min over the sketch's depth rows, return the top
     {CMS_TOPK}. The sketch is fixed-size ({CMS_DEPTH}×{CMS_WIDTH} cells), so
     at 100 TB it is a broadcastable summary built in one pass — the point of
-    sketching over exact counting. xxhash64 cells are engine-local →
-    ROWS-ONLY; accuracy (est ≥ true, bounded overestimate) is asserted
+    sketching over exact counting. Cells come from the cross-engine xhash
+    family (round 3), so the DuckDB oracle rebuilds the identical grid —
+    EXACT compare; accuracy (est ≥ true, bounded overestimate) is asserted
     against exact counts in tests/test_text_mining.py."""
     sketch = countmin_sketch(spark, sf_dir)
-    cand = (
-        _tokens(spark, sf_dir)
-        .select(F.explode("toks").alias("term"))
-        .distinct()
-        .select(
-            "term",
-            F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("d"),
-        )
-        .select("term", "d", F.pmod(F.xxhash64("d", "term"), F.lit(CMS_WIDTH)).alias("cell"))
+    cand = _cms_cells(
+        _tokens(spark, sf_dir).select(F.explode("toks").alias("term")).distinct()
     )
     est = (
         cand.join(F.broadcast(sketch), ["d", "cell"])

@@ -11,16 +11,13 @@ from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
 EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",
     "agg_hll_sketch_merge",  # DataSketches binary sketches engine-specific
-    "dedup_minhash_cluster",
-    "dedup_cluster_keep_best",  # cluster reps engine-local
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # (round 3) the MinHash/SimHash family moved to the cross-engine xhash
+    # family and now carries EXACT oracles — no longer listed here.
     "media_features",
     "media_frame_sample",
     "media_resize",
     "sim_topk_ivf",
     "sim_pca_power",  # no SQL eigensolver
-    "sim_topk_lsh",
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
     "stream_outer_join_watermark",  # real multi-batch run; row set pinned in tests
@@ -29,7 +26,6 @@ EXPECTED_ROWS_ONLY = {
     "llm_bpe_train",  # iterative loop not one-statement SQL; pinned in tests
     "llm_bpe_encode",  # depends on the learned merge table
     "agg_approx_percentile_sketch",  # GK sketch merge order engine-local
-    "text_countmin_heavyhitters",  # xxhash64 sketch cells engine-local
 }
 
 
