@@ -10,7 +10,16 @@ from pyspark.sql import functions as F
 
 from sdu_hadoop_indexer_spark import xhash as X
 
-WORDS = ["a", "abc", "hello", "zz9'q", "the", "partition", "x" * 40, "0", "9x"]
+WORDS = ["a", "abc", "hello", "zz9'q", "the", "partition", "x" * 40, "0", "9x", ""]
+
+
+def py_fold(s: str, mult: int, init: int) -> int:
+    """Pure-python reference of the char fold. Both engines split '' into
+    one empty element whose ascii() is 0 — mirrored here."""
+    h = init
+    for code in [ord(c) for c in s] or [0]:
+        h = (h * mult + code) % X.XH_P
+    return h
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +38,26 @@ def test_fold_parity_spark_vs_duckdb(spark, duck):
         d1 = duck.execute(f"SELECT {X.xh1_sql('?')}", [r.term]).fetchone()[0]
         d2 = duck.execute(f"SELECT {X.xh2_sql('?')}", [r.term]).fetchone()[0]
         assert (r.x1, r.x2) == (d1, d2), r.term
+        assert r.x1 == py_fold(r.term, 131, 7), r.term
+        assert r.x2 == py_fold(r.term, 137, 17), r.term
+
+
+def test_fold_duckdb_matches_python_reference_property(duck):
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ascii_printable = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+    )
+
+    @given(ascii_printable)
+    @settings(max_examples=150, deadline=None)
+    def check(s: str) -> None:
+        got = duck.execute(f"SELECT {X.xh1_sql('?')}", [s]).fetchone()[0]
+        assert got == py_fold(s, 131, 7), s
+
+    check()
 
 
 def test_family_parity_and_range(spark, duck):
