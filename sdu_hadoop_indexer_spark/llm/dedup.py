@@ -318,31 +318,49 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 20
 
 
+def _cluster_labels_sql() -> str:
+    """CTE chain ending in `labels`(doc_id, cluster_rep): the ORACLE replays
+    Spark's min-label propagation EXACTLY — the same doc→bucket→doc update
+    rule unrolled MAX_CC_ITERS times over the member relation. Each round is
+    two hash joins over the (docs × N_BANDS)-sized member set, so the oracle
+    stays linear at any SF (a transitive-closure formulation was quadratic in
+    cluster size — minutes of single-threaded DuckDB at sf0.1 where this
+    runs in milliseconds) and, because it mirrors the iteration cap too, it
+    matches Spark even on a hypothetical non-converged corpus."""
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and each
+    # round references its predecessor twice — uninlined, the expression
+    # tree doubles per round (2^MAX_CC_ITERS blowup).
+    rounds = []
+    prev = "l0"
+    for k in range(1, MAX_CC_ITERS + 1):
+        rounds.append(
+            f"""b{k} AS MATERIALIZED (
+        SELECT m.bkt, min(l.label) AS bl
+        FROM member m JOIN {prev} l USING (doc_id) GROUP BY m.bkt
+    ),
+    l{k} AS MATERIALIZED (
+        SELECT m.doc_id, min(b.bl) AS label
+        FROM member m JOIN b{k} b USING (bkt) GROUP BY m.doc_id
+    )"""
+        )
+        prev = f"l{k}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""{_bands_sql()},
+    member AS MATERIALIZED (
+        SELECT DISTINCT CAST(band_idx AS BIGINT) * {XH_P} + band_hash AS bkt,
+               doc_id
+        FROM bands
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS label FROM member),
+    {rounds_sql},
+    labels AS (SELECT doc_id, label AS cluster_rep FROM {prev})"""
+
+
 @register(
     "dedup_minhash_cluster",
-    # The oracle resolves the SAME doc↔bucket graph to exact connected
-    # components with a recursive transitive closure (components are
-    # near-cliques, so the closure stays quadratic-in-cluster-size, not
-    # corpus-size). Spark's iterative propagation converges to the identical
-    # fixed point (monotone min-label), making this an EXACT compare.
     oracle=f"""
-    WITH RECURSIVE {_bands_sql()},
-    edge AS (
-        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id <> b.doc_id
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM edge
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
-    ),
-    docs AS (SELECT DISTINCT doc_id FROM tset)
-    SELECT d.doc_id,
-           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
-    FROM docs d LEFT JOIN reach r ON r.u = d.doc_id
-    GROUP BY d.doc_id
+    WITH {_cluster_labels_sql()}
+    SELECT doc_id, cluster_rep FROM labels
     """,
 )
 def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,25 +814,7 @@ def _keep_best_oracle() -> str:
     from .curation import QSCORE_CTES
 
     return f"""
-    WITH RECURSIVE {_bands_sql()},
-    edge AS (
-        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id <> b.doc_id
-    ),
-    reach(u, v) AS (
-        SELECT u, v FROM edge
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edge e ON r.v = e.u
-    ),
-    docs AS (SELECT DISTINCT doc_id FROM tset),
-    labels AS (
-        SELECT d.doc_id,
-               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_rep
-        FROM docs d LEFT JOIN reach r ON r.u = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH {_cluster_labels_sql()},
     {QSCORE_CTES},
     j AS (
         SELECT l.cluster_rep, l.doc_id, round(q.sigma, 4) AS quality_score
