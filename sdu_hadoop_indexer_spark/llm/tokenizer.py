@@ -15,8 +15,17 @@ directly onto Spark's grouped aggregation + array fold:
 - `localCheckpoint` truncates the per-round lineage exactly like
   `dedup_minhash_cluster`'s label-propagation loop.
 
-ROWS-ONLY: the merge TABLE is deterministic (pinned in tests), but the
-iterative loop is not expressible as one DuckDB SQL statement.
+EXACT oracles (round 3): the training loop IS expressible as one DuckDB
+statement — each of the N_MERGES rounds unrolls to three MATERIALIZED CTEs
+(pair counts → deterministic arg-max → merge application), the same pattern
+as `dedup_minhash_cluster`'s unrolled label propagation. The merge
+application encodes each vocab entry's symbol sequence as the string
+``|s1||s2||…||sn|`` and applies ``replace(ss, '|a||b|', '|ab|')``: because
+every element is wrapped in its OWN delimiters (boundaries are ``||``), a
+single non-overlapping left-to-right replace consumes exactly the pairs the
+Spark-side greedy left fold merges — [a,a,a,a] → [aa,aa], [a,a,a] → [aa,a] —
+verified by the oracle gate over the full vocabulary. (Encoding precondition:
+tokens contain no ``'|'``; the Spark output uses the same separator.)
 """
 
 from __future__ import annotations
@@ -25,9 +34,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..text.indexer import tokenize
+from ..text.indexer import TOK_SQL, tokenize
 
 N_MERGES = 10
+
+
+def _bpe_chain_sql() -> tuple[str, str]:
+    """(CTE chain, final vocab name): tok → wordfreq → v0 → N_MERGES ×
+    (p_k pair counts, t_k arg-max, v_k merged vocab). MATERIALIZED is
+    load-bearing — each round references its predecessor several times and
+    DuckDB inlines CTEs by default."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, N_MERGES + 1):
+        rounds.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT sy[u] AS a, sy[u + 1] AS b, sum(freq) AS cnt
+        FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS u
+              FROM (SELECT freq, string_split(trim(ss, '|'), '||') AS sy
+                    FROM {prev}))
+        GROUP BY a, b
+    ),
+    t{k} AS MATERIALIZED (
+        SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT word, freq,
+               replace(ss, '|' || t.a || '||' || t.b || '|',
+                       '|' || t.a || t.b || '|') AS ss
+        FROM {prev} CROSS JOIN t{k} t
+    )"""
+        )
+        prev = f"v{k}"
+    rounds_sql = ",\n    ".join(rounds)
+    chain = f"""{TOK_SQL},
+    wordfreq AS (SELECT term AS word, count(*) AS freq FROM tok GROUP BY term),
+    v0 AS MATERIALIZED (
+        SELECT word, freq,
+               '|' || array_to_string(string_split(word, ''), '||') || '|' AS ss
+        FROM wordfreq
+    ),
+    {rounds_sql}"""
+    return chain, prev
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -97,7 +145,20 @@ def bpe_train(
     )
 
 
-@register("llm_bpe_train")  # ROWS-ONLY: iterative loop not one-statement SQL
+def _bpe_train_oracle() -> str:
+    chain, _ = _bpe_chain_sql()
+    ranks = "\n        UNION ALL ".join(
+        f'SELECT {k - 1} AS rank, a AS "left", b AS "right", '
+        f"a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM t{k}"
+        for k in range(1, N_MERGES + 1)
+    )
+    return f"""
+    WITH {chain}
+    {ranks}
+    """
+
+
+@register("llm_bpe_train", oracle=_bpe_train_oracle())
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, sf_dir)
 
@@ -130,6 +191,18 @@ def bpe_encode(
     )
 
 
-@register("llm_bpe_encode")  # ROWS-ONLY: depends on learned merge table
+def _bpe_encode_oracle() -> str:
+    chain, final = _bpe_chain_sql()
+    return f"""
+    WITH {chain}
+    SELECT word, freq,
+           CAST(length(word) AS INTEGER) AS n_chars,
+           CAST(len(string_split(trim(ss, '|'), '||')) AS INTEGER) AS n_symbols,
+           replace(trim(ss, '|'), '||', '|') AS symbols
+    FROM {final}
+    """
+
+
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle())
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(spark, sf_dir)

@@ -23,8 +23,8 @@ EXPECTED_ROWS_ONLY = {
     "stream_outer_join_watermark",  # real multi-batch run; row set pinned in tests
     "scan_state_store",  # reads a real streaming checkpoint
     "media_phash_neardup",  # stubbed decode is engine-local
-    "llm_bpe_train",  # iterative loop not one-statement SQL; pinned in tests
-    "llm_bpe_encode",  # depends on the learned merge table
+    # (round 3) llm_bpe_train / llm_bpe_encode moved to EXACT oracles: the
+    # training loop unrolls to MATERIALIZED CTE rounds in DuckDB.
     "agg_approx_percentile_sketch",  # GK sketch merge order engine-local
 }
 
