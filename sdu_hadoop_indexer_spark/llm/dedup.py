@@ -381,13 +381,16 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member is re-read twice per iteration — checkpoint it once up front so
     # the signature pipeline doesn't rerun 2×MAX_CC_ITERS times.
     # bkt packs (band_idx, band_hash) collision-free: band_hash < XH_P.
+    # No distinct: bands has exactly one row per (doc_id, band_idx) and bkt
+    # embeds band_idx, so (bkt, doc_id) is already unique — a distinct here
+    # is a pure extra shuffle. (The DuckDB oracle keeps its DISTINCT; min
+    # aggregation makes duplicates harmless on either side.)
     member = (
         _lsh_bands(spark, sf_dir)
         .select(
             (F.col("band_idx").cast("long") * XH_P + F.col("band_hash")).alias("bkt"),
             "doc_id",
         )
-        .distinct()
         .localCheckpoint()
     )
     labels = member.select("doc_id").distinct().withColumn(
