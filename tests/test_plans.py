@@ -396,3 +396,20 @@ def test_asof_join_is_single_window_pass(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert "No Partition Defined" not in plan
+
+
+def test_xhash_pipelines_stay_jvm_side(spark, sf_dir):
+    """The cross-engine fold/family hashing (round 3) is pure Catalyst
+    expression arithmetic — flipping the sketch family to EXACT oracles must
+    not have smuggled Python into the hot path. No Python eval operator may
+    appear in any xhash-based plan (simhash is one hash aggregation; LSH is
+    the bucket equi-join pinned above)."""
+    from sdu_hadoop_indexer_spark.llm.dedup import dedup_simhash
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_topk_lsh
+    from sdu_hadoop_indexer_spark.text.mining import countmin_heavyhitters
+
+    for fn in (dedup_simhash, sim_topk_lsh, countmin_heavyhitters):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "FlatMapGroupsInPandas" not in plan, fn.__name__
