@@ -68,7 +68,11 @@ def main() -> int:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:  # non-"sf<N>" dir name — report the path instead
         sf = sf_dir
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # 5 reps (was 3): this box shows transient 2-3× slow windows on an
+    # otherwise idle machine; a median of 3 can land entirely inside one.
+    # Five samples make the median robust to two bad draws — same metric
+    # definition, tighter estimator.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
