@@ -28,6 +28,7 @@ from ..catalog import table
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 from ..xhash import (
+    COMBINE_BOUND,
     XH_P,
     combine,
     combine_sql,
@@ -282,9 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at cluster scale this is the staged signatures table (parquet). Memoizing
 # ONE persisted copy (docs × N_BANDS rows — tiny) also stops the per-call
 # persist() copies from accumulating in the long-lived gate/bench session,
-# which LRU-evicted and silently recomputed the lineage mid-suite. Stale
-# entries (other sf_dir / dead session) are unpersisted on entry, mirroring
-# similarity.blocked_pair_groups.
+# which LRU-evicted and silently recomputed the lineage mid-suite.
 _BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -292,27 +291,22 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_hash): one row per doc per LSH band. Band
     hash = the xhash combine-fold over the band's row minima (DuckDB twin:
     combine_sql), keeping the bucket keys engine-portable."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BANDS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    for k in list(_BANDS_CACHE):
-        try:
-            if k[0] == key[0]:
-                _BANDS_CACHE[k].unpersist()
-        except Exception:
-            pass  # dead session — nothing to release
-        del _BANDS_CACHE[k]
-    sig = minhash_signatures(spark, sf_dir)
-    band_cols = [
-        combine([F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)
-    ]
-    out = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    ).persist()
-    _BANDS_CACHE[key] = out
-    return out
+    from ..caching import memoized_persist
+
+    def build() -> DataFrame:
+        sig = minhash_signatures(spark, sf_dir)
+        band_cols = [
+            combine(
+                [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            )
+            for b in range(N_BANDS)
+        ]
+        return sig.select(
+            "doc_id",
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        )
+
+    return memoized_persist(_BANDS_CACHE, spark, sf_dir, build)
 
 
 MAX_CC_ITERS = 20
@@ -347,7 +341,8 @@ def _cluster_labels_sql() -> str:
     rounds_sql = ",\n    ".join(rounds)
     return f"""{_bands_sql()},
     member AS MATERIALIZED (
-        SELECT DISTINCT CAST(band_idx AS BIGINT) * {XH_P} + band_hash AS bkt,
+        SELECT DISTINCT CAST(band_idx AS BIGINT) * {COMBINE_BOUND} + band_hash
+                   AS bkt,
                doc_id
         FROM bands
     ),
@@ -380,7 +375,9 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is idempotent."""
     # member is re-read twice per iteration — checkpoint it once up front so
     # the signature pipeline doesn't rerun 2×MAX_CC_ITERS times.
-    # bkt packs (band_idx, band_hash) collision-free: band_hash < XH_P.
+    # bkt packs (band_idx, band_hash) collision-free: band_hash <
+    # COMBINE_BOUND (= XH_P**2, the combine()'s exclusive bound), and
+    # band_idx <= 3 keeps the packed key < 2**62 — int64-safe on both engines.
     # No distinct: bands has exactly one row per (doc_id, band_idx) and bkt
     # embeds band_idx, so (bkt, doc_id) is already unique — a distinct here
     # is a pure extra shuffle. (The DuckDB oracle keeps its DISTINCT; min
@@ -388,7 +385,7 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = (
         _lsh_bands(spark, sf_dir)
         .select(
-            (F.col("band_idx").cast("long") * XH_P + F.col("band_hash")).alias("bkt"),
+            (F.col("band_idx").cast("long") * COMBINE_BOUND + F.col("band_hash")).alias("bkt"),
             "doc_id",
         )
         .localCheckpoint()
@@ -850,6 +847,12 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same clusters from the shared xhash band graph and ranks on the
     same rounded score; tests additionally pin one-keeper-per-cluster and
     keeper-is-max-score invariants.
+
+    NOTE the ranking is on the ROUNDED (4dp) sigmoid with doc_id tie-break —
+    the same accepted residual as `sim_topk_search`'s rounded-cosine rank: a
+    cross-engine exp() ulp difference could in principle flip a value
+    sitting exactly on a 0.00005 boundary and change the keeper; gate runs
+    at three SFs verify no fixture value sits on one.
     """
     from . import curation as _c
 

@@ -420,18 +420,15 @@ def blocked_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replication × embeddings)-sized, bounded, and shared by every
     downstream all-pairs operator, exactly what an engine would pin as a
     build-side artifact. Stale entries (other sf_dir / dead session) are
-    unpersisted on entry."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BLOCKED_CACHE.get(key)
-    if cached is not None:
-        return cached
-    for k in list(_BLOCKED_CACHE):
-        try:
-            if k[0] == key[0]:
-                _BLOCKED_CACHE[k].unpersist()
-        except Exception:
-            pass  # dead session — nothing to release
-        del _BLOCKED_CACHE[k]
+    unpersisted on entry (caching.memoized_persist)."""
+    from ..caching import memoized_persist
+
+    return memoized_persist(
+        _BLOCKED_CACHE, spark, sf_dir, lambda: _build_blocked_pair_groups(spark, sf_dir)
+    )
+
+
+def _build_blocked_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     try:
         import pyarrow.parquet as pq
@@ -461,9 +458,7 @@ def blocked_pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = e.withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    out = eb.join(F.broadcast(side_map), "blk").persist()
-    _BLOCKED_CACHE[key] = out
-    return out
+    return eb.join(F.broadcast(side_map), "blk")
 
 
 def _group_pair_cosines(pdf, min_cos=None, topk=None):

@@ -59,16 +59,22 @@ def _bpe_chain_sql() -> tuple[str, str]:
         SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
     ),
     v{k} AS MATERIALIZED (
+        -- LEFT JOIN ON TRUE (not CROSS JOIN): if a round has no pairs left,
+        -- t{k} is empty and a cross join would annihilate the vocabulary;
+        -- the NULL-guarded replace carries the vocab forward unchanged,
+        -- matching the Spark loop's break.
         SELECT word, freq,
-               replace(ss, '|' || t.a || '||' || t.b || '|',
-                       '|' || t.a || t.b || '|') AS ss
-        FROM {prev} CROSS JOIN t{k} t
+               CASE WHEN t.a IS NULL THEN ss
+                    ELSE replace(ss, '|' || t.a || '||' || t.b || '|',
+                                 '|' || t.a || t.b || '|') END AS ss
+        FROM {prev} LEFT JOIN t{k} t ON TRUE
     )"""
         )
         prev = f"v{k}"
     rounds_sql = ",\n    ".join(rounds)
     chain = f"""{TOK_SQL},
-    wordfreq AS (SELECT term AS word, count(*) AS freq FROM tok GROUP BY term),
+    wordfreq AS (SELECT term AS word, count(*) AS freq FROM tok
+                 WHERE term NOT LIKE '%|%' GROUP BY term),
     v0 AS MATERIALIZED (
         SELECT word, freq,
                '|' || array_to_string(string_split(word, ''), '||') || '|' AS ss
@@ -119,8 +125,12 @@ def bpe_train(
 ) -> DataFrame:
     """Train `n_merges` BPE merges over the fixture corpus; returns the
     merge table (rank, left, right, merged, cnt)."""
+    # Tokens containing '|' are excluded from the vocab on BOTH engines: the
+    # symbol output (and the oracle's delimiter encoding) use '|' as the
+    # separator, so such tokens would make the representation ambiguous.
     words = (
         tokenize(spark, sf_dir)
+        .where(~F.col("term").contains("|"))
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
@@ -171,8 +181,12 @@ def bpe_encode(
     training, replayed in rank order), yielding each word's BPE symbol
     sequence. Corpus encoding is then a vocab-sized broadcast join — the
     corpus itself is never re-folded."""
+    # Tokens containing '|' are excluded from the vocab on BOTH engines: the
+    # symbol output (and the oracle's delimiter encoding) use '|' as the
+    # separator, so such tokens would make the representation ambiguous.
     words = (
         tokenize(spark, sf_dir)
+        .where(~F.col("term").contains("|"))
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").alias("freq"))
     )

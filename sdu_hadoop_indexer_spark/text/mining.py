@@ -174,9 +174,23 @@ def _cms_cells_sql(src: str) -> str:
 
 
 def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CMS counter grid: (depth, cell) → count, built in one hash agg."""
-    toks = _tokens(spark, sf_dir).select(F.explode("toks").alias("term"))
-    return _cms_cells(toks).groupBy("d", "cell").agg(F.count("*").alias("cnt"))
+    """The CMS counter grid: (depth, cell) → count. Occurrences are counted
+    per term FIRST (one corpus-sized hash agg), then only the distinct-term
+    relation is hashed — the char-fold family costs O(vocab), not O(corpus
+    tokens), and the final grid agg sums vocab-sized partial counts."""
+    term_counts = (
+        _tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tc"))
+    )
+    x1, x2 = xh1("term"), xh2("term")
+    cells = F.array(*[(hfam(d, x1, x2) % CMS_WIDTH) for d in range(CMS_DEPTH)])
+    return (
+        term_counts.select("tc", F.posexplode(cells).alias("d", "cell"))
+        .groupBy("d", "cell")
+        .agg(F.sum("tc").alias("cnt"))
+    )
 
 
 @register(

@@ -100,19 +100,40 @@ def hfam_sql(i: int, x1: str = "x1", x2: str = "x2") -> str:
 
 
 # Fold used to combine several already-reduced values (< XH_P each) into one
-# bucket key — e.g. a MinHash band hash over its row minima.
-_COMBINE_M = 1_000_003
+# bucket key — e.g. a MinHash band hash over its row minima. A single mod-P
+# combine is only ~30 bits: at 10^9 docs that is ~C(n,2)/2^30 spurious
+# same-bucket collisions per band, so `combine` packs TWO independent mod-P
+# folds (different multipliers) as c1*XH_P + c2 — a ~60-bit key, still
+# provably < 2^61 so DuckDB's checked int64 arithmetic can't overflow.
+_COMBINE_M1 = 1_000_003
+_COMBINE_M2 = 1_000_033
+
+# Exclusive upper bound of combine()'s output: (XH_P-1)*XH_P + XH_P = XH_P².
+COMBINE_BOUND = XH_P * XH_P
+
+
+def _combine_one(cols: list[Column], mult: int) -> Column:
+    h = cols[0]
+    for c in cols[1:]:
+        h = (h * mult + c) % F.lit(XH_P)
+    return h
 
 
 def combine(cols: list[Column]) -> Column:
-    h = cols[0]
-    for c in cols[1:]:
-        h = (h * _COMBINE_M + c) % F.lit(XH_P)
+    return _combine_one(cols, _COMBINE_M1) * F.lit(XH_P) + _combine_one(
+        cols, _COMBINE_M2
+    )
+
+
+def _combine_one_sql(exprs: list[str], mult: int) -> str:
+    h = f"({exprs[0]})::BIGINT"
+    for e in exprs[1:]:
+        h = f"(({h}) * {mult}::BIGINT + ({e})) % {XH_P}"
     return h
 
 
 def combine_sql(exprs: list[str]) -> str:
-    h = f"({exprs[0]})::BIGINT"
-    for e in exprs[1:]:
-        h = f"(({h}) * {_COMBINE_M}::BIGINT + ({e})) % {XH_P}"
-    return h
+    return (
+        f"({_combine_one_sql(exprs, _COMBINE_M1)}) * {XH_P}::BIGINT"
+        f" + ({_combine_one_sql(exprs, _COMBINE_M2)})"
+    )

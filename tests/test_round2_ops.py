@@ -590,3 +590,44 @@ def test_rolling_median_all_null_frame_yields_null(spark, sf_dir):
     rows = {r.event_id: r.m for r in df.select("event_id", med.alias("m")).collect()}
     assert rows[1] is None and rows[2] is None  # all-NULL frames -> NULL
     assert rows[3] == 5.0 and rows[4] == 6.0
+
+
+def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary fully merges in fewer than N_MERGES rounds
+    must NOT annihilate the oracle's vocab chain: Spark breaks its loop,
+    and the oracle's NULL-guarded LEFT JOIN carries the vocab forward —
+    both sides must agree on the merge table and the encoded vocab."""
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.llm import tokenizer
+
+    # Two 2-char words: at most 2 merge rounds exist, then pairs run dry.
+    rows = [(0, "ab ab cd", "xx", "t", 8), (1, "ab cd", "xx", "t", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    strain = {
+        (r.rank, r.left, r.right): r.cnt
+        for r in tokenizer.bpe_train(spark, sf).collect()
+    }
+    sencode = {r.word: r.symbols for r in tokenizer.bpe_encode(spark, sf).collect()}
+    assert len(strain) == 2  # only 2 merges exist; loop broke early
+    assert sencode == {"ab": "ab", "cd": "cd"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    otrain = {
+        (r[0], r[1], r[2]): r[4]
+        for r in con.execute(tokenizer._bpe_train_oracle()).fetchall()
+    }
+    oencode = {
+        r[0]: r[4] for r in con.execute(tokenizer._bpe_encode_oracle()).fetchall()
+    }
+    assert otrain == strain
+    assert oencode == sencode
