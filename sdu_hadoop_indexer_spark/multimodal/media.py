@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import jsonify_complex, register
+from ..registry import register
 
 FEATURE_DIM = 8
 
@@ -124,8 +124,23 @@ def load_codecs() -> dict:
     return codecs
 
 
+def _round6_half_up(v: float) -> float:
+    """floor(v·10⁶ + 0.5)/10⁶ — explicit half-up on non-negative doubles so
+    the DuckDB oracle can replay the identical double operations (python's
+    round() is banker's, SQL round() is half-away; this form is both-engine
+    reproducible bit-for-bit)."""
+    import math
+
+    return math.floor(v * 1_000_000 + 0.5) / 1_000_000
+
+
 def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for image/audio decode: byte-level moments."""
+    """Deterministic stand-in for image/audio decode: byte-level moments.
+
+    Since the demo payloads are the documents' ASCII text bytes, every slot
+    is pure integer/double arithmetic a DuckDB oracle reproduces exactly
+    from `documents.text` — which is what lets the stubbed decode pipeline
+    carry a full EXACT oracle for its Arrow plumbing (round 3)."""
     b = memoryview(payload)
     n = len(b)
     total = sum(b)
@@ -134,8 +149,8 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [
         float(n),
         float(total),
-        round(mean, 6),
-        round(var, 6),
+        _round6_half_up(mean),
+        _round6_half_up(var),
         float(min(b) if n else 0),
         float(max(b) if n else 0),
         float(b[0] if n else 0),
@@ -211,13 +226,92 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(batches, FRAMES_SCHEMA)
 
 
-@register("media_features")  # ROWS-ONLY: stubbed decode is engine-local
+# Demo payloads are the documents' ASCII text bytes, so the DuckDB oracles
+# rebuild them as char-code lists straight from `documents.text` — one shared
+# CTE for the whole media family. (This is what flipped the family from
+# ROWS-ONLY to EXACT in round 3: the stub arithmetic is engine-portable, so
+# the REAL part under test — the Arrow mapInPandas plumbing, schemas, row
+# expansion — is gate-verified against an independent engine.)
+MCODES_SQL = """
+mcodes AS (
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text,
+           CAST(length(text) AS BIGINT) AS n,
+           CAST(n_chars AS INTEGER) AS n_chars_i,
+           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)
+               AS codes
+    FROM documents
+)
+"""
+
+
+@register(
+    "media_features",
+    oracle=f"""
+    WITH {MCODES_SQL},
+    m AS (
+        SELECT media_id, kind, n, codes, list_sum(codes) AS total,
+               list_sum(codes)::DOUBLE / n AS mean
+        FROM mcodes
+    ),
+    v AS (
+        SELECT *,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(codes, c -> (c - mean) * (c - mean))),
+                   (a, b) -> a + b) / n AS var
+        FROM m
+    )
+    SELECT media_id, kind, n AS n_bytes,
+           n::DOUBLE AS f0,
+           total::DOUBLE AS f1,
+           floor(mean * 1000000 + 0.5) / 1000000 AS f2,
+           floor(var * 1000000 + 0.5) / 1000000 AS f3,
+           list_aggregate(codes, 'min')::DOUBLE AS f4,
+           list_aggregate(codes, 'max')::DOUBLE AS f5,
+           codes[1]::DOUBLE AS f6,
+           codes[n]::DOUBLE AS f7
+    FROM v
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # features array<double> → JSON so the driver's canonicalizer can hash it
-    return jsonify_complex(extract_features(media_table(spark, sf_dir)))
+    # gate projection: the features array flattened to scalar doubles so the
+    # value-hash never depends on JSON float formatting (the library op
+    # `extract_features` keeps the array<double> schema for pipeline use)
+    f = extract_features(media_table(spark, sf_dir))
+    return f.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
-@register("media_frame_sample")  # ROWS-ONLY: stubbed decode is engine-local
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    WITH {MCODES_SQL},
+    frames AS (
+        SELECT media_id, n,
+               text,
+               CAST(unnest(range(0, greatest(n_chars_i * 10, 1), 500))
+                    AS INTEGER) AS frame_ms
+        FROM mcodes WHERE kind = 'video'
+    )
+    SELECT media_id,
+           CAST(frame_ms // 500 AS INTEGER) AS frame_idx,
+           frame_ms,
+           coalesce(list_sum(list_transform(
+               string_split(substring(text, ((frame_ms // 500) % n) + 1, 64), ''),
+               c -> ascii(c)::BIGINT)), 0) AS frame_checksum
+    FROM frames
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(spark, sf_dir), every_ms=500)
 
@@ -269,9 +363,13 @@ def resize_images(
                     )}
                 )
                 continue
+            import numpy as np
+
             scale = (max_side / img[["width", "height"]].max(axis=1)).clip(upper=1.0)
-            ow = (img["width"] * scale).round().astype("int32")
-            oh = (img["height"] * scale).round().astype("int32")
+            # explicit half-up (np .round() is half-even) — engine-portable
+            # geometry the DuckDB oracle replays with floor(x + 0.5)
+            ow = np.floor(img["width"] * scale + 0.5).astype("int32")
+            oh = np.floor(img["height"] * scale + 0.5).astype("int32")
             ratio = (ow * oh) / (img["width"] * img["height"])
             if pil_image is not None:
                 resized = [
@@ -298,7 +396,33 @@ def resize_images(
     return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
-@register("media_resize")  # ROWS-ONLY: stubbed resample is engine-local
+@register(
+    "media_resize",
+    oracle=f"""
+    WITH {MCODES_SQL},
+    img AS (
+        SELECT media_id, kind, text, n,
+               CAST(n_chars_i % 640 + 64 AS INTEGER) AS width,
+               CAST(n_chars_i % 480 + 48 AS INTEGER) AS height
+        FROM mcodes WHERE kind = 'image'
+    ),
+    g AS (
+        SELECT *, least(256.0 / greatest(width, height), 1.0) AS scale
+        FROM img
+    ),
+    o AS (
+        SELECT *,
+               CAST(floor(width * scale + 0.5) AS INTEGER) AS out_width,
+               CAST(floor(height * scale + 0.5) AS INTEGER) AS out_height
+        FROM g
+    )
+    SELECT media_id, kind, width, height, out_width, out_height,
+           encode(substring(text, 1, greatest(1, CAST(floor(
+               n * ((out_width * out_height)::DOUBLE / (width * height))
+           ) AS BIGINT)))) AS payload_resized
+    FROM o
+    """,
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(media_table(spark, sf_dir), max_side=256)
 
@@ -440,6 +564,49 @@ def phash_neardup(media: DataFrame) -> DataFrame:
     return pairs
 
 
-@register("media_phash_neardup")  # ROWS-ONLY: stubbed decode is engine-local
+def _phash_oracle() -> str:
+    """DuckDB twin of `_fake_phash` + the band blocking join: 64 block-mean
+    threshold bits packed two's-complement (the simhash packing pattern),
+    then 4 × 16-bit band split and (kind, band) bucket self-join."""
+
+    def blk(i: int) -> tuple[str, str]:
+        sl = f"list_slice(codes, {i} * step + 1, {i + 1} * step)"
+        return f"len({sl})", f"list_sum({sl})"
+
+    bits = []
+    for i in range(64):
+        ln, sm = blk(i)
+        val = f"{2 ** i}::BIGINT" if i < 63 else "(-9223372036854775807 - 1)::BIGINT"
+        bits.append(
+            f"(CASE WHEN {ln} > 0 AND {sm}::DOUBLE / {ln} > gmean "
+            f"THEN {val} ELSE 0::BIGINT END)"
+        )
+    pack = " + ".join(bits)
+    bands = "\n        UNION ALL ".join(
+        f"SELECT media_id, kind, phash, {i} AS band_idx, "
+        f"(phash >> {i * 16}) & 65535 AS band_val FROM hashed"
+        for i in range(PHASH_BANDS)
+    )
+    return f"""
+    WITH {MCODES_SQL},
+    ph0 AS (
+        SELECT media_id, kind, codes,
+               list_sum(codes)::DOUBLE / n AS gmean,
+               greatest(n // 64, 1) AS step
+        FROM mcodes
+    ),
+    hashed AS MATERIALIZED (
+        SELECT media_id, kind, {pack} AS phash FROM ph0
+    ),
+    bands AS MATERIALIZED ({bands})
+    SELECT DISTINCT a.kind, a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.kind = b.kind AND a.band_idx = b.band_idx
+     AND a.band_val = b.band_val AND a.media_id < b.media_id
+    """
+
+
+@register("media_phash_neardup", oracle=_phash_oracle())
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(media_table(spark, sf_dir))

@@ -12,17 +12,15 @@ EXPECTED_ROWS_ONLY = {
     "agg_approx_distinct",
     "agg_hll_sketch_merge",  # DataSketches binary sketches engine-specific
     # (round 3) the MinHash/SimHash family moved to the cross-engine xhash
-    # family and now carries EXACT oracles — no longer listed here.
-    "media_features",
-    "media_frame_sample",
-    "media_resize",
+    # family and now carries EXACT oracles; the media stub family moved to
+    # EXACT too (payloads are documents' ASCII bytes, so DuckDB replays the
+    # stub arithmetic and gate-verifies the Arrow plumbing).
     "sim_topk_ivf",
     "sim_pca_power",  # no SQL eigensolver
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
     "stream_outer_join_watermark",  # real multi-batch run; row set pinned in tests
     "scan_state_store",  # reads a real streaming checkpoint
-    "media_phash_neardup",  # stubbed decode is engine-local
     # (round 3) llm_bpe_train / llm_bpe_encode moved to EXACT oracles: the
     # training loop unrolls to MATERIALIZED CTE rounds in DuckDB.
     "agg_approx_percentile_sketch",  # GK sketch merge order engine-local
