@@ -37,7 +37,8 @@ MIN_EN_HITS = 2  # of the 5 heuristic English stopwords
     gated AS (
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
-               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) + 0.0
+                   AS uniq_ratio,
                sha256(array_to_string(list_sort(list_distinct(toks)), ' '))
                    AS fingerprint
         FROM t
@@ -69,7 +70,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
-            F.round(F.size(uniq) / F.size("toks"), 4).alias("uniq_ratio"),
+            (F.round(F.size(uniq) / F.size("toks"), 4) + F.lit(0.0)).alias(
+                "uniq_ratio"
+            ),
             F.sha2(F.concat_ws(" ", F.sort_array(uniq)), 256).alias("fingerprint"),
         )
     )
@@ -218,7 +221,8 @@ CONTAM_SHINGLE = 3  # tokens per shingle
     SELECT tot.doc_id,
            CAST(n_shingles AS INTEGER) AS n_shingles,
            CAST(coalesce(n_shared, 0) AS INTEGER) AS n_shared,
-           round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) AS contamination_frac
+           round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) + 0.0
+               AS contamination_frac
     FROM tot LEFT JOIN hit USING (doc_id)
     """,
 )
@@ -270,9 +274,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.coalesce("n_shared", F.lit(0)).cast("int").alias("n_shared"),
-        F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 4).alias(
-            "contamination_frac"
-        ),
+        (
+            F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 4)
+            + F.lit(0.0)
+        ).alias("contamination_frac"),
     )
 
 
@@ -326,7 +331,7 @@ def split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                ((coalesce(lc.c, 0) + 1.0) / (lt.n + ct.v))
                * ln(((coalesce(lc.c, 0) + 1.0) / (lt.n + ct.v))
                     / ((cc.c + 1.0) / (ct.n + ct.v)))
-           ), 4) AS kl_divergence
+           ), 4) + 0.0 AS kl_divergence
     FROM grid g
     JOIN lt ON lt.lang = g.lang
     JOIN cc ON cc.term = g.term
@@ -366,7 +371,11 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ct))
         .join(lc, ["lang", "term"], "left")
         .groupBy("lang")
-        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_divergence"))
+        .agg(
+            (F.round(F.sum(p * F.log(p / q)), 4) + F.lit(0.0)).alias(
+                "kl_divergence"
+            )
+        )
     )
 
 
@@ -383,10 +392,12 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(n_chars), 4) + 0.0 AS avg_chars,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-           round(count(*) FILTER (lang = 'en') * 1.0 / count(*), 4) AS en_frac,
-           round(1 - count(DISTINCT h) * 1.0 / count(*), 4) AS exact_dup_rate
+           round(count(*) FILTER (lang = 'en') * 1.0 / count(*), 4) + 0.0
+               AS en_frac,
+           round(1 - count(DISTINCT h) * 1.0 / count(*), 4) + 0.0
+               AS exact_dup_rate
     FROM t GROUP BY source
     """,
 )
@@ -408,13 +419,19 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.round(F.avg("n_chars"), 4) + F.lit(0.0)).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
-        F.round(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count("*"), 4
+        (
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count("*"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("en_frac"),
-        F.round(
-            F.lit(1) - F.countDistinct("h") / F.count("*"), 4
+        (
+            F.round(F.lit(1) - F.countDistinct("h") / F.count("*"), 4)
+            + F.lit(0.0)
         ).alias("exact_dup_rate"),
     )
 
@@ -436,8 +453,8 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           round(avg(-lp), 4) AS avg_neg_logprob,
-           round(exp(avg(-lp)), 3) AS ppl
+           round(avg(-lp), 4) + 0.0 AS avg_neg_logprob,
+           round(exp(avg(-lp)), 3) + 0.0 AS ppl
     FROM s
     GROUP BY doc_id
     """,
@@ -472,8 +489,8 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lp.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg(-F.col("lp")), 4).alias("avg_neg_logprob"),
-        F.round(F.exp(F.avg(-F.col("lp"))), 3).alias("ppl"),
+        (F.round(F.avg(-F.col("lp")), 4) + F.lit(0.0)).alias("avg_neg_logprob"),
+        (F.round(F.exp(F.avg(-F.col("lp"))), 3) + F.lit(0.0)).alias("ppl"),
     )
 
 
@@ -562,7 +579,7 @@ MAX_BLOCKED_FRAC = 0.12
                CAST(len(toks) AS INTEGER) AS n_tokens,
                round(len(list_filter(toks,
                          x -> list_contains(['slow', 'dup', 'the'], x)))
-                     * 1.0 / len(toks), 4) AS blocked_frac
+                     * 1.0 / len(toks), 4) + 0.0 AS blocked_frac
         FROM t WHERE len(toks) > 0
     )
     SELECT doc_id, n_tokens, blocked_frac
@@ -594,7 +611,9 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
-            F.round(blocked / F.size("toks"), 4).alias("blocked_frac"),
+            (F.round(blocked / F.size("toks"), 4) + F.lit(0.0)).alias(
+                "blocked_frac"
+            ),
         )
         .where(F.col("blocked_frac") <= MAX_BLOCKED_FRAC)
     )
@@ -637,7 +656,7 @@ QSCORE_CTES = f"""qt AS (
     "llm_quality_lr",
     oracle=f"""
     WITH {QSCORE_CTES}
-    SELECT doc_id, round(sigma, 4) AS quality_score,
+    SELECT doc_id, round(sigma, 4) + 0.0 AS quality_score,
            CASE WHEN sigma >= 0.5 THEN 'keep' ELSE 'drop' END AS tier
     FROM qscore
     """,
@@ -670,7 +689,7 @@ def quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return d.select(
         "doc_id",
-        F.round(score, 4).alias("quality_score"),
+        (F.round(score, 4) + F.lit(0.0)).alias("quality_score"),
         F.when(score >= 0.5, F.lit("keep")).otherwise(F.lit("drop")).alias("tier"),
     )
 
@@ -740,7 +759,7 @@ _M31 = 2147483648  # 2^31
                           / sum(n_tokens)) AS w
         FROM t GROUP BY source
     )
-    SELECT s.source, s.n_docs, s.tokens, round(s.w, 6) AS weight,
+    SELECT s.source, s.n_docs, s.tokens, round(s.w, 6) + 0.0 AS weight,
            count(*) FILTER (WHERE t.r < s.w * {_M32}) AS n_sampled,
            CAST(sum(t.n_tokens) FILTER (WHERE t.r < s.w * {_M32})
                 AS BIGINT) AS tokens_sampled
@@ -798,7 +817,7 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "tokens",
-            F.round("w", 6).alias("weight"),
+            (F.round("w", 6) + F.lit(0.0)).alias("weight"),
             "n_sampled",
             "tokens_sampled",
         )

@@ -83,7 +83,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) + 0.0 AS jaccard
     FROM pairs
     JOIN tsize sa ON doc_a = sa.doc_id
     JOIN tsize sb ON doc_b = sb.doc_id
@@ -113,7 +113,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= JACCARD_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.round(jac, 4) + F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -135,7 +135,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) + 0.0 AS jaccard
     FROM pairs
     JOIN bsize sa ON doc_a = sa.doc_id
     JOIN bsize sb ON doc_b = sb.doc_id
@@ -171,7 +171,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", (F.round(jac, 4) + F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -496,7 +496,7 @@ COSINE_DUP_TAU = 0.35
     WITH cos AS (
         SELECT va, vb,
                round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
-                   AS cosine
+                   + 0.0 AS cosine
         FROM (
             SELECT a.vec_id AS va, b.vec_id AS vb,
                    CAST(unnest(a.embedding) AS DOUBLE) AS x,
@@ -583,7 +583,7 @@ def _kgram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS dup_grams,
            round(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) AS dup_frac
+                 / count(*), 4) + 0.0 AS dup_frac
     FROM gg LEFT JOIN dup ON gg.gram = dup.gram
     GROUP BY gg.doc_id
     """,
@@ -627,9 +627,10 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "total_grams",
             "dup_grams",
-            F.round(F.col("dup_grams") / F.col("total_grams"), 4).alias(
-                "dup_frac"
-            ),
+            (
+                F.round(F.col("dup_grams") / F.col("total_grams"), 4)
+                + F.lit(0.0)
+            ).alias("dup_frac"),
         )
     )
 
@@ -817,7 +818,8 @@ def _keep_best_oracle() -> str:
     WITH {_cluster_labels_sql()},
     {QSCORE_CTES},
     j AS (
-        SELECT l.cluster_rep, l.doc_id, round(q.sigma, 4) AS quality_score
+        SELECT l.cluster_rep, l.doc_id,
+               round(q.sigma, 4) + 0.0 AS quality_score
         FROM labels l JOIN qscore q ON l.doc_id = q.doc_id
     ),
     ranked AS (
@@ -828,7 +830,7 @@ def _keep_best_oracle() -> str:
         FROM j
     )
     SELECT cluster_rep, doc_id AS keeper,
-           round(quality_score, 4) AS keeper_score,
+           round(quality_score, 4) + 0.0 AS keeper_score,
            CAST(cluster_size AS BIGINT) AS cluster_size
     FROM ranked WHERE rn = 1
     """
@@ -871,7 +873,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster_rep",
             F.col("doc_id").alias("keeper"),
-            F.round("quality_score", 4).alias("keeper_score"),
+            (F.round("quality_score", 4) + F.lit(0.0)).alias("keeper_score"),
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )

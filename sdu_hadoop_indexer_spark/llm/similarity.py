@@ -53,9 +53,12 @@ def _cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
 
 # DuckDB twin: parallel-unnest zips the two lists; sums accumulate in double.
 # (list_cosine_similarity exists but computes in float32 — diverges at 4dp.)
+# `+ 0.0`: a negative cosine rounding to zero is -0.0 in DuckDB's IEEE round
+# but +0.0 through Spark's BigDecimal round — normalized on both sides.
 _COS_SQL = """
     SELECT va, vb,
-           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) + 0.0
+               AS cosine
     FROM (
         SELECT a.vec_id AS va, b.vec_id AS vb,
                CAST(unnest(a.embedding) AS DOUBLE) AS x,
@@ -77,7 +80,11 @@ def sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vb") == F.col("va") + 1)
-        .select("va", "vb", F.round(_cosine("ea", "eb"), 4).alias("cosine"))
+        .select(
+            "va",
+            "vb",
+            (F.round(_cosine("ea", "eb"), 4) + F.lit(0.0)).alias("cosine"),
+        )
     )
 
 
@@ -117,7 +124,7 @@ def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        F.round(cos, 4).alias("cosine"),
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -168,7 +175,7 @@ def _lsh_bucket_sql(col: str) -> str:
     for i in range(N_PLANES):
         signed = (
             f"list_transform({col}, (x, i) -> CASE WHEN "
-            f"({XH_A[i]} * i + {XH_B[i]}) % {XH_P} % 2 = 1 "
+            f"({XH_A[i]}::BIGINT * i + {XH_B[i]}) % {XH_P} % 2 = 1 "
             f"THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END)"
         )
         proj = f"list_reduce(list_prepend(0.0::DOUBLE, {signed}), (a, b) -> a + b)"
@@ -192,7 +199,7 @@ def _lsh_bucket_sql(col: str) -> str:
     cos AS (
         SELECT va, vb,
                round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
-                   AS cosine
+                   + 0.0 AS cosine
         FROM (
             SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
                    CAST(unnest(eb) AS DOUBLE) AS y
@@ -232,7 +239,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
     scored = F.broadcast(q).join(c, "bucket").select(
-        "query_id", "neighbor_id", F.round(cos, 4).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -362,7 +371,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_label_centroid",
     oracle="""
     SELECT label, CAST(dim AS INTEGER) AS dim,
-           round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
+           round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS centroid,
            count(*) AS n_vecs
     FROM (
         SELECT label,
@@ -381,7 +390,13 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            # + 0.0 is LIVE load-bearing here: negative embedding dims make
+            # tiny negative centroids that round to -0.0 in DuckDB (found by
+            # the schema_audit -0.0 probe at sf0.001) while Spark's
+            # BigDecimal round emits +0.0
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid"
+            ),
             F.count("*").alias("n_vecs"),
         )
     )
@@ -555,10 +570,10 @@ def sim_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT vec_id,
-           round(s, 6) AS scale,
+           round(s, 6) + 0.0 AS scale,
            round(list_max(list_transform(
                x, v -> abs(v - floor(v / s * 127 + 0.5) * s / 127))), 6)
-               AS max_err
+               + 0.0 AS max_err
     FROM s
     """,
 )
@@ -584,8 +599,8 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "vec_id",
-        F.round("s", 6).alias("scale"),
-        F.round(err, 6).alias("max_err"),
+        (F.round("s", 6) + F.lit(0.0)).alias("scale"),
+        (F.round(err, 6) + F.lit(0.0)).alias("max_err"),
     )
 
 

@@ -252,8 +252,12 @@ mcodes AS (
     oracle=f"""
     WITH {MCODES_SQL},
     m AS (
-        SELECT media_id, kind, n, codes, list_sum(codes) AS total,
-               list_sum(codes)::DOUBLE / n AS mean
+        -- coalesce/greatest guards mirror _fake_decode's `if n else 0.0`
+        -- branches: an empty payload must yield 0.0 in every slot, not the
+        -- NULLs list_sum([])/x÷0/codes[0] produce (round-3 ADVICE)
+        SELECT media_id, kind, n, codes,
+               coalesce(list_sum(codes), 0) AS total,
+               coalesce(list_sum(codes), 0)::DOUBLE / greatest(n, 1) AS mean
         FROM mcodes
     ),
     v AS (
@@ -261,7 +265,7 @@ mcodes AS (
                list_reduce(
                    list_prepend(0.0::DOUBLE,
                        list_transform(codes, c -> (c - mean) * (c - mean))),
-                   (a, b) -> a + b) / n AS var
+                   (a, b) -> a + b) / greatest(n, 1) AS var
         FROM m
     )
     SELECT media_id, kind, n AS n_bytes,
@@ -269,10 +273,10 @@ mcodes AS (
            total::DOUBLE AS f1,
            floor(mean * 1000000 + 0.5) / 1000000 AS f2,
            floor(var * 1000000 + 0.5) / 1000000 AS f3,
-           list_aggregate(codes, 'min')::DOUBLE AS f4,
-           list_aggregate(codes, 'max')::DOUBLE AS f5,
-           codes[1]::DOUBLE AS f6,
-           codes[n]::DOUBLE AS f7
+           coalesce(list_aggregate(codes, 'min'), 0)::DOUBLE AS f4,
+           coalesce(list_aggregate(codes, 'max'), 0)::DOUBLE AS f5,
+           coalesce(codes[1], 0)::DOUBLE AS f6,
+           coalesce(codes[n], 0)::DOUBLE AS f7
     FROM v
     """,
 )

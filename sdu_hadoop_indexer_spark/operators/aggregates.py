@@ -212,9 +212,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           round(quantile_cont(o_totalprice, 0.5), 4) + 0.0 AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) + 0.0 AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) + 0.0 AS p99
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -228,7 +228,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         *[
-            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+            (F.round(F.percentile("o_totalprice", F.lit(p)), 4) + F.lit(0.0))
+            .alias(name)
             for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
         ]
     )
@@ -243,16 +244,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stddev/covar/corr aggregates were not.
 #   n, sq..sdt are DOUBLE casts of: count, Σq, Σq², Σp, Σp², Σqp, Σd, Σt,
 #   Σdt with q,p,d,t = value·100 rounded to BIGINT (all fixtures carry ≤2dp).
+# Every formula ends in `+ 0.0`: Spark's round() goes through BigDecimal
+# (no signed zero) while DuckDB's stays in IEEE doubles, so a tiny negative
+# value that rounds to zero yields +0.0 in Spark but -0.0 in DuckDB and the
+# driver's value-hash distinguishes the two (round-3 driver red on the `N`
+# group's cov_disc_tax). IEEE addition maps -0.0 + 0.0 → +0.0, and since the
+# same text is evaluated by BOTH engines the outputs stay bit-identical.
 _SM_FORMULAS = {
     "sd_qty": "round(sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n)"
-    " / (n - 1)), 4)",
-    "var_qty": "round((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n) / (n - 1), 4)",
+    " / (n - 1)), 4) + 0.0",
+    "var_qty": "round((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n) / (n - 1), 4)"
+    " + 0.0",
     "cov_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / n)"
-    " / (n - 1), 2)",
+    " / (n - 1), 2) + 0.0",
     "corr_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / n)"
     " / sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / n)"
-    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / n)), 4)",
-    "cov_disc_tax": "round((sdt / 1e4 - (sd / 1e2) * (st / 1e2) / n) / n, 6)",
+    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / n)), 4) + 0.0",
+    "cov_disc_tax": "round((sdt / 1e4 - (sd / 1e2) * (st / 1e2) / n) / n, 6)"
+    " + 0.0",
 }
 
 
@@ -371,7 +380,7 @@ HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500_000.0, 10
     )
     SELECT bucket,
            round({HIST_LO} + bucket * (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS}), 1)
-               AS bucket_lo,
+               + 0.0 AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n
     FROM b GROUP BY bucket
     """,
@@ -395,7 +404,8 @@ def agg_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(
             "bucket",
-            F.round(F.lit(HIST_LO) + F.col("bucket") * w, 1).alias("bucket_lo"),
+            (F.round(F.lit(HIST_LO) + F.col("bucket") * w, 1) + F.lit(0.0))
+            .alias("bucket_lo"),
             "n",
         )
     )
@@ -454,7 +464,7 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     med AS (
         SELECT l_returnflag,
-               round(median(l_quantity), 4) AS median_qty,
+               round(median(l_quantity), 4) + 0.0 AS median_qty,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     )
@@ -483,7 +493,7 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
     )
     med = li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        (F.round(F.median("l_quantity"), 4) + F.lit(0.0)).alias("median_qty"),
         F.count("*").alias("n_rows"),
     )
     return med.join(mode, "l_returnflag")

@@ -119,7 +119,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(s1) AS n_view,
            count(s2) AS n_click_after_view,
            count(s3) AS n_purchase_after_click,
-           round(count(s3) / count(*), 4) AS conversion
+           round(count(s3) / count(*), 4) + 0.0 AS conversion
     FROM u3
     """,
 )
@@ -147,7 +147,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s1").alias("n_view"),
         F.count("s2").alias("n_click_after_view"),
         F.count("s3").alias("n_purchase_after_click"),
-        F.round(F.count("s3") / F.count("*"), 4).alias("conversion"),
+        (F.round(F.count("s3") / F.count("*"), 4) + F.lit(0.0)).alias(
+            "conversion"
+        ),
     )
 
 
@@ -196,16 +198,20 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-equal pre-round doubles ⇒ stable ROUNDED oracle. The engine-native
 # one-pass corr/covar/regr_slope moments differ from DuckDB's in the last
 # bits — the round-2 failure mode this rewrite removes pre-emptively.
+# `+ 0.0` after every round(): Spark's round goes through BigDecimal (never
+# emits -0.0) while DuckDB's stays in IEEE doubles, so a tiny negative value
+# rounding to zero diverges as -0.0 vs +0.0 at the driver's hasher (the
+# round-3 agg_stats_moments red). IEEE -0.0 + 0.0 = +0.0 on both engines.
 _CC_FORMULAS = {
     "corr_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
     " / sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd)"
-    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / nd)), 4)",
+    " * (spp / 1e4 - (sp / 1e2) * (sp / 1e2) / nd)), 4) + 0.0",
     "covar_qty_price": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
-    " / nd, 2)",
+    " / nd, 2) + 0.0",
     "sd_qty": "round(sqrt((sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd)"
-    " / (nd - 1)), 4)",
+    " / (nd - 1)), 4) + 0.0",
     "slope_price_per_qty": "round((sqp / 1e4 - (sq / 1e2) * (sp / 1e2) / nd)"
-    " / (sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd), 2)",
+    " / (sqq / 1e4 - (sq / 1e2) * (sq / 1e2) / nd), 2) + 0.0",
 }
 
 
@@ -288,7 +294,7 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS low,
            arg_max(value, ord) AS close,
            round(CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
-                 / count(value), 4) AS avg_value
+                 / count(value), 4) + 0.0 AS avg_value
     FROM k
     GROUP BY day, event_type
     """,
@@ -322,10 +328,13 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "ord").alias("close"),
             # exact decimal accumulation (schema_audit rule): a rounded raw
             # float avg is order-dependent across engines
-            F.round(
-                F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
-                / F.count("value"),
-                4,
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
+                    / F.count("value"),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("avg_value"),
         )
     )
@@ -521,7 +530,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_s, n,
            round((n - s / c)
-                 / nullif(sqrt((s2 - s * s / c) / (c - 1)), 0), 4) AS z,
+                 / nullif(sqrt((s2 - s * s / c) / (c - 1)), 0), 4) + 0.0 AS z,
            CASE WHEN abs((n - s / c)
                  / nullif(sqrt((s2 - s * s / c) / (c - 1)), 0)) > 3.0
                 THEN 1 ELSE 0 END AS is_anomaly
@@ -574,7 +583,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("h").alias("hour_s"),
         "n",
-        F.round(z, 4).alias("z"),
+        # + 0.0 folds a DuckDB-side -0.0 (tiny negative z rounding to zero)
+        # onto Spark's BigDecimal +0.0 so the driver hash can't diverge
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
         F.when(F.abs(z) > 3.0, 1).otherwise(0).alias("is_anomaly"),
     )
 

@@ -29,10 +29,16 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 def ravg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
     """Rounded average over the exact decimal sum: identical dividend and
-    divisor on both engines ⇒ identical pre-round double ⇒ stable round."""
+    divisor on both engines ⇒ identical pre-round double ⇒ stable round.
+    `+ 0.0` folds a -0.0 (possible when the column is negative-valued) to
+    +0.0 in lockstep with :func:`sql_ravg`."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast("decimal(25,4)")).cast("double") / F.count(c), ndigits
+    return (
+        F.round(
+            F.sum(c.cast("decimal(25,4)")).cast("double") / F.count(c),
+            ndigits,
+        )
+        + F.lit(0.0)
     ).alias(alias)
 
 
@@ -42,9 +48,12 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_ravg(expr: str, alias: str, ndigits: int = 4) -> str:
+    """DuckDB twin of :func:`ravg` — `+ 0.0` is load-bearing here: DuckDB's
+    round() stays in IEEE doubles and emits -0.0 for tiny negative inputs
+    where Spark's BigDecimal round emits +0.0 (round-3 driver red)."""
     return (
         f"round(CAST(sum(CAST({expr} AS DECIMAL(25,4))) AS DOUBLE)"
-        f" / count({expr}), {ndigits}) AS {alias}"
+        f" / count({expr}), {ndigits}) + 0.0 AS {alias}"
     )
 
 

@@ -90,9 +90,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(sqrt(l_extendedprice), 4) AS sqrt_price,
-           round(ln(l_extendedprice), 4) AS ln_price,
-           round(log10(l_extendedprice), 4) AS log10_price,
+           round(sqrt(l_extendedprice), 4) + 0.0 AS sqrt_price,
+           round(ln(l_extendedprice), 4) + 0.0 AS ln_price,
+           round(log10(l_extendedprice), 4) + 0.0 AS log10_price,
            CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
            CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
            CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
@@ -112,9 +112,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt(price), 4).alias("sqrt_price"),
-        F.round(F.log(price), 4).alias("ln_price"),
-        F.round(F.log10(price), 4).alias("log10_price"),
+        (F.round(F.sqrt(price), 4) + F.lit(0.0)).alias("sqrt_price"),
+        (F.round(F.log(price), 4) + F.lit(0.0)).alias("ln_price"),
+        (F.round(F.log10(price), 4) + F.lit(0.0)).alias("log10_price"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         F.ceil(price).alias("ceil_price"),
         F.floor(price).alias("floor_price"),
@@ -291,7 +291,7 @@ def fn_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            event_type AS t,
-           round(value, 4) AS v,
+           round(value, 4) + 0.0 AS v,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
     FROM events
     """,
@@ -319,7 +319,7 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.variant_get(v, "$.t", "string").alias("t"),
-        F.round(F.variant_get(v, "$.v", "double"), 4).alias("v"),
+        (F.round(F.variant_get(v, "$.v", "double"), 4) + F.lit(0.0)).alias("v"),
         F.variant_get(v, "$.meta.k", "int").alias("k"),
     )
 
@@ -406,7 +406,7 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_orderkey AS k,
            o_orderpriority AS p,
-           CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+           CAST(round(o_totalprice, 2) + 0.0 AS DOUBLE) AS price
     FROM orders
     """,
 )

@@ -56,7 +56,7 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_pandas_scalar",
     oracle="""
-    SELECT event_id, round(ln(1 + value), 4) AS log1p_value
+    SELECT event_id, round(ln(1 + value), 4) + 0.0 AS log1p_value
     FROM events
     """,
 )
@@ -70,7 +70,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.log1p(v)
 
     ev = table(spark, sf_dir, "events")
-    return ev.select("event_id", F.round(log1p("value"), 4).alias("log1p_value"))
+    return ev.select(
+        "event_id",
+        (F.round(log1p("value"), 4) + F.lit(0.0)).alias("log1p_value"),
+    )
 
 
 @register(
@@ -82,7 +85,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            round(sqrt(CAST(sum(v4 * v4) AS DOUBLE) / 1e8 / count(*)), 4)
-               AS rms_value
+               + 0.0 AS rms_value
     FROM c GROUP BY event_type
     """,
 )
@@ -101,7 +104,9 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(np.sqrt(s2 / 1e8 / len(v4)))
 
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.round(rms("value"), 4).alias("rms_value"))
+    return ev.groupBy("event_type").agg(
+        (F.round(rms("value"), 4) + F.lit(0.0)).alias("rms_value")
+    )
 
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -118,7 +123,9 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     var = max((sv2 / 1e8 - (sv / 1e4) * (sv / 1e4) / n) / n, 0.0)
     std = float(np.sqrt(var))
     if std > 0:
-        z = pd.Series((v4 / 1e4 - (sv / 1e4) / n) / std).round(4)
+        # + 0.0 folds a pandas-side -0.0 (tiny negative z rounded to
+        # zero) onto +0.0, in lockstep with the oracle's `+ 0.0`
+        z = pd.Series((v4 / 1e4 - (sv / 1e4) / n) / std).round(4) + 0.0
     else:
         z = pd.Series([None] * len(v4), dtype="float64")
     return pd.DataFrame(
@@ -145,7 +152,7 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
            round((v4 / 1e4 - (sv / 1e4) / n)
                  / nullif(sqrt(greatest(
                        (sv2 / 1e8 - (sv / 1e4) * (sv / 1e4) / n) / n, 0)),
-                     0), 4) AS z
+                     0), 4) + 0.0 AS z
     FROM s
     """,
 )
@@ -204,7 +211,8 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            round(o_totalprice * CASE WHEN o_orderstatus = 'F' THEN 0.9
-                                     ELSE 1.0 END, 4) AS effective_price
+                                     ELSE 1.0 END, 4) + 0.0
+               AS effective_price
     FROM orders
     """,
 )
@@ -220,7 +228,7 @@ def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         CREATE OR REPLACE TEMPORARY FUNCTION effective_price(
             price DOUBLE, status STRING) RETURNS DOUBLE
-        RETURN round(price * CASE WHEN status = 'F' THEN 0.9 ELSE 1.0 END, 4)
+        RETURN round(price * CASE WHEN status = 'F' THEN 0.9 ELSE 1.0 END, 4) + 0.0
         """
     )
     return spark.sql(

@@ -176,8 +176,8 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cume_dist",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
+           round(percent_rank() OVER w, 6) + 0.0 AS pr,
+           round(cume_dist() OVER w, 6) + 0.0 AS cd
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
@@ -195,8 +195,8 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pr"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cd"),
     )
 
 
@@ -213,7 +213,7 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(last_value(pv IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-               AS last_purchase_value
+               + 0.0 AS last_purchase_value
     FROM s
     """,
 )
@@ -237,9 +237,9 @@ def win_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
-        F.round(F.last(pv, ignorenulls=True).over(w), 4).alias(
-            "last_purchase_value"
-        ),
+        (
+            F.round(F.last(pv, ignorenulls=True).over(w), 4) + F.lit(0.0)
+        ).alias("last_purchase_value"),
     )
 
 

@@ -33,7 +33,7 @@ def register_search_views(spark: SparkSession, sf_dir: str) -> None:
     "sql_revenue_topn",
     oracle="""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue,
            c_mktsegment
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -55,7 +55,7 @@ def sql_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue,
                c_mktsegment
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -78,7 +78,7 @@ def sql_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
     SELECT f.doc_id, f.tf, d.dl,
-           round(f.tf * 1.0 / d.dl, 4) AS norm_tf
+           round(f.tf * 1.0 / d.dl, 4) + 0.0 AS norm_tf
     FROM flat f JOIN dls d USING (doc_id)
     WHERE f.term = 'join'
     ORDER BY norm_tf DESC, f.doc_id
@@ -93,7 +93,7 @@ def sql_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT f.doc_id, f.tf, d.dl,
-               round(f.tf * 1.0 / d.dl, 4) AS norm_tf
+               round(f.tf * 1.0 / d.dl, 4) + 0.0 AS norm_tf
         FROM text_index f JOIN doc_lengths d USING (doc_id)
         WHERE f.term = 'join'
         ORDER BY norm_tf DESC, f.doc_id
@@ -190,7 +190,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE),
-                 2) AS rev,
+                 2) + 0.0 AS rev,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_quantity > 45
@@ -208,7 +208,7 @@ def sql_pipe_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         |> WHERE l_quantity > 45
         |> AGGREGATE round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)))
-                                AS DOUBLE), 2) AS rev,
+                                AS DOUBLE), 2) + 0.0 AS rev,
                      count(*) AS n
            GROUP BY l_returnflag
         |> SELECT l_returnflag, rev, n

@@ -39,9 +39,10 @@ STOPWORDS = {
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
-           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) + 0.0
+               AS uniq_ratio,
            round(list_sum(list_transform(toks, x -> length(x))) * 1.0
-                 / len(toks), 4) AS avg_tok_len,
+                 / len(toks), 4) + 0.0 AS avg_tok_len,
            n_chars
     FROM t
     """,
@@ -63,8 +64,10 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_uniq"),
-        F.round(F.size(F.array_distinct("toks")) / n, 4).alias("uniq_ratio"),
-        F.round(total_chars / n, 4).alias("avg_tok_len"),
+        (F.round(F.size(F.array_distinct("toks")) / n, 4) + F.lit(0.0)).alias(
+            "uniq_ratio"
+        ),
+        (F.round(total_chars / n, 4) + F.lit(0.0)).alias("avg_tok_len"),
         "n_chars",
     )
 
@@ -163,13 +166,13 @@ def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram),
     a AS (
         SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
-               round(max(cnt) * 1.0 / sum(cnt), 4) AS top_bigram_frac
+               round(max(cnt) * 1.0 / sum(cnt), 4) + 0.0 AS top_bigram_frac
         FROM c GROUP BY doc_id
     ),
     d AS (
         SELECT doc_id,
                round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
-                   AS dup_token_frac
+                   + 0.0 AS dup_token_frac
         FROM t
     )
     SELECT a.doc_id, n_bigrams, top_bigram_frac, dup_token_frac
@@ -202,13 +205,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = counts.groupBy("doc_id").agg(
         F.sum("count").cast("int").alias("n_bigrams"),
-        F.round(F.max("count") / F.sum("count"), 4).alias("top_bigram_frac"),
+        (F.round(F.max("count") / F.sum("count"), 4) + F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
     )
     dup = t.select(
         "doc_id",
-        F.round(F.lit(1) - F.size(F.array_distinct("toks")) / n, 4).alias(
-            "dup_token_frac"
-        ),
+        (
+            F.round(F.lit(1) - F.size(F.array_distinct("toks")) / n, 4)
+            + F.lit(0.0)
+        ).alias("dup_token_frac"),
     )
     return agg.join(dup, "doc_id").select(
         "doc_id", "n_bigrams", "top_bigram_frac", "dup_token_frac"
@@ -243,7 +249,7 @@ def _lang_score_sql(lang: str) -> str:
                 WHEN s_fr >= greatest(s_es, s_de) THEN 'fr'
                 WHEN s_es >= s_de THEN 'es'
                 ELSE 'de' END AS pred_lang,
-           round(greatest(s_en, s_fr, s_es, s_de), 4) AS confidence
+           round(greatest(s_en, s_fr, s_es, s_de), 4) + 0.0 AS confidence
     FROM scored
     """,
 )
@@ -273,5 +279,5 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("de")
     )
     return s.select(
-        "doc_id", pred.alias("pred_lang"), F.round(best, 4).alias("confidence")
+        "doc_id", pred.alias("pred_lang"), (F.round(best, 4) + F.lit(0.0)).alias("confidence")
     )

@@ -107,7 +107,7 @@ def _pagerank_oracle() -> str:
         )
     parts.append(
         f"""
-    SELECT v AS term, round(r, 4) AS rank
+    SELECT v AS term, round(r, 4) + 0.0 AS rank
     FROM r{PR_ITERS}
     ORDER BY rank DESC, term
     LIMIT {PR_TOPK}"""
@@ -144,7 +144,7 @@ def pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return (
-        ranks.select("v", F.round("r", 4).alias("rank"))
+        ranks.select("v", (F.round("r", 4) + F.lit(0.0)).alias("rank"))
         .select(F.col("v").alias("term"), "rank")
         .orderBy(F.desc("rank"), "term")
         .limit(PR_TOPK)

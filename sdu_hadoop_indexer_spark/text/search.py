@@ -153,7 +153,7 @@ def join_self_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs AS (SELECT term, count(*) AS df FROM flat GROUP BY term),
     n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT f.term, f.doc_id,
-           round(f.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df), 4) AS tfidf
+           round(f.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df), 4) + 0.0 AS tfidf
     FROM flat f JOIN dfs USING (term) CROSS JOIN n
     """,
 )
@@ -171,8 +171,13 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "doc_id",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            (
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("tfidf"),
         )
     )
@@ -199,7 +204,7 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE f.term IN ('join', 'hash', 'scan')
         GROUP BY f.doc_id
     )
-    SELECT doc_id, round(score, 4) AS bm25
+    SELECT doc_id, round(score, 4) + 0.0 AS bm25
     FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """,
 )
@@ -228,7 +233,7 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(idf * tf_part).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
-        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .select("doc_id", (F.round("score", 4) + F.lit(0.0)).alias("bm25"))
     )
 
 
@@ -267,7 +272,7 @@ def ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS avg_chars,
            sum(n_chars) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
@@ -278,7 +283,9 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias(
+            "avg_chars"
+        ),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
@@ -304,10 +311,10 @@ MIN_COOCCUR = 5
     lm AS (SELECT w1, sum(c) AS ca FROM bg GROUP BY w1),
     rm AS (SELECT w2, sum(c) AS cb FROM bg GROUP BY w2)
     SELECT bg.w1, bg.w2, bg.c,
-           round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) AS pmi
+           round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) + 0.0 AS pmi
     FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
     WHERE bg.c >= {MIN_COOCCUR}
-    ORDER BY round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) DESC, w1, w2
+    ORDER BY round(ln(bg.c * t.n / (lm.ca * rm.cb)), 4) + 0.0 DESC, w1, w2
     LIMIT 50
     """,
 )
@@ -335,8 +342,13 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bg.agg(F.sum("c").cast("double").alias("n"))
     lm = bg.groupBy("w1").agg(F.sum("c").alias("ca"))
     rm = bg.groupBy("w2").agg(F.sum("c").alias("cb"))
-    pmi = F.round(
-        F.log(F.col("c") * F.col("n") / (F.col("ca") * F.col("cb"))), 4
+    # + 0.0: a negative PMI rounding to zero is -0.0 in DuckDB's IEEE round
+    # but +0.0 through Spark's BigDecimal round; normalize on both engines
+    pmi = (
+        F.round(
+            F.log(F.col("c") * F.col("n") / (F.col("ca") * F.col("cb"))), 4
+        )
+        + F.lit(0.0)
     )
     return (
         bg.where(F.col("c") >= MIN_COOCCUR)

@@ -154,3 +154,22 @@ def test_real_codec_decode_lights_up(spark, sf_dir):
     assert row.n_bytes == len(buf.getvalue())
     assert row.features[0] == 64.0  # n pixels
     assert row.features[1] == float(np.arange(64).sum())
+
+
+def test_media_oracle_fixture_invariants(spark, sf_dir):
+    """The media-family EXACT oracles rebuild _fake_decode's byte arithmetic
+    from `documents.text` via ascii()/length() — i.e. they equate CHARS with
+    BYTES and rely on the empty-payload guards only as defense in depth.
+    Pin the fixture invariants that make that equivalence exact: every text
+    is non-empty pure ASCII, and n_chars matches its length (round-3
+    ADVICE: a non-ASCII or empty fixture row would fail the gate
+    spuriously)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    bad = d.where(
+        (F.length("text") == 0)
+        | (F.length("text") != F.octet_length("text"))
+        | (F.col("n_chars") != F.length("text"))
+    ).count()
+    assert bad == 0

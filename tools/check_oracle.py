@@ -40,8 +40,9 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            return "0.0"  # normalize -0.0
+        # Deliberately DO distinguish -0.0 from +0.0: the driver's hasher
+        # does, and round-3's only red row (agg_stats_moments) was a -0.0
+        # DuckDB/+0.0 Spark divergence this mirror masked for two rounds.
         return repr(v)
     if isinstance(v, Decimal):
         return canon(float(v))
@@ -97,6 +98,11 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # must precede all_queries(): the file-scan oracles freeze this dir into
+    # their SQL at registration time (operators/scans.py FILE_SCAN_DIR)
+    import os
+
+    os.environ["SPARK_GRAFT_FILE_SCAN_DIR"] = args.sf
     queries, oracles = all_queries(), all_oracles()
     names = args.names or sorted(queries)
     spark = get_spark("oracle-check")

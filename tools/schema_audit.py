@@ -69,6 +69,55 @@ FLOAT_SUM = re.compile(
 )
 
 
+def _round_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) index pairs of every matched ``round(...)`` call."""
+    spans = []
+    for m in re.finditer(r"\bround\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0:
+            spans.append((m.start(), i))
+    return spans
+
+
+# What may legally follow a round() call WITHOUT the `+ 0.0` idiom: an
+# integer cast (integers have no signed zero) — `CAST(round(x) AS BIGINT)`
+# puts ` AS BIGINT)` right after the inner call.
+_INT_CAST_AFTER = re.compile(
+    r"^\s*AS\s+(BIGINT|INTEGER|INT|SMALLINT|TINYINT|HUGEINT)\b", re.IGNORECASE
+)
+
+
+def audit_signed_zero(name: str, sql: str) -> list[str]:
+    """Flag every float-producing round() not normalized with `+ 0.0`.
+
+    DuckDB's round() stays in IEEE doubles and emits -0.0 for tiny negative
+    inputs; Spark's goes through BigDecimal and emits +0.0 — the driver's
+    value-hash distinguishes them (round-3 agg_stats_moments red). The
+    enforced idiom is `round(...) + 0.0` on BOTH engine sides (IEEE
+    addition folds -0.0 to +0.0). Rounds consumed by an integer CAST are
+    exempt — integers carry no sign of zero.
+    """
+    finds = []
+    for start, end in _round_spans(sql):
+        after = sql[end:]
+        if _INT_CAST_AFTER.match(after):
+            continue
+        if re.match(r"^\s*\+\s*0\.0", after):
+            continue
+        snippet = " ".join(sql[start:end].split())[:60]
+        finds.append(
+            f"{name}: round() without `+ 0.0` signed-zero guard — "
+            f"`{snippet}…` (append `+ 0.0` on both engine sides)"
+        )
+    return finds
+
+
 def audit_oracle(name: str, sql: str) -> list[str]:
     finds = []
     if "round" in sql.lower():
@@ -85,7 +134,34 @@ def audit_oracle(name: str, sql: str) -> list[str]:
                 f"raw double accumulation is order-dependent; sum via "
                 f"DECIMAL cast instead"
             )
+        finds.extend(audit_signed_zero(name, sql))
     return finds
+
+
+def _is_neg_zero(v) -> bool:
+    import math
+
+    return isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+
+
+def probe_neg_zero(name: str, con, sql: str) -> list[str]:
+    """Dynamic probe: does the oracle ACTUALLY emit -0.0 at the audit SF?
+    (The static rule is the insurance for other SFs; this catches live
+    divergence the driver would hash red today.)"""
+    try:
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    except Exception as e:
+        return [f"{name}: oracle failed under -0.0 probe ({type(e).__name__}: {e})"]
+    for row in rows:
+        for col, v in zip(cols, row):
+            if _is_neg_zero(v):
+                return [
+                    f"{name}: oracle emits -0.0 in column `{col}` at this SF "
+                    f"— Spark emits +0.0; driver hash WILL diverge"
+                ]
+    return []
 
 
 def main() -> int:
@@ -93,9 +169,24 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     args = ap.parse_args()
 
+    import os
+
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.catalog import TABLES
+
+    # must precede all_queries(): the file-scan oracles freeze this dir into
+    # their SQL at registration time (operators/scans.py FILE_SCAN_DIR)
+    os.environ["SPARK_GRAFT_FILE_SCAN_DIR"] = args.sf
     queries, oracles = all_queries(), all_oracles()
     spark = get_spark("schema-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
 
     findings: list[str] = []
     for name in sorted(queries):
@@ -111,9 +202,11 @@ def main() -> int:
                     f"{name}: column `{f.name}` is {f.dataType.simpleString()} "
                     f"— wrap with registry.jsonify_complex"
                 )
-        # 2. ROUNDED oracles must not round engine-divergent floats
+        # 2. ROUNDED oracles must not round engine-divergent floats, and
+        #    every float round() must carry the `+ 0.0` signed-zero guard
         if name in oracles:
             findings.extend(audit_oracle(name, oracles[name]))
+            findings.extend(probe_neg_zero(name, con, oracles[name]))
 
     for line in findings:
         print(f"AUDIT {line}")
