@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..iteration import stage_round
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 from ..xhash import (
@@ -358,7 +359,9 @@ def _cluster_labels_sql() -> str:
     SELECT doc_id, cluster_rep FROM labels
     """,
 )
-def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_cluster(
+    spark: SparkSession, sf_dir: str, reliable: bool = False
+) -> DataFrame:
     """Near-dup CLUSTER assignment — the linear-output 100 TB dedup path.
 
     All-pairs candidate output (`dedup_minhash_lsh`) is inherently quadratic
@@ -369,7 +372,9 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     in O(component diameter) rounds — duplicate clusters are near-cliques, so
     2-3 rounds in practice. Convergence is detected via the monotone
     sum-of-labels invariant (one cheap agg per round, no join-based diff);
-    `localCheckpoint` truncates lineage each round. Output: (doc_id,
+    `iteration.stage_round` truncates lineage each round (``reliable=True``
+    stages rounds to parquet — the executor-loss-safe cluster form;
+    default executor-local blocks are the right price single-JVM). Output: (doc_id,
     cluster_rep) where cluster_rep = min doc_id of the component; tests
     assert every true τ=0.9 Jaccard pair lands in one cluster and that the
     assignment is idempotent."""
@@ -382,17 +387,20 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeds band_idx, so (bkt, doc_id) is already unique — a distinct here
     # is a pure extra shuffle. (The DuckDB oracle keeps its DISTINCT; min
     # aggregation makes duplicates harmless on either side.)
-    member = (
-        _lsh_bands(spark, sf_dir)
-        .select(
-            (F.col("band_idx").cast("long") * COMBINE_BOUND + F.col("band_hash")).alias("bkt"),
+    member = stage_round(
+        _lsh_bands(spark, sf_dir).select(
+            (
+                F.col("band_idx").cast("long") * COMBINE_BOUND
+                + F.col("band_hash")
+            ).alias("bkt"),
             "doc_id",
-        )
-        .localCheckpoint()
+        ),
+        reliable,
     )
-    labels = member.select("doc_id").distinct().withColumn(
-        "label", F.col("doc_id")
-    ).localCheckpoint()
+    labels = stage_round(
+        member.select("doc_id").distinct().withColumn("label", F.col("doc_id")),
+        reliable,
+    )
     prev_sum = None
     converged = False
     for _ in range(MAX_CC_ITERS):
@@ -401,11 +409,11 @@ def dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bkt")
             .agg(F.min("label").alias("bucket_label"))
         )
-        labels = (
+        labels = stage_round(
             member.join(bucket_min, "bkt")
             .groupBy("doc_id")
-            .agg(F.min("bucket_label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("bucket_label").alias("label")),
+            reliable,
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease → fixed point

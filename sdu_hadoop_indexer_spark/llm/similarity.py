@@ -749,3 +749,50 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("vec_id", F.explode(pairs).alias("p")).select(
         "vec_id", F.col("p.k").alias("k"), F.col("p.y").alias("y")
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the two registered top-k oracles (both EXACT) — evaluation
+    queries must grade the SAME candidate sets the operators produce, so the
+    oracle literally embeds their SQL as derived tables."""
+    from ..registry import ORACLES
+
+    return f"""
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1.0 / count(*), 4) + 0.0 AS recall
+    FROM ({ORACLES["sim_topk_search"]}) e
+    LEFT JOIN ({ORACLES["sim_topk_lsh"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("sim_ann_recall_eval", oracle=_recall_oracle())
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the LSH path
+    (`sim_topk_lsh`) against the brute-force ground truth
+    (`sim_topk_search`) — the acceptance metric every production ANN
+    deployment tracks before trusting the approximate path.
+
+    Pure composition: both sides are the registered operators themselves
+    (not re-implementations), joined on (query, neighbor) and rolled up per
+    query. Ground truth is queries-sized (k rows per query), so the join is
+    a broadcast; at 100 TB the expensive parts are the operators being
+    evaluated, not the grader."""
+    exact = sim_topk_search(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.count("hit").alias("n_hit"),
+            (
+                F.round(F.count("hit") / F.count("*"), 4) + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )

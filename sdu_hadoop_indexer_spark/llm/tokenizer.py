@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..iteration import stage_round
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 
@@ -121,10 +122,15 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    reliable: bool = False,
 ) -> DataFrame:
     """Train `n_merges` BPE merges over the fixture corpus; returns the
-    merge table (rank, left, right, merged, cnt)."""
+    merge table (rank, left, right, merged, cnt). ``reliable=True`` stages
+    each round to parquet instead of executor-local blocks (see
+    `iteration.stage_round` — the executor-loss-safe cluster form)."""
     # Tokens containing '|' are excluded from the vocab on BOTH engines: the
     # symbol output (and the oracle's delimiter encoding) use '|' as the
     # separator, so such tokens would make the representation ambiguous.
@@ -134,9 +140,10 @@ def bpe_train(
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
-    vocab = words.select(
-        "word", "freq", F.split("word", "").alias("sym")
-    ).localCheckpoint()
+    vocab = stage_round(
+        words.select("word", "freq", F.split("word", "").alias("sym")),
+        reliable,
+    )
     merges = []
     for rank in range(n_merges):
         top = (
@@ -149,7 +156,7 @@ def bpe_train(
             break
         a, b, cnt = top[0].a, top[0].b, top[0].cnt
         merges.append((rank, a, b, a + b, int(cnt)))
-        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+        vocab = stage_round(_apply_merge(vocab, a, b), reliable)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, cnt bigint"
     )

@@ -897,3 +897,184 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores["m"].cast("string"),
         ).alias("rfm"),
     )
+
+
+# EWMA over the trailing EWMA_LOOKBACK observed hours. The decay weights are
+# PRECOMPUTED Python doubles embedded as literals in BOTH engines' expression
+# text — engine-native pow() could differ in the last ulp, identical literals
+# cannot. The series is the hourly event COUNT (exact integers on both
+# engines), so numerator/denominator are identical IEEE folds of identical
+# inputs ⇒ bit-equal pre-round doubles ⇒ stable ROUNDED oracle.
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 20
+_EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** i for i in range(EWMA_LOOKBACK)]
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    """(numerator, denominator) SQL over lag(n, i) columns — shared text
+    shape for both engines (window alias `w`)."""
+    num = " + ".join(
+        f"coalesce(lag(n, {i}) OVER w, 0) * {w!r}"
+        for i, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(n, {i}) OVER w IS NULL THEN 0.0 ELSE {w!r} END)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_s, n,
+           round(({_ewma_terms_sql()[0]})
+                 / ({_ewma_terms_sql()[1]}), 4) + 0.0 AS ewma
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly event rate —
+    the smoothing primitive under alerting/trend dashboards (the pair to
+    `events_anomaly_zscore`'s rolling z-score).
+
+    The textbook EWMA recurrence y_t = αx_t + (1-α)y_{t-1} is sequential;
+    the distributed form is its {EWMA_LOOKBACK}-term truncated expansion
+    y_t ≈ Σ α(1-α)^i · x_(t-i) (the dropped tail mass is (1-α)^{EWMA_LOOKBACK}
+    ≈ 8e-4), renormalized over the weights actually present so warm-up rows
+    are unbiased. All {EWMA_LOOKBACK} lag() calls share ONE window spec —
+    Catalyst evaluates them in a single WindowExec over a single per-type
+    sort, and the window runs on the HOURS-sized rate series, not raw
+    events, so the cost is calendar-scale at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = sum(
+        (
+            F.coalesce(F.lag("n", i).over(w), F.lit(0)) * F.lit(wt)
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("n", i).over(w).isNull(), F.lit(0.0)).otherwise(
+                F.lit(wt)
+            )
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0.0),
+    )
+    return hourly.select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_s"),
+        "n",
+        (F.round(num / den, 4) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # attribution lookback: 7 days
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN printf('%020d-%019d-%s',
+                                epoch_us(ts), event_id, event_type)
+               END AS pk
+        FROM ev
+    ),
+    attrib AS (
+        SELECT user_id, event_id, ts, event_type,
+               last_value(pk IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lpk
+        FROM marked
+    ),
+    parsed AS (
+        SELECT user_id, event_id, ts,
+               CAST(nullif(split_part(lpk, '-', 1), '') AS BIGINT)
+                   AS attr_ts_us,
+               CAST(nullif(split_part(lpk, '-', 2), '') AS BIGINT)
+                   AS attr_event_id,
+               nullif(split_part(lpk, '-', 3), '') AS attr_type
+        FROM attrib WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, {sql_epoch_s('ts')} AS ts_s,
+           CASE WHEN attr_ts_us IS NOT NULL
+                 AND epoch_us(ts) - attr_ts_us <= {ATTR_WINDOW_US}
+                THEN attr_type ELSE 'none' END AS attr_type,
+           CASE WHEN attr_ts_us IS NOT NULL
+                 AND epoch_us(ts) - attr_ts_us <= {ATTR_WINDOW_US}
+                THEN attr_event_id END AS attr_event_id,
+           CASE WHEN attr_ts_us IS NOT NULL
+                 AND epoch_us(ts) - attr_ts_us <= {ATTR_WINDOW_US}
+                THEN (epoch_us(ts) - attr_ts_us) // 1000000 END AS gap_s
+    FROM parsed
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding view/click within a 7-day lookback — the
+    canonical conversion-credit query of behavioral analytics.
+
+    One window pass per user (the same `PARTITION BY user_id` Exchange the
+    sessionize/funnel family shares): touch candidates are packed into a
+    zero-padded `(epoch_us, event_id, type)` string (the `ts_ohlc` total-
+    order trick — lexicographic == numeric, so `last_value IGNORE NULLS`
+    picks the identical touch on both engines), carried forward LOCF-style
+    to the strictly-prior frame, then unpacked and gated by the lookback.
+    Purchases with no in-window touch report 'none'. At 100 TB: one
+    user-keyed sort-window over the event stream, no join, no broadcast."""
+    ev = table(spark, sf_dir, "events")
+    pk = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.format_string(
+            "%020d-%019d-%s", F.unix_micros("ts"), F.col("event_id"), F.col("event_type")
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    parsed = (
+        ev.select("user_id", "event_id", "ts", "event_type", pk.alias("pk"))
+        .withColumn("lpk", F.last("pk", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.split("lpk", "-").getItem(0).cast("bigint").alias("attr_ts_us"),
+            F.split("lpk", "-").getItem(1).cast("bigint").alias("attr_event_id"),
+            F.split("lpk", "-").getItem(2).alias("attr_type"),
+        )
+    )
+    in_window = F.col("attr_ts_us").isNotNull() & (
+        F.unix_micros("ts") - F.col("attr_ts_us") <= ATTR_WINDOW_US
+    )
+    gap_s = F.expr(
+        "CAST((unix_micros(ts) - attr_ts_us) DIV 1000000 AS BIGINT)"
+    )
+    return parsed.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_s"),
+        F.when(in_window, F.col("attr_type")).otherwise("none").alias("attr_type"),
+        F.when(in_window, F.col("attr_event_id")).alias("attr_event_id"),
+        F.when(in_window, gap_s).alias("gap_s"),
+    )

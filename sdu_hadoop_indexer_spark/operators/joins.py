@@ -608,3 +608,108 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_err"))
     )
+
+
+# Portable bloom-filter semi join. Spark's own runtime bloom filters
+# (spark.sql.optimizer.runtime.bloomFilter.*, injected for shuffle joins
+# whose probe scan exceeds ~10 GB) do this automatically at cluster scale;
+# this operator builds the SAME structure explicitly from the cross-engine
+# xhash family so the pattern is (a) demonstrable at fixture scale and
+# (b) EXACT-verifiable — the bloom is only a PRE-filter, the residual join
+# is exact, so false positives cannot change the result, only the pruning
+# ratio (asserted in tests).
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 4  # hash functions
+_BLOOM_M31 = 2_147_483_648  # 2^31: keep key*A inside int64 on both engines
+BLOOM_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0"
+
+
+def _bloom_pos(key, j: int):
+    """j-th bloom bit position of an integer key column — pure int64
+    arithmetic under 2^61 (same headroom argument as xhash.hfam)."""
+    from ..xhash import A, B, XH_P
+
+    return ((key % _BLOOM_M31) * A[j] + B[j]) % XH_P % BLOOM_M
+
+
+@register(
+    "join_bloom_semi",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE {BLOOM_PRED})
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered semi join: lineitem ⋉ (selective orders subset).
+
+    The shuffle-reduction pattern for selective joins at 100 TB: the build
+    side's keys are folded into a {BLOOM_M}-bit bloom filter materialized
+    as ≤{BLOOM_M // 64} (word, bits) rows — small enough to BROADCAST — and
+    the probe side's key dimension is tested against it BEFORE the equi
+    join, so non-matching fact rows never enter the join exchange. The
+    bloom admits false positives, so an exact residual semi join follows;
+    the oracle is therefore the plain semi join (bloom pruning is
+    result-invariant by construction). Bit positions come from the xhash
+    family — both engines could rebuild the identical filter bit-for-bit.
+    Production note: on a real cluster Spark's InjectRuntimeFilter plans
+    this automatically once the probe scan crosses its size threshold; the
+    explicit form is the portable/debuggable variant and the plan shape
+    (broadcast bloom probe → shuffle join on survivors) is identical."""
+    li = table(spark, sf_dir, "lineitem")
+    build = (
+        table(spark, sf_dir, "orders")
+        .where(F.expr(BLOOM_PRED))
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    # bloom words: explode each build key into K bit positions, OR per word
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("k"), j) for j in range(BLOOM_K)])
+    ).alias("pos")
+    words = (
+        build.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # shiftleft with a COLUMN shift amount needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    # bloom-test the probe KEY DIMENSION (not the fact rows): a key survives
+    # iff all K of its bits are set
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    kpos = keys.select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "k",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    survivors = (
+        kpos.join(F.broadcast(words), "word")
+        .where(F.expr("shiftright(bits, bit) & 1") == 1)
+        .groupBy("k")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == BLOOM_K)
+        .select("k")
+    )
+    pruned = li.join(
+        F.broadcast(survivors), li.l_orderkey == survivors.k, "left_semi"
+    )
+    exact = pruned.join(
+        F.broadcast(build), pruned.l_orderkey == build.k, "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

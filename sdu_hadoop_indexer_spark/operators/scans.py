@@ -773,3 +773,56 @@ def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.write.mode("overwrite").option("compression", codec).parquet(path)
         out.append(spark.read.parquet(path).withColumn("codec", F.lit(codec)))
     return out[0].unionAll(out[1])
+
+
+@register(
+    "sink_acid_timetravel",
+    oracle="""
+    SELECT 0 AS version, c_custkey, c_name,
+           round(c_acctbal, 2) + 0.0 AS c_acctbal
+    FROM customer WHERE c_custkey % 20 = 1
+    UNION ALL
+    SELECT 1 AS version, c_custkey, c_name,
+           round(CASE WHEN c_custkey % 40 = 1 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 2) + 0.0 AS c_acctbal
+    FROM customer WHERE c_custkey % 20 = 1
+    """,
+)
+def sink_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the ACID table format: after a MERGE commits version
+    1, version 0 must still read back byte-for-byte unchanged (snapshot
+    isolation made relational — the gate twin of `sink_acid_merge`, which
+    only checks the FINAL state).
+
+    Builds a customer-subset table, merges a +10.0 re-price of half its
+    keys, then returns BOTH pinned snapshots under a `version` column. The
+    oracle is the closed-form spec of each snapshot computed straight from
+    the source relation — it never sees the log, so any isolation leak
+    (the merge mutating files version 0 still references) hash-fails.
+    Snapshot reads list files from the commit log only (object-store-safe,
+    `acid.snapshot_files`), which is what makes pinned-version reads O(1)
+    metadata at any table size."""
+    import tempfile
+
+    from .. import acid
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).where(F.col("c_custkey") % 20 == 1)
+    tbl = tempfile.mkdtemp(prefix="sdu-acid-tt-") + "/customers"
+    acid.create_table(c, tbl, "c_custkey", n_files=4)
+    upd = c.where(F.col("c_custkey") % 40 == 1).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 10.0).alias("c_acctbal")
+    )
+    acid.merge_upsert(spark, tbl, upd, "c_custkey")
+    out = []
+    for v in (0, 1):
+        out.append(
+            acid.read_table(spark, tbl, version=v).select(
+                F.lit(v).alias("version"),
+                "c_custkey",
+                "c_name",
+                (F.round("c_acctbal", 2) + F.lit(0.0)).alias("c_acctbal"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -6,8 +6,9 @@ beyond connected components (`dedup_minhash_cluster`): damped PageRank
 vocabulary-keyed shuffle join + aggregation — the graph is vocabulary-sized,
 orders of magnitude smaller than the corpus that produced it, so ten rounds
 cost ten small shuffles regardless of corpus scale; per-round
-`localCheckpoint(eager=False)` keeps the plan from growing with the
-iteration count (same discipline as the CC loop in `llm/dedup.py`).
+`iteration.stage_round` keeps the plan from growing with the iteration
+count (same discipline as the CC loop in `llm/dedup.py`; `reliable=True`
+swaps the executor-local blocks for parquet staging at cluster scale).
 
 `text_countmin_heavyhitters` is the charter's "novel sketch" slot: a
 count-min sketch (depth×width counter grid) built in ONE hash aggregation —
@@ -25,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..iteration import stage_round
 from ..registry import register
 from ..xhash import hfam, hfam_sql, xh1, xh1_sql, xh2, xh2_sql
 
@@ -116,7 +118,9 @@ def _pagerank_oracle() -> str:
 
 
 @register("text_pagerank_keywords", oracle=_pagerank_oracle())
-def pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_keywords(
+    spark: SparkSession, sf_dir: str, reliable: bool = False
+) -> DataFrame:
     """TextRank keyword extraction: damped PageRank over the undirected
     bigram co-occurrence graph, top-{PR_TOPK} terms by rank (rounded, term
     tie-break). Ranked on the ROUNDED score so cross-engine float-sum order
@@ -132,16 +136,16 @@ def pagerank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("b")
             .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.v == contrib.b, "left")
-            .select(
+        ranks = stage_round(
+            nodes.join(contrib, nodes.v == contrib.b, "left").select(
                 "v",
                 (
                     F.lit(1 - PR_DAMPING)
                     + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
                 ).alias("r"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            reliable,
+            eager=False,
         )
     return (
         ranks.select("v", (F.round("r", 4) + F.lit(0.0)).alias("rank"))
