@@ -288,3 +288,39 @@ def merge_upsert(
         "rewritten": len(touched),
         "carried": len(carried),
     }
+
+
+def vacuum(table: str, retain_versions: int = 1) -> dict:
+    """Physical cleanup: delete data files referenced by NO retained
+    snapshot (copy-on-write leaves every rewritten-away file on disk
+    forever otherwise — at 100 TB that doubles storage every full-table
+    rewrite cycle).
+
+    Retains the live sets of the newest ``retain_versions`` versions; any
+    ``part-*.parquet`` outside their union is deleted. The log itself is
+    NEVER touched: commits stay replayable for audit, but time travel to a
+    vacuumed version now fails at read (exactly Delta's VACUUM contract —
+    retention trades storage against time-travel depth). Deleting a data
+    file is safe under concurrent readers of retained versions because
+    retained snapshots reference only kept files; readers pinned to
+    OLDER versions must finish before vacuum runs (the retention window is
+    the coordination mechanism, as in Delta).
+
+    Returns {"deleted", "kept", "head"}.
+    """
+    head = latest_version(table)
+    if head < 0:
+        raise FileNotFoundError(f"not an ACID table (no {LOG_DIR}): {table}")
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions + 1), head + 1):
+        keep.update(f.path for f in snapshot_files(table, v))
+    deleted = 0
+    for name in os.listdir(table):
+        if (
+            name.startswith("part-")
+            and name.endswith(".parquet")
+            and name not in keep
+        ):
+            os.remove(os.path.join(table, name))
+            deleted += 1
+    return {"deleted": deleted, "kept": len(keep), "head": head}

@@ -180,3 +180,31 @@ def test_multiprocess_commit_race_exactly_one_winner(spark, tmp_path):
     outs = [p.communicate(timeout=60)[0].strip() for p in procs]
     assert sorted(outs) == ["CONFLICT", "WON"], outs
     assert acid.latest_version(tbl) == 1
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    """VACUUM must delete exactly the data files no retained snapshot
+    references: the head snapshot stays readable byte-for-byte, the
+    pre-merge snapshot (outside the retention window) loses its files,
+    and the commit log itself is untouched."""
+    tbl, _ = _mk(spark, tmp_path, n=1000, files=4)
+    upd = spark.range(1000).select(  # full-range update → rewrites all files
+        F.col("id").alias("k"), F.lit(-5).alias("v")
+    )
+    acid.merge_upsert(spark, tbl, upd, "k")
+    n_files_before = len(
+        [f for f in os.listdir(tbl) if f.endswith(".parquet")]
+    )
+    live_now = {f.path for f in acid.snapshot_files(tbl)}
+    assert n_files_before > len(live_now)  # rewritten-away files linger
+    res = acid.vacuum(tbl, retain_versions=1)
+    assert res["deleted"] == n_files_before - len(live_now)
+    on_disk = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert on_disk == live_now
+    # head still reads perfectly; vacuumed version 0 now fails at read
+    got = acid.read_table(spark, tbl)
+    assert got.count() == 1000 and got.where("v != -5").count() == 0
+    with pytest.raises(Exception):
+        acid.read_table(spark, tbl, version=0).count()
+    # the log is untouched — commits remain for audit
+    assert acid.latest_version(tbl) == 1

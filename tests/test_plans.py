@@ -413,3 +413,47 @@ def test_xhash_pipelines_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan, fn.__name__
         assert "FlatMapGroupsInPandas" not in plan, fn.__name__
+
+
+def test_ewma_uses_single_window_pass(spark, sf_dir):
+    """All EWMA_LOOKBACK lag() expressions (numerator + denominator, 40
+    window calls) share ONE window spec — Catalyst must evaluate them in a
+    single WindowExec over a single per-type sort, or the hourly series
+    would be re-sorted dozens of times."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_ewma
+
+    plan = _plan(ts_ewma(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_attribution_is_single_window_no_join(spark, sf_dir):
+    """Last-touch attribution must stay a one-window-pass per-user
+    computation — a join formulation (purchases × touches) would shuffle
+    the event stream twice and explode on heavy users."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_attribution_last_touch,
+    )
+
+    plan = _plan(events_attribution_last_touch(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_broadcasts_filter_and_never_cartesian(spark, sf_dir):
+    """The bloom words and the surviving key set are both broadcast (the
+    whole point: the fact table is pre-filtered without entering a shuffle
+    exchange keyed on it), and no stage degenerates to a cartesian/BNLJ."""
+    plan = _plan(joins.join_bloom_semi(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_eval_joins_broadcast(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_ann_recall_eval
+
+    plan = _plan(sim_ann_recall_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
