@@ -226,3 +226,62 @@ def gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+CDC_KEYS = 500  # synthetic CDC key space
+
+
+@register(
+    "stream_cdc_apply",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    changes AS (
+        SELECT user_id % {CDC_KEYS} AS k,
+               CASE event_type WHEN 'purchase' THEN 'U'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'I' END AS op,
+               value AS v,
+               printf('%020d-%019d', epoch_us(ts), event_id) AS seq
+        FROM ev
+    ),
+    latest AS (
+        SELECT k, op, v, seq,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM changes
+    )
+    SELECT k, v AS last_value, seq AS last_seq
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization: fold an insert/update/delete change stream into
+    final table state — keep each key's highest-sequence change, drop keys
+    whose latest change is a delete. The batch form of what
+    `stream_foreachbatch_upsert` does incrementally, and the consumer side
+    of every Debezium/binlog-style ingestion pipeline.
+
+    The change stream is synthesized deterministically from the event
+    fixture (purchase→U, error→D, else I; sequence = the zero-padded
+    (epoch_us, event_id) total-order string, so 'latest' is unambiguous on
+    both engines). ONE ranking window per key — at 100 TB this is a single
+    shuffle on the CDC key, the same cost as the upsert itself; a real
+    deployment runs it per micro-batch against the ACID table
+    (`acid.merge_upsert`) with tombstone handling exactly as modeled here."""
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        (F.col("user_id") % CDC_KEYS).alias("k"),
+        F.when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("I")
+        .alias("op"),
+        F.col("value").alias("v"),
+        F.format_string(
+            "%020d-%019d", F.unix_micros("ts"), F.col("event_id")
+        ).alias("seq"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", F.col("v").alias("last_value"), F.col("seq").alias("last_seq"))
+    )

@@ -22,13 +22,14 @@ against exact counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..iteration import stage_round
 from ..registry import register
 from ..xhash import hfam, hfam_sql, xh1, xh1_sql, xh2, xh2_sql
+from .indexer import TOK_SQL
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
@@ -240,3 +241,134 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), "term").limit(CMS_TOPK)
+
+
+RAKE_TOPK = 25
+RAKE_SCALE = 1_000_000  # word scores as exact integer millionths
+
+
+def _rake_stop_sql() -> str:
+    from .analysis import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH {{TOK}},
+    marked AS (
+        SELECT doc_id, pos, term,
+               CASE WHEN term IN ({{STOPS}}) THEN 1 ELSE 0 END AS is_stop
+        FROM tok
+    ),
+    pids AS (
+        SELECT doc_id, pos, term, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS pid
+        FROM marked
+    ),
+    members AS (
+        SELECT doc_id, pid, pos, term FROM pids WHERE is_stop = 0
+    ),
+    phrases AS (
+        SELECT doc_id, pid,
+               count(*) AS plen,
+               string_agg(term, ' ' ORDER BY pos) AS phrase
+        FROM members GROUP BY doc_id, pid
+    ),
+    wstats AS (
+        SELECT m.term,
+               count(*) AS freq,
+               sum(p.plen) AS deg
+        FROM members m JOIN phrases p USING (doc_id, pid)
+        GROUP BY m.term
+    ),
+    wscore AS (
+        SELECT term,
+               (CAST(deg AS BIGINT) * {RAKE_SCALE}) // freq AS ws
+        FROM wstats
+    ),
+    pscore AS (
+        SELECT m.doc_id, m.pid, sum(w.ws) AS score_int
+        FROM members m JOIN wscore w USING (term)
+        GROUP BY m.doc_id, m.pid
+    )
+    SELECT p.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           max(s.score_int) / {RAKE_SCALE}.0 AS score
+    FROM phrases p JOIN pscore s USING (doc_id, pid)
+    WHERE p.plen >= 2
+    GROUP BY p.phrase
+    ORDER BY score DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """.replace("{STOPS}", _rake_stop_sql()).replace("{TOK}", TOK_SQL),
+)
+def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (a gaps-and-islands segmentation —
+    phrase id = running stopword count), each word scores deg/freq over the
+    candidate corpus (deg = Σ length of phrases containing it), and a
+    phrase scores the sum of its words; top-{RAKE_TOPK} multi-word phrases.
+    The second keyword extractor next to TextRank — no graph iteration, one
+    pass, which is why RAKE is the standard cheap first cut.
+
+    Cross-engine exactness: word scores are integer MILLIONTHS via int64
+    floor division (float division would sum in engine-specific order);
+    phrase scores are exact integer sums, divided once at output. Scale
+    shape: one per-doc window for segmentation, vocabulary-sized word-score
+    relation broadcast back onto members, phrase-keyed aggregations —
+    corpus-sized work is all map-side-combined hash aggs."""
+    from .analysis import STOPWORDS
+    from .indexer import tokenize
+
+    tok = tokenize(spark, sf_dir)
+    is_stop = (
+        F.col("term").isin(*STOPWORDS["en"]).cast("long").alias("is_stop")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pids = tok.select("doc_id", "pos", "term", is_stop).withColumn(
+        "pid", F.sum("is_stop").over(w)
+    )
+    members = pids.where(F.col("is_stop") == 0).select(
+        "doc_id", "pid", "pos", "term"
+    )
+    phrases = members.groupBy("doc_id", "pid").agg(
+        F.count("*").alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+        ).alias("phrase"),
+    )
+    wstats = (
+        members.join(phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstats.select(
+        "term",
+        F.expr(f"CAST(deg AS BIGINT) * {RAKE_SCALE} DIV freq").alias("ws"),
+    )
+    pscore = (
+        members.join(F.broadcast(wscore), "term")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("ws").alias("score_int"))
+    )
+    return (
+        phrases.join(pscore, ["doc_id", "pid"])
+        .where(F.col("plen") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            (F.max("score_int") / RAKE_SCALE).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOPK)
+    )

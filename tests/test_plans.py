@@ -457,3 +457,22 @@ def test_ann_recall_eval_joins_broadcast(spark, sf_dir):
     plan = _plan(sim_ann_recall_eval(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_apply_is_single_ranking_window(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.streaming.event_windows import cdc_apply
+
+    plan = _plan(cdc_apply(spark, sf_dir))
+    # exactly one Window node; WindowGroupLimit nodes are the rank-filter
+    # pushdown (rn = 1 evaluated before the full sort) — keep them
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_rake_broadcasts_word_scores_no_cartesian(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.text.mining import keyphrase_rake
+
+    plan = _plan(keyphrase_rake(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -166,3 +166,54 @@ def test_acid_timetravel_versions_differ_only_on_updated_keys(spark, sf_dir):
         )
     finally:
         df.unpersist()
+
+
+def test_cdc_apply_latest_wins_and_deletes_drop(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.streaming.event_windows import (
+        CDC_KEYS,
+        cdc_apply,
+    )
+
+    state = cdc_apply(spark, sf_dir).cache()
+    try:
+        assert 0 < state.count() <= CDC_KEYS
+        assert state.select("k").distinct().count() == state.count()
+        # rebuild the change stream and check the contract directly
+        ev = table(spark, sf_dir, "events").select(
+            (F.col("user_id") % CDC_KEYS).alias("k"),
+            F.col("event_type"),
+            F.format_string(
+                "%020d-%019d", F.unix_micros("ts"), F.col("event_id")
+            ).alias("seq"),
+        )
+        latest = ev.groupBy("k").agg(F.max("seq").alias("max_seq"))
+        truth = ev.join(latest, "k").where(F.col("seq") == F.col("max_seq"))
+        deleted = truth.where(F.col("event_type") == "error").select("k")
+        # no deleted key survives; every surviving key carries its max seq
+        assert state.join(deleted, "k").count() == 0
+        mism = state.join(latest, "k").where(
+            F.col("last_seq") != F.col("max_seq")
+        )
+        assert mism.count() == 0
+    finally:
+        state.unpersist()
+
+
+def test_rake_phrases_are_multiword_and_stopword_free(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.text.analysis import STOPWORDS
+    from sdu_hadoop_indexer_spark.text.mining import (
+        RAKE_TOPK,
+        keyphrase_rake,
+    )
+
+    rows = keyphrase_rake(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RAKE_TOPK
+    stops = set(STOPWORDS["en"])
+    for r in rows:
+        toks = r.phrase.split(" ")
+        assert len(toks) >= 2  # plen >= 2 filter
+        assert not (set(toks) & stops)  # candidates are stopword-free runs
+        assert r.score > 0 and r.n_occurrences >= 1
+    # descending by score with phrase tie-break
+    scores = [(r.score, r.phrase) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
