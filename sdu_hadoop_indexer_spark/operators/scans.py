@@ -826,3 +826,51 @@ def sink_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB target at fixture scale
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — THE standing maintenance job of every
+    file-based lakehouse: streaming/CDC ingestion produces thousands of
+    KB-scale files whose per-file open/footer/task overhead eventually
+    dominates scan cost; compaction rewrites them into target-size files.
+
+    Simulates the pathology (the customer table scattered into 64 shards),
+    then sizes the output from the MEASURED input bytes —
+    ceil(total / {COMPACT_TARGET_BYTES}B) files via round-robin
+    `repartition(n)` (uniform sizes; no key skew transfer) — and returns
+    the compacted read-back. EXACT oracle against the source proves
+    losslessness. At 100 TB the same job runs per partition/bucket with
+    `maxRecordsPerFile` as the guard rail, and on the ACID format it
+    commits as remove(small)+add(big) — same protocol as `acid.vacuum`'s
+    retention story."""
+    import math
+
+    base = os.environ.get(
+        "SPARK_GRAFT_COMPACT_DIR", "/tmp/sdu_spark_sink/compact"
+    )
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    small = f"{base}/small"
+    src.repartition(64).write.mode("overwrite").parquet(small)
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(small)
+        if e.name.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / COMPACT_TARGET_BYTES))
+    compacted = f"{base}/compacted"
+    (
+        spark.read.parquet(small)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted)

@@ -217,3 +217,25 @@ def test_rake_phrases_are_multiword_and_stopword_free(spark, sf_dir):
     # descending by score with phrase tie-break
     scores = [(r.score, r.phrase) for r in rows]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir, monkeypatch, tmp_path):
+    import os
+
+    from sdu_hadoop_indexer_spark.operators import scans
+
+    monkeypatch.setenv("SPARK_GRAFT_COMPACT_DIR", str(tmp_path / "c"))
+    out = scans.sink_compact_small_files(spark, sf_dir)
+    assert out.count() == table(spark, sf_dir, "customer").count()
+    small = [
+        f
+        for f in os.listdir(str(tmp_path / "c" / "small"))
+        if f.endswith(".parquet")
+    ]
+    big = [
+        f
+        for f in os.listdir(str(tmp_path / "c" / "compacted"))
+        if f.endswith(".parquet")
+    ]
+    assert len(small) == 64
+    assert len(big) < len(small)  # compaction actually compacted
