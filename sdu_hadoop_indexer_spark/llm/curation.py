@@ -987,3 +987,40 @@ def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_epochs.alias("n_epochs"),
         F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"),
     )
+
+
+@register(
+    "llm_quality_resample",
+    oracle=f"""
+    WITH {{QSCORE}},
+    scored AS (
+        SELECT q.doc_id,
+               round(q.sigma, 4) + 0.0 AS quality_score,
+               ((q.doc_id % {_M31}) * {_KNUTH}) % {_M32} AS r
+        FROM qscore q
+    )
+    SELECT doc_id, quality_score
+    FROM scored
+    WHERE r < CAST(round(quality_score * {_M32}) AS BIGINT)
+    """.replace("{QSCORE}", QSCORE_CTES),
+)
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: keep each document with
+    probability equal to its model quality score — the soft alternative to
+    a hard keep/drop threshold (low-quality docs survive occasionally,
+    preserving distributional coverage; high-quality docs almost always
+    survive). The standard curation move between "filter" and "keep all",
+    and the per-doc form of `llm_mixing_weights`' per-source sampling.
+
+    Deterministic like every sampler in this repo: the keep decision is
+    `knuth_hash(doc_id) < round(score·2^32)` — integer arithmetic both
+    engines evaluate bit-identically (no RNG state, reruns reproduce the
+    same sample). The SCORE side is the ROUNDED 4dp sigmoid so the
+    comparison threshold is the same exact double on both engines. Scale:
+    map-only over the scored relation — zero shuffles beyond the scoring
+    projection itself (plan-pinnable like `llm_quality_lr`)."""
+    scored = quality_lr(spark, sf_dir).select("doc_id", "quality_score")
+    r = F.col("doc_id") % _M31 * _KNUTH % _M32
+    return scored.where(
+        r < F.round(F.col("quality_score") * _M32).cast("long")
+    ).select("doc_id", "quality_score")

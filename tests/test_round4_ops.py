@@ -239,3 +239,25 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir, monkeypatch, tm
     ]
     assert len(small) == 64
     assert len(big) < len(small)  # compaction actually compacted
+
+
+def test_quality_resample_is_score_monotone(spark, sf_dir):
+    """Keep probability must track the quality score: the kept set's mean
+    score exceeds the full population's, every score-1.0 doc is kept (its
+    threshold is the full hash range), and the kept fraction is within a
+    loose band of the population mean score (deterministic hash ≈ uniform)."""
+    from sdu_hadoop_indexer_spark.llm.curation import (
+        quality_lr,
+        quality_resample,
+    )
+
+    pop = quality_lr(spark, sf_dir).select("doc_id", "quality_score")
+    kept = quality_resample(spark, sf_dir)
+    n_pop, n_kept = pop.count(), kept.count()
+    assert 0 < n_kept < n_pop
+    mean_pop = pop.agg(F.avg("quality_score")).first()[0]
+    mean_kept = kept.agg(F.avg("quality_score")).first()[0]
+    assert mean_kept > mean_pop
+    sure = pop.where(F.col("quality_score") >= 1.0)
+    assert kept.join(sure, "doc_id").count() == sure.count()
+    assert abs(n_kept / n_pop - mean_pop) < 0.15
