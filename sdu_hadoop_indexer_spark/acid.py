@@ -280,9 +280,15 @@ def merge_upsert(
         [f.path for f in touched],
     )
     # post-commit compaction: only the writer that LANDED version v folds
-    # the log, so checkpoint frequency is bounded by commit frequency
+    # the log, so checkpoint frequency is bounded by commit frequency.
+    # Best-effort: the commit above is already durable, and checkpoints are
+    # derived data (loss costs read speed, never correctness) — a failed
+    # checkpoint write must not make a SUCCESSFUL commit look failed.
     if (base_version + 1) % CHECKPOINT_INTERVAL == 0:
-        write_checkpoint(table, base_version + 1)
+        try:
+            write_checkpoint(table, base_version + 1)
+        except OSError:
+            pass
     return {
         "version": base_version + 1,
         "rewritten": len(touched),
@@ -290,36 +296,52 @@ def merge_upsert(
     }
 
 
-def vacuum(table: str, retain_versions: int = 1) -> dict:
+VACUUM_MIN_AGE_S = 24 * 3600  # Delta's default retention: 168h; we use 24h
+
+
+def vacuum(
+    table: str,
+    retain_versions: int = 1,
+    min_age_seconds: int = VACUUM_MIN_AGE_S,
+) -> dict:
     """Physical cleanup: delete data files referenced by NO retained
     snapshot (copy-on-write leaves every rewritten-away file on disk
     forever otherwise — at 100 TB that doubles storage every full-table
     rewrite cycle).
 
     Retains the live sets of the newest ``retain_versions`` versions; any
-    ``part-*.parquet`` outside their union is deleted. The log itself is
-    NEVER touched: commits stay replayable for audit, but time travel to a
-    vacuumed version now fails at read (exactly Delta's VACUUM contract —
-    retention trades storage against time-travel depth). Deleting a data
-    file is safe under concurrent readers of retained versions because
-    retained snapshots reference only kept files; readers pinned to
-    OLDER versions must finish before vacuum runs (the retention window is
-    the coordination mechanism, as in Delta).
+    ``part-*.parquet`` outside their union AND older than
+    ``min_age_seconds`` (file mtime) is deleted. The age guard is the
+    concurrent-WRITER fence, exactly Delta's: an in-flight merge renames
+    its staged files into the table root BEFORE its commit lands, so for
+    that window they are unreferenced — but they are also seconds old,
+    which no sane retention window deletes. Only pass
+    ``min_age_seconds=0`` when no writer can be in flight (tests,
+    single-writer maintenance windows). The log itself is NEVER touched:
+    commits stay replayable for audit, but time travel to a vacuumed
+    version now fails at read (Delta's VACUUM contract — retention trades
+    storage against time-travel depth). Concurrent READERS of retained
+    versions are safe because retained snapshots reference only kept
+    files; readers pinned to OLDER versions must finish before vacuum runs.
 
     Returns {"deleted", "kept", "head"}.
     """
+    import time
+
     head = latest_version(table)
     if head < 0:
         raise FileNotFoundError(f"not an ACID table (no {LOG_DIR}): {table}")
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions + 1), head + 1):
         keep.update(f.path for f in snapshot_files(table, v))
+    cutoff = time.time() - min_age_seconds
     deleted = 0
     for name in os.listdir(table):
         if (
             name.startswith("part-")
             and name.endswith(".parquet")
             and name not in keep
+            and os.path.getmtime(os.path.join(table, name)) <= cutoff
         ):
             os.remove(os.path.join(table, name))
             deleted += 1

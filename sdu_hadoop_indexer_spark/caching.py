@@ -28,23 +28,19 @@ def memoized_persist(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the cached persisted relation for (app, sf_dir), building and
-    persisting it on first use. Eviction policy: drop entries whose session
-    is dead (other applicationId — their executors are gone, the handle is
-    unusable) and any previous entry for THIS (app, sf_dir); keep live
-    same-app entries for other sf_dirs."""
+    persisting it on first use. Eviction policy: on a miss, drop only
+    entries from DEAD sessions (other applicationId — their executors are
+    gone, the handles are unusable, nothing to unpersist); every live
+    entry of the current app (necessarily for other sf_dirs — a same-SF
+    entry would have been the hit) is kept, so a multi-SF gate loop never
+    thrash-recomputes the expensive band/blocked-pair lineage."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = cache.get(key)
     if cached is not None:
         return cached
     for k in list(cache):
-        if k[0] == key[0] and k[1] != sf_dir:
-            continue  # live entry for another SF of this app — keep
-        try:
-            if k[0] == key[0]:
-                cache[k].unpersist()
-        except Exception:
-            pass  # dead session — nothing to release
-        del cache[k]
+        if k[0] != key[0]:
+            del cache[k]
     out = build().persist()
     cache[key] = out
     return out

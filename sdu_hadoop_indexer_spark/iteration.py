@@ -24,6 +24,7 @@ the iteration count. Two staging strategies:
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -31,15 +32,48 @@ from pyspark.sql import DataFrame
 STAGE_DIR_ENV = "SPARK_GRAFT_STAGE_DIR"
 
 
+def _write_stage(df: DataFrame) -> tuple[DataFrame, str]:
+    base = os.environ.get(STAGE_DIR_ENV, "/tmp/sdu_spark_stage")
+    path = os.path.join(base, f"round-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path), path
+
+
 def stage_round(
     df: DataFrame, reliable: bool = False, eager: bool = True
 ) -> DataFrame:
     """Truncate lineage between iterative rounds (see module docstring).
     ``eager`` only affects the localCheckpoint path (lazy checkpoints defer
-    materialization to first use); the parquet path is inherently eager."""
+    materialization to first use); the parquet path is inherently eager.
+
+    For a CHAIN of rounds use :class:`RoundStager` instead — this one-shot
+    form keeps its staging directory forever (the returned DataFrame reads
+    from it), so calling it in a loop grows temp disk by one table copy per
+    round."""
     if not reliable:
         return df.localCheckpoint(eager=eager)
-    base = os.environ.get(STAGE_DIR_ENV, "/tmp/sdu_spark_stage")
-    path = os.path.join(base, f"round-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return _write_stage(df)[0]
+
+
+class RoundStager:
+    """Per-chain staging with bounded disk: each ``stage()`` call deletes
+    the PREVIOUS round's directory after the new round is fully written
+    (the write is eager, so nothing still needs the old files — lineage of
+    the new round starts at its own parquet). At most ONE staged copy per
+    chain is on disk at any time; the final round's directory backs the
+    chain's returned DataFrame and is left for the caller/tmp reaper
+    (bounded: one directory per chain, not per round)."""
+
+    def __init__(self, reliable: bool = False, eager: bool = True):
+        self.reliable = reliable
+        self.eager = eager
+        self._prev_path: str | None = None
+
+    def stage(self, df: DataFrame) -> DataFrame:
+        if not self.reliable:
+            return df.localCheckpoint(eager=self.eager)
+        out, path = _write_stage(df)
+        if self._prev_path is not None:
+            shutil.rmtree(self._prev_path, ignore_errors=True)
+        self._prev_path = path
+        return out

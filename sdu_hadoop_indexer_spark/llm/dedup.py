@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..iteration import stage_round
+from ..iteration import RoundStager, stage_round
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 from ..xhash import (
@@ -397,9 +397,9 @@ def dedup_minhash_cluster(
         ),
         reliable,
     )
-    labels = stage_round(
-        member.select("doc_id").distinct().withColumn("label", F.col("doc_id")),
-        reliable,
+    stager = RoundStager(reliable)  # labels chain: ≤1 staged copy on disk
+    labels = stager.stage(
+        member.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     )
     prev_sum = None
     converged = False
@@ -409,11 +409,10 @@ def dedup_minhash_cluster(
             .groupBy("bkt")
             .agg(F.min("label").alias("bucket_label"))
         )
-        labels = stage_round(
+        labels = stager.stage(
             member.join(bucket_min, "bkt")
             .groupBy("doc_id")
-            .agg(F.min("bucket_label").alias("label")),
-            reliable,
+            .agg(F.min("bucket_label").alias("label"))
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease → fixed point

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..iteration import stage_round
+from ..iteration import RoundStager
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 
@@ -140,9 +140,9 @@ def bpe_train(
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
-    vocab = stage_round(
-        words.select("word", "freq", F.split("word", "").alias("sym")),
-        reliable,
+    stager = RoundStager(reliable)  # vocab chain: ≤1 staged copy on disk
+    vocab = stager.stage(
+        words.select("word", "freq", F.split("word", "").alias("sym"))
     )
     merges = []
     for rank in range(n_merges):
@@ -156,7 +156,7 @@ def bpe_train(
             break
         a, b, cnt = top[0].a, top[0].b, top[0].cnt
         merges.append((rank, a, b, a + b, int(cnt)))
-        vocab = stage_round(_apply_merge(vocab, a, b), reliable)
+        vocab = stager.stage(_apply_merge(vocab, a, b))
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, cnt bigint"
     )

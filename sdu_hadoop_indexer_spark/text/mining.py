@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..iteration import stage_round
+from ..iteration import RoundStager
 from ..registry import register
 from ..xhash import hfam, hfam_sql, xh1, xh1_sql, xh2, xh2_sql
 from .indexer import TOK_SQL
@@ -131,22 +131,21 @@ def pagerank_keywords(
     en = edges.join(outw, "a").select("a", "b", (F.col("w") / F.col("tw")).alias("p"))
     nodes = edges.select(F.col("a").alias("v")).distinct()
     ranks = nodes.select("v", F.lit(1.0).alias("r"))
+    stager = RoundStager(reliable, eager=False)  # ≤1 staged copy on disk
     for _ in range(PR_ITERS):
         contrib = (
             en.join(ranks, en.a == ranks.v)
             .groupBy("b")
             .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
         )
-        ranks = stage_round(
+        ranks = stager.stage(
             nodes.join(contrib, nodes.v == contrib.b, "left").select(
                 "v",
                 (
                     F.lit(1 - PR_DAMPING)
                     + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
                 ).alias("r"),
-            ),
-            reliable,
-            eager=False,
+            )
         )
     return (
         ranks.select("v", (F.round("r", 4) + F.lit(0.0)).alias("rank"))

@@ -197,7 +197,9 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     )
     live_now = {f.path for f in acid.snapshot_files(tbl)}
     assert n_files_before > len(live_now)  # rewritten-away files linger
-    res = acid.vacuum(tbl, retain_versions=1)
+    # min_age_seconds=0: the test is the single writer, so the concurrent-
+    # writer age fence (see vacuum docstring) can be waived
+    res = acid.vacuum(tbl, retain_versions=1, min_age_seconds=0)
     assert res["deleted"] == n_files_before - len(live_now)
     on_disk = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
     assert on_disk == live_now
@@ -208,3 +210,16 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
         acid.read_table(spark, tbl, version=0).count()
     # the log is untouched — commits remain for audit
     assert acid.latest_version(tbl) == 1
+
+
+def test_vacuum_age_fence_spares_fresh_files(spark, tmp_path):
+    """With the default retention age, vacuum must NOT delete fresh
+    unreferenced files — they may belong to an in-flight writer that has
+    staged data but not yet committed (the concurrent-writer fence)."""
+    tbl, _ = _mk(spark, tmp_path, n=200, files=2)
+    upd = spark.range(200).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    acid.merge_upsert(spark, tbl, upd, "k")  # leaves v0's files unreferenced
+    before = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    res = acid.vacuum(tbl, retain_versions=1)  # default min_age: 24 h
+    after = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert res["deleted"] == 0 and after == before

@@ -34,6 +34,10 @@ def test_minhash_cluster_reliable_matches_default(spark, sf_dir, tmp_path, monke
     base = _rows(dedup.dedup_minhash_cluster(spark, sf_dir))
     staged = _rows(dedup.dedup_minhash_cluster(spark, sf_dir, reliable=True))
     assert staged == base
+    # bounded disk: RoundStager deletes superseded rounds, so only the
+    # member stage + the final labels round remain (NOT one dir per round)
+    dirs = os.listdir(str(tmp_path / "stage"))
+    assert len(dirs) == 2
 
 
 def test_pagerank_reliable_matches_default(spark, sf_dir, tmp_path, monkeypatch):

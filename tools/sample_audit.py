@@ -24,8 +24,6 @@ import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -33,6 +31,9 @@ def main() -> int:
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
+    # resolve the registry against the SAME checkout whose CORRECTNESS
+    # files we diff — a hardcoded path would silently audit the wrong code
+    sys.path.insert(0, args.repo)
     from sdu_hadoop_indexer_spark.registry import all_queries
 
     registry = set(all_queries())
