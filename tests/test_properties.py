@@ -222,3 +222,44 @@ def test_distributed_ntile_matches_native(spark, vals):
     assert {(r.user_id, r.nt) for r in got.collect()} == {
         (r.user_id, r.nt) for r in want.collect()
     }
+
+
+@given(
+    series=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40)
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ewma_matches_python_reference(spark, series):
+    """Differential test: the distributed truncated-EWMA formula must equal
+    a direct Python evaluation of the same renormalized weighted mean for
+    ANY integer series (the operator's own oracle only checks the fixture
+    corpus)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import _EWMA_W
+
+    rows = [(i, int(n)) for i, n in enumerate(series)]
+    df = spark.createDataFrame(rows, "t int, n long")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t")
+    num = sum(
+        (
+            F.coalesce(F.lag("n", i).over(w), F.lit(0)) * F.lit(wt)
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (
+            F.when(F.lag("n", i).over(w).isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+            for i, wt in enumerate(_EWMA_W)
+        ),
+        start=F.lit(0.0),
+    )
+    got = {
+        r.t: r.e
+        for r in df.select("t", (num / den).alias("e")).collect()
+    }
+    for t in range(len(series)):
+        window = series[max(0, t - len(_EWMA_W) + 1) : t + 1][::-1]
+        ws = _EWMA_W[: len(window)]
+        want = sum(v * wt for v, wt in zip(window, ws)) / sum(ws)
+        assert abs(got[t] - want) < 1e-9, (t, got[t], want)
