@@ -1078,3 +1078,59 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(in_window, F.col("attr_event_id")).alias("attr_event_id"),
         F.when(in_window, gap_s).alias("gap_s"),
     )
+
+
+@register(
+    "events_dau_mau",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               strftime(ts, '%Y-%m') AS month,
+               user_id
+        FROM ev
+    ),
+    dau AS (
+        SELECT day, any_value(month) AS month,
+               count(DISTINCT user_id) AS dau
+        FROM d GROUP BY day
+    ),
+    mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM d GROUP BY month)
+    SELECT dau.day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(dau.dau * 1.0 / mau.mau, 4) + 0.0 AS stickiness
+    FROM dau JOIN mau USING (month)
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU engagement: distinct active users per day, per calendar
+    month, and the day's stickiness ratio (DAU/MAU — the canonical
+    product-health KPI). Two distinct-count aggregations over the SAME
+    (day, month, user) projection; the months-sized MAU relation broadcasts
+    back onto the days-sized DAU relation, so the output join costs
+    nothing. At 100 TB both counts are exact distincts keyed by calendar
+    units — partial-aggregated map-side; swap `approx_count_distinct` in
+    at the same plan shape if exactness stops being worth the shuffle."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    dau = d.groupBy("day").agg(
+        F.first("month").alias("month"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    mau = d.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.round(F.col("dau") / F.col("mau"), 4) + F.lit(0.0)).alias(
+                "stickiness"
+            ),
+        )
+    )

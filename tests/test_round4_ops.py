@@ -261,3 +261,13 @@ def test_quality_resample_is_score_monotone(spark, sf_dir):
     sure = pop.where(F.col("quality_score") >= 1.0)
     assert kept.join(sure, "doc_id").count() == sure.count()
     assert abs(n_kept / n_pop - mean_pop) < 0.15
+
+
+def test_dau_mau_bounds(spark, sf_dir):
+    from sdu_hadoop_indexer_spark.operators.analytics import events_dau_mau
+
+    rows = events_dau_mau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.mau  # a day's actives are a subset of its month's
+        assert 0.0 < r.stickiness <= 1.0
