@@ -713,3 +713,54 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    m AS (
+        SELECT p.event_id, e.event_id AS next_event_id, e.event_type AS next_type,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM p JOIN ev e ON p.user_id = e.user_id AND e.ts > p.ts
+    )
+    SELECT event_id, next_event_id, next_type FROM m WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the earliest strictly-later
+    event of the same user — the other direction parameter every TSDB asof
+    API exposes (backward = `join_asof`; forward answers "what happened
+    next": next quote after an order, next reading after an alarm).
+
+    Exact mirror of `join_asof`'s single-window form: MIN of the zero-padded
+    (ts, event_id, type) key over a `RANGE BETWEEN 1 FOLLOWING AND
+    UNBOUNDED FOLLOWING` frame (range on `unix_micros`, so same-timestamp
+    rows are excluded — strict `>`). Min of the key IS the (earliest ts,
+    smallest event_id) next event; the type rides along behind the unique
+    fixed-width prefix. One shuffle on user_id, no join — same linear
+    scale argument, plan-pinned alongside the backward form."""
+    ev = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%019d-%s", F.unix_micros("ts"), F.col("event_id"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    withnext = ev.select(
+        "event_id", "user_id", "ts", "event_type", F.min(key).over(w).alias("nk")
+    )
+    return (
+        withnext.where(
+            (F.col("event_type") == "purchase") & F.col("nk").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.substring("nk", 22, 19).cast("bigint").alias("next_event_id"),
+            F.expr("substring(nk, 42)").alias("next_type"),
+        )
+    )

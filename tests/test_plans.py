@@ -476,3 +476,11 @@ def test_rake_broadcasts_word_scores_no_cartesian(spark, sf_dir):
     plan = _plan(keyphrase_rake(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_forward_is_single_window_pass(spark, sf_dir):
+    """The forward as-of must stay the single-window form like its backward
+    twin — a join-then-rank regression would be quadratic per long user."""
+    plan = _plan(joins.join_asof_forward(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
