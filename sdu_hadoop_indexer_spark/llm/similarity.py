@@ -254,102 +254,213 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 8  # IVF coarse-quantizer cells
 N_PROBE = 2  # cells probed per query
 KMEANS_ITERS = 2
+IVF_SCALE = 10_000  # embedding dims quantized to integer ten-thousandths
 
 
-def _nearest_cell(emb_col: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-dot-product centroid (spherical k-means assignment).
-
-    Centroids are unit-normalized literals, so max dot == max cosine; the
-    argmax is a pure column expression (array of dots → array_position of
-    max) — assignment runs JVM-side over every vector with no Python."""
-    dots = F.array(
-        *[
-            _dot(emb_col, F.array(*[F.lit(float(v)) for v in c]))
-            for c in centroids
-        ]
+def _ivf_qvec(col: str | Column) -> Column:
+    """Quantize a float32 vector to integer ten-thousandths — the exactness
+    foundation of the whole IVF path: float32→double casts are exact, the
+    ×IVF_SCALE product is one deterministic IEEE op, and round() is
+    half-away-from-zero on BOTH engines (the udfs.py v4 precedent), so the
+    integer lattice is engine-identical."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * IVF_SCALE, 0).cast("long")
     )
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
-def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Spherical k-means, KMEANS_ITERS Lloyd rounds.
+def _ivf_dist2(qv_col: Column, m: list[int]) -> Column:
+    """Squared L2 distance to an integer centroid — PURE int64 arithmetic
+    (|q−m| ≤ ~6e4 per dim → Σ over 64 dims ≤ ~2e11), so the sum is
+    order-independent and the argmin below cannot drift across engines."""
+    marr = F.array(*[F.lit(int(v)).cast("long") for v in m])
+    return F.aggregate(
+        F.zip_with(qv_col, marr, lambda q, c: (q - c) * (q - c)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
-    Assignment is distributed (column expression over all vectors); the
-    centroid update collects only the k×dim centroid table (tiny) per round.
-    Deterministic: init = first N_CELLS vectors by vec_id."""
-    import numpy as np
 
+def _ivf_assign(qv_col: Column, cents: list[list[int]]) -> Column:
+    """Nearest-centroid cell id, ties → smallest cell index (identical to
+    the oracle's `ORDER BY dist2, cell` rank-1)."""
+    dists = F.array(*[_ivf_dist2(qv_col, m) for m in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Lattice k-means, KMEANS_ITERS Lloyd rounds, fully deterministic:
+    init = the first N_CELLS quantized vectors; assignment = integer-L2
+    argmin; the new centroid is RE-QUANTIZED to the integer grid
+    (round(Σq/n) — double division of exact integers, same rounding rule
+    both engines). Keeping centroids ON the lattice is what removes every
+    float-accumulation-order hazard that forced the previous spherical
+    version to stay ROWS-ONLY — the DuckDB oracle replays the identical
+    rounds as unrolled MATERIALIZED CTEs (the BPE/CC pattern).
+    Assignment is distributed; each round collects only the k×dim integer
+    centroid table (tiny, bounded)."""
     e = table(spark, sf_dir, "embeddings")
-    unit = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / _norm("embedding")
-        ).alias("u"),
-    )
-    init = unit.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
-    centroids = [list(r.u) for r in init]
+    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv"))
+    init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    cents = [list(r.qv) for r in init]
+    dims = len(cents[0])
     for _ in range(KMEANS_ITERS):
-        assigned = unit.withColumn("cell", _nearest_cell(F.col("u"), centroids))
-        means = (
-            assigned.select("cell", F.posexplode("u").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cell", F.transform("dm", lambda s: s.m).alias("centroid"))
+        assigned = qv.select(
+            _ivf_assign(F.col("qv"), cents).alias("cell"),
+            F.posexplode("qv").alias("dim", "q"),
+        )
+        rows = (
+            assigned.groupBy("cell", "dim")
+            .agg(
+                F.round(F.sum("q").cast("double") / F.count("*"), 0)
+                .cast("long")
+                .alias("m")
+            )
             .collect()
         )
-        new = {r.cell: np.array(r.centroid) for r in means}
-        centroids = [
-            (new[i] / np.linalg.norm(new[i])).tolist() if i in new else centroids[i]
+        new: dict[int, dict[int, int]] = {}
+        for r in rows:
+            new.setdefault(r.cell, {})[r.dim] = r.m
+        cents = [
+            [new[i][d] for d in range(dims)] if i in new else cents[i]
             for i in range(N_CELLS)
         ]
-    return centroids
+    return cents
 
 
-@register("sim_topk_ivf")  # ROWS-ONLY: learned cell assignment is engine-local
+def _ivf_oracle() -> str:
+    """DuckDB twin of the whole IVF pipeline: quantize → KMEANS_ITERS
+    unrolled Lloyd rounds (integer sums; centroids re-rounded to the grid;
+    empty cells carry forward) → final assignment + probe ranking → cosine
+    top-k over probed candidates (the sim_topk_lsh scoring shape)."""
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(round(CAST(v AS DOUBLE) * {IVF_SCALE}) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cell, dim, q AS m FROM qv WHERE vec_id < {N_CELLS})"""
+    ]
+    prev = "c0"
+    for k in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f""",
+    a{k} AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    ),
+    cm{k} AS MATERIALIZED (
+        SELECT a.cell, qv.dim,
+               CAST(round(CAST(sum(qv.q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+        FROM a{k} a JOIN qv USING (vec_id)
+        GROUP BY a.cell, qv.dim
+    ),
+    c{k} AS MATERIALIZED (
+        SELECT * FROM cm{k}
+        UNION ALL
+        SELECT p.cell, p.dim, p.m FROM {prev} p
+        WHERE p.cell NOT IN (SELECT DISTINCT cell FROM cm{k})
+    )"""
+        )
+        prev = f"c{k}"
+    parts.append(
+        f""",
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            WHERE qv.vec_id < {N_QUERIES}
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            WHERE qv.vec_id >= {N_QUERIES}
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT p.query_id AS va, a.neighbor_id AS vb,
+               ea.embedding AS ea, eb.embedding AS eb
+        FROM probes p
+        JOIN cand a USING (cell)
+        JOIN embeddings ea ON ea.vec_id = p.query_id
+        JOIN embeddings eb ON eb.vec_id = a.neighbor_id
+    ),
+    cos AS (
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   + 0.0 AS cosine
+        FROM (
+            SELECT va, vb, CAST(unnest(ea) AS DOUBLE) AS x,
+                   CAST(unnest(eb) AS DOUBLE) AS y
+            FROM pairs
+        )
+        GROUP BY va, vb
+    ),
+    ranked AS (
+        SELECT va AS query_id, vb AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY va
+                                  ORDER BY cosine DESC, vb) AS rn
+        FROM cos
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {TOP_K}"""
+    )
+    return "".join(parts)
+
+
+@register("sim_topk_ivf", oracle=_ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-k (the other scale path next to `sim_topk_lsh`):
-    a spherical-k-means coarse quantizer partitions vectors into N_CELLS
+    a lattice-k-means coarse quantizer partitions vectors into N_CELLS
     inverted lists; each query probes its N_PROBE nearest cells and scans
     only those lists. At deployment scale the lists are the table's
     partition/bucket layout, so a probe is a partition-pruned scan; recall
-    properties vs brute force are asserted in tests."""
-    centroids = _train_ivf_centroids(spark, sf_dir)
+    properties vs brute force are asserted in tests.
+
+    EXACT-oracled since round 4: the quantizer runs on an integer lattice
+    (quantized vectors, integer L2 distances, centroids re-rounded to the
+    grid each round — see `_train_ivf_centroids`), so there is no float
+    accumulation anywhere in training or assignment and DuckDB replays the
+    identical rounds as unrolled MATERIALIZED CTEs. Only the final cosine
+    SCORING is float, and it reuses the proven `sim_topk_lsh` rounded form.
+    """
+    cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        "embedding",
-        _norm("embedding").alias("nrm"),
-        _nearest_cell(
-            F.transform("embedding", lambda x: x.cast("double")), centroids
-        ).alias("cell"),
-    )
-    cand = vecs.where(F.col("vec_id") >= N_QUERIES).select(
+    qv = _ivf_qvec("embedding")
+    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
-        "cell",
+        _norm("embedding").alias("cn"),
+        _ivf_assign(qv, cents).alias("cell"),
     )
-    # probe list: N_PROBE highest-dot cells per query
-    q_dots = F.array(
-        *[
-            _dot("embedding", F.array(*[F.lit(float(v)) for v in c]))
-            for c in centroids
-        ]
-    )
+    # probe list: N_PROBE nearest cells per query (integer dist2, cell ties)
+    q_dists = F.array(*[_ivf_dist2(qv, m) for m in cents])
     probes = (
         e.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             _norm("embedding").alias("qn"),
-            F.posexplode(q_dots).alias("cell", "dot"),
+            F.posexplode(q_dists).alias("cell", "d2"),
         )
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("dot"), "cell")
+                Window.partitionBy("query_id").orderBy("d2", "cell")
             ),
         )
         .where(F.col("rk") <= N_PROBE)
@@ -357,7 +468,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
     scored = F.broadcast(probes).join(cand, "cell").select(
-        "query_id", "neighbor_id", F.round(cos, 4).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

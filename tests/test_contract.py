@@ -15,7 +15,9 @@ EXPECTED_ROWS_ONLY = {
     # family and now carries EXACT oracles; the media stub family moved to
     # EXACT too (payloads are documents' ASCII bytes, so DuckDB replays the
     # stub arithmetic and gate-verifies the Arrow plumbing).
-    "sim_topk_ivf",
+    # (round 4) sim_topk_ivf moved to EXACT: the quantizer runs on an
+    # integer lattice (no float accumulation anywhere in training or
+    # assignment), so DuckDB replays the Lloyd rounds as unrolled CTEs.
     "sim_pca_power",  # no SQL eigensolver
     "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
     "stream_live_tumbling",
