@@ -123,7 +123,22 @@ def run_live_tumbling(
     return spark.table(name), progress
 
 
-@register("stream_live_tumbling")  # ROWS-ONLY: real streaming execution
+@register(
+    "stream_live_tumbling",
+    # EXACT since round 4: complete-mode availableNow over the single
+    # events file drains ALL rows into the aggregation state (complete mode
+    # never drops late data and the one-file source is one micro-batch), so
+    # the final memory-sink table must equal the batch tumbling aggregation
+    # — which is plainly SQL-expressible.
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
 def live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, _ = run_live_tumbling(spark, sf_dir)
     return df
@@ -453,7 +468,21 @@ def _tws_fallback_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_late_data_drop")  # ROWS-ONLY: real multi-batch streaming run
+@register(
+    "stream_late_data_drop",
+    # EXACT since round 4: the replay is a FIXED synthetic schedule, so the
+    # append-mode sink is a closed-form constant — the watermark SPEC
+    # itself. Batch 1 fills [01:00,02:00) with 3 rows and advances event
+    # time to 03:00 (watermark 02:50 finalizes the window); batch 3's late
+    # row for that window MUST be dropped (a 4 here = broken late filter);
+    # the [03:00,04:00) window never finalizes and MUST be absent (a row
+    # here = append mode leaking open state).
+    oracle="""
+    SELECT TIMESTAMP '2024-01-01 01:00:00' AS window_start,
+           'click' AS event_type,
+           CAST(3 AS BIGINT) AS n_events
+    """,
+)
 def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the late-data proof (SURVEY §2.B-9 "watermark /
     late data"): stages a deterministic 3-file replay — batch 1 fills window
@@ -604,7 +633,24 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_outer_join_watermark")  # ROWS-ONLY: real multi-batch streaming run
+@register(
+    "stream_outer_join_watermark",
+    # EXACT since round 4: the replay schedule is FIXED, so the append-mode
+    # sink is a closed-form constant — the stream-stream outer-join SPEC
+    # for this input: four immediate inner matches plus click 202 flushed
+    # with a NULL view once the watermark proves no match can arrive. A
+    # missing (202, NULL) row = the outer side never flushed; an extra
+    # NULL row = state evicted too early.
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(201 AS BIGINT), CAST(101 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(911 AS BIGINT), CAST(901 AS BIGINT), CAST(9 AS BIGINT)),
+        (CAST(921 AS BIGINT), CAST(902 AS BIGINT), CAST(8 AS BIGINT)),
+        (CAST(931 AS BIGINT), CAST(903 AS BIGINT), CAST(7 AS BIGINT)),
+        (CAST(202 AS BIGINT), CAST(NULL AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(click_id, view_id, user_id)
+    """,
+)
 def outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM LEFT OUTER join with watermark-driven NULL emission —
     the semantics inner `stream_interval_join` cannot show: an unmatched
@@ -714,7 +760,26 @@ def outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("scan_state_store")  # ROWS-ONLY: reads a real streaming checkpoint
+@register(
+    "scan_state_store",
+    # EXACT since round 4: append mode evicts every window the watermark
+    # finalized, so after the availableNow drain the retained state is
+    # PRECISELY the hour windows ending after (global max event time −
+    # 10 min) — a closed-form relation over the events fixture. A hash
+    # mismatch here means the state store retained a finalized window
+    # (leak) or evicted a live one (wrong results on restart).
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM ev),
+    h AS (
+        SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+        FROM ev GROUP BY 1
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s, n
+    FROM h, wm
+    WHERE epoch_us(ws) + 3600000000 > wm.w
+    """,
+)
 def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store DATA SOURCE (Spark 4 `statestore` format): the retained
     state of a streaming checkpoint read back as a relational table — the
@@ -746,8 +811,11 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     st = spark.read.format("statestore").load(ck)
+    # partition_id (the engine's shuffle-partition of the key) is dropped
+    # from the REGISTERED output: it is engine-internal (Murmur3 placement)
+    # and would make the closed-form oracle impossible; tests that care
+    # about placement read the statestore source directly.
     return st.select(
         F.unix_timestamp(F.col("key.window.start")).alias("window_start_s"),
         F.col("value.count").alias("n"),
-        F.col("partition_id"),
     )

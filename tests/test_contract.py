@@ -18,11 +18,13 @@ EXPECTED_ROWS_ONLY = {
     # (round 4) sim_topk_ivf moved to EXACT: the quantizer runs on an
     # integer lattice (no float accumulation anywhere in training or
     # assignment), so DuckDB replays the Lloyd rounds as unrolled CTEs.
-    "sim_pca_power",  # no SQL eigensolver
-    "stream_late_data_drop",  # real multi-batch streaming run (no batch analog)
-    "stream_live_tumbling",
-    "stream_outer_join_watermark",  # real multi-batch run; row set pinned in tests
-    "scan_state_store",  # reads a real streaming checkpoint
+    "sim_pca_power",  # no SQL eigensolver (BLAS matvec order engine-local)
+    # (round 4) the streaming family moved to EXACT: stream_live_tumbling
+    # (complete-mode availableNow drains everything → final state == batch
+    # aggregation), stream_late_data_drop and stream_outer_join_watermark
+    # (FIXED synthetic replays → the sink is the closed-form watermark /
+    # outer-join SPEC), and scan_state_store (append mode retains exactly
+    # the windows ending after max-event-time − delay).
     # (round 3) llm_bpe_train / llm_bpe_encode moved to EXACT oracles: the
     # training loop unrolls to MATERIALIZED CTE rounds in DuckDB.
     "agg_approx_percentile_sketch",  # GK sketch merge order engine-local
