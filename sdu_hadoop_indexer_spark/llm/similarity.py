@@ -717,7 +717,113 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_pca_power")  # ROWS-ONLY: eigensolver not SQL-expressible
+PCA_ITERS = 100
+PCA_SCALE = 10_000  # dims quantized to integer ten-thousandths (IVF rule)
+
+
+def _pca_round4(x: float) -> float:
+    """Half-away-from-zero 4dp round — the same rule as DuckDB round(x,4)
+    and Spark's BigDecimal round (python's round() is banker's and would
+    diverge on .5 boundaries); `+ 0.0` folds any -0.0."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4 + 0.0
+
+
+def _pca_oracle() -> str:
+    """DuckDB twin of the WHOLE pca pipeline: integer Gram/mean sums →
+    covariance via one fixed expression → PCA_ITERS unrolled power-iteration
+    rounds, every float fold evaluated in EXPLICIT ascending-index order
+    (list_reduce left fold) so it is bit-identical to the pure-Python
+    driver loop (SQL SUM order is unspecified; integer sums are the only
+    aggregation used)."""
+    dim = 64  # embeddings fixture dimensionality (asserted Spark-side)
+    rounds = []
+    for k in range(1, PCA_ITERS + 1):
+        rounds.append(
+            f""",
+    v{k} AS MATERIALIZED (
+        WITH w AS (
+            SELECT t.i,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range({dim}),
+                                      j -> c.cov[t.i + 1][j + 1] * p.v[j + 1])),
+                       (a, b) -> a + b) AS wi
+            FROM range({dim}) t(i), covl c, v{k - 1} p
+        ),
+        nrm AS (
+            SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform((SELECT list(wi ORDER BY i) FROM w),
+                                      x -> x * x)),
+                       (a, b) -> a + b)) AS s
+        )
+        SELECT (SELECT list(w.wi / nrm.s ORDER BY w.i) FROM w, nrm) AS v
+    )"""
+        )
+    return (
+        f"""
+    WITH qd AS MATERIALIZED (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(round(CAST(v AS DOUBLE) * {PCA_SCALE}) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    g AS (
+        SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS DOUBLE) AS s
+        FROM qd a JOIN qd b USING (vec_id)
+        GROUP BY a.dim, b.dim
+    ),
+    mu AS (SELECT dim AS i, CAST(sum(q) AS DOUBLE) AS m FROM qd GROUP BY dim),
+    covc AS (
+        SELECT g.i, g.j,
+               (g.s / nn.n) / {float(PCA_SCALE * PCA_SCALE)!r}
+               - ((ma.m / nn.n) / {float(PCA_SCALE)!r})
+                 * ((mb.m / nn.n) / {float(PCA_SCALE)!r}) AS c
+        FROM g, nn
+        JOIN mu ma ON ma.i = g.i
+        JOIN mu mb ON mb.i = g.j
+    ),
+    covr AS (SELECT i, list(c ORDER BY j) AS r FROM covc GROUP BY i),
+    covl AS (SELECT list(r ORDER BY i) AS cov FROM covr),
+    v0 AS (SELECT list_prepend(1.0::DOUBLE,
+                  list_transform(range({dim} - 1), x -> 0.0::DOUBLE)) AS v)"""
+        + "".join(rounds)
+        + f""",
+    fin AS (
+        WITH w2 AS (
+            SELECT t.i,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(range({dim}),
+                                      j -> c.cov[t.i + 1][j + 1] * p.v[j + 1])),
+                       (a, b) -> a + b) AS wi
+            FROM range({dim}) t(i), covl c, v{PCA_ITERS} p
+        )
+        SELECT (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range({dim}),
+                                   i -> p.v[i + 1] * wl.l[i + 1])),
+                    (a, b) -> a + b)
+                FROM v{PCA_ITERS} p,
+                     (SELECT list(wi ORDER BY i) AS l FROM w2) wl) AS lam,
+               (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range({dim}), i -> c.cov[i + 1][i + 1])),
+                    (a, b) -> a + b)
+                FROM covl c) AS trace,
+               (SELECT list_position(av.a, list_aggregate(av.a, 'max')) - 1
+                FROM (SELECT list_transform(p.v, x -> abs(x)) AS a
+                      FROM v{PCA_ITERS} p) av) AS dd
+    )
+    SELECT round(lam, 4) + 0.0 AS top_eigenvalue,
+           round(trace, 4) + 0.0 AS total_variance,
+           round(lam / trace, 4) + 0.0 AS explained_ratio,
+           CAST(dd AS INTEGER) AS dominant_dim
+    FROM fin
+    """
+    )
+
+
+@register("sim_pca_power", oracle=_pca_oracle())
 def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud: DISTRIBUTED
     covariance accumulation + driver-side power iteration — the
@@ -726,72 +832,107 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-processing step).
 
     Scale split: executors reduce the corpus to ONE dim×dim Gram matrix
-    (per-row outer products exploded to (i, j, x_i·x_j) cells → a single
+    (per-row outer products exploded to (i, j, q_i·q_j) cells → a single
     map-side-combined hash agg on 64² keys — corpus-sized work, fixed-size
     output); the driver then runs 64×64 power iteration (fixed start
-    vector, fixed 100 steps → deterministic) on data that no longer grows
-    with N. Output: top eigenvalue, total variance (trace), explained
-    ratio, dominant dimension. ROWS-ONLY (no SQL eigensolver); the
-    eigenpair residual ‖Cv − λv‖ ≤ 1e-6·λ is pinned in tests.
-    """
-    import numpy as np
+    vector, fixed {PCA_ITERS} steps) on data that no longer grows with N.
+
+    EXACT-oracled since round 4 (was ROWS-ONLY "no SQL eigensolver"): dims
+    quantize to the integer lattice so Gram/mean sums are exact int64
+    (order-independent — the raw-double `sum(p)` this replaces was not),
+    the covariance is one fixed double expression over those ints, and the
+    power iteration runs as PURE-PYTHON ascending-index folds (no BLAS —
+    numpy's dot order is unspecified) that DuckDB replays bit-for-bit as
+    {PCA_ITERS} unrolled MATERIALIZED CTE rounds of list_reduce folds.
+    Output: top eigenvalue, total variance (trace), explained ratio,
+    dominant dimension; the eigenpair residual ‖Cv − λv‖ ≤ 1e-6·λ is
+    pinned in tests."""
+    import math
 
     e = table(spark, sf_dir, "embeddings")
-    cells = e.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(embedding, (xi, i) ->"
-                " transform(embedding, (xj, j) ->"
-                " struct(i AS i, j AS j,"
-                " CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))"
+    qd = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * PCA_SCALE, 0).cast(
+                    "long"
+                ),
             )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
+        ).alias("dim", "q"),
+    )
+    a = qd.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qi"))
+    b = qd.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qj"))
     sums = (
-        cells.groupBy("i", "j")
-        .agg(F.sum("p").alias("s"), F.count("*").alias("n"))
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        # decimal(38) partial sums: exact at any N (int64 q·q ≤ 1e9/cell)
+        .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s"))
         .collect()
     )
     means = (
-        e.select(F.posexplode("embedding").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        qd.groupBy("dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("m"))
         .collect()
     )
     dim = len(means)
     if not dim:
         raise ValueError("sim_pca_power: embeddings table is empty")
-    # n from a direct count, NOT sums[0].n — and every Gram cell must have
-    # seen exactly n rows, else the arrays are ragged and the covariance
-    # normalization would be silently wrong (round-2 ADVICE).
-    n = e.count()
-    bad = [(r.i, r.j) for r in sums if r.n != n]
-    if bad:
+    if len(sums) != dim * dim:
         raise ValueError(
-            f"sim_pca_power: ragged embedding arrays — Gram cells {bad[:5]} "
-            f"saw fewer than n={n} rows"
+            f"sim_pca_power: ragged embedding arrays — {len(sums)} Gram "
+            f"cells for dim {dim}"
         )
-    m = np.zeros(dim)
+    n = float(e.count())
+    m = [0.0] * dim
     for r in means:
-        m[r.i] = r.m
-    cov = np.zeros((dim, dim))
+        m[r.dim] = float(int(r.m))
+    gram = [[0.0] * dim for _ in range(dim)]
     for r in sums:
-        cov[r.i, r.j] = r.s / n
-    cov -= np.outer(m, m)
-    v = np.zeros(dim)
-    v[0] = 1.0
-    for _ in range(100):
-        w = cov @ v
-        v = w / np.linalg.norm(w)
-    lam = float(v @ cov @ v)
-    trace = float(np.trace(cov))
+        gram[r.i][r.j] = float(int(r.s))
+    sc, sc2 = float(PCA_SCALE), float(PCA_SCALE * PCA_SCALE)
+    # the EXACT expression the oracle evaluates — same ops, same order
+    cov = [
+        [
+            (gram[i][j] / n) / sc2 - ((m[i] / n) / sc) * ((m[j] / n) / sc)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(PCA_ITERS):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + cov[i][j] * v[j]
+            w.append(acc)
+        nrm = 0.0
+        for x in w:
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        v = [x / nrm for x in w]
+    w2 = []
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + cov[i][j] * v[j]
+        w2.append(acc)
+    lam = 0.0
+    for i in range(dim):
+        lam = lam + v[i] * w2[i]
+    trace = 0.0
+    for i in range(dim):
+        trace = trace + cov[i][i]
+    absv = [abs(x) for x in v]
+    dominant = absv.index(max(absv))
     return spark.createDataFrame(
         [
             (
-                round(lam, 4),
-                round(trace, 4),
-                round(lam / trace, 4),
-                int(np.argmax(np.abs(v))),
+                _pca_round4(lam),
+                _pca_round4(trace),
+                _pca_round4(lam / trace),
+                int(dominant),
             )
         ],
         "top_eigenvalue double, total_variance double, "

@@ -18,7 +18,9 @@ EXPECTED_ROWS_ONLY = {
     # (round 4) sim_topk_ivf moved to EXACT: the quantizer runs on an
     # integer lattice (no float accumulation anywhere in training or
     # assignment), so DuckDB replays the Lloyd rounds as unrolled CTEs.
-    "sim_pca_power",  # no SQL eigensolver (BLAS matvec order engine-local)
+    # (round 4) sim_pca_power moved to EXACT: integer-lattice Gram/mean
+    # sums + a fixed-order pure-Python power iteration that DuckDB replays
+    # as unrolled list_reduce folds.
     # (round 4) the streaming family moved to EXACT: stream_live_tumbling
     # (complete-mode availableNow drains everything → final state == batch
     # aggregation), stream_late_data_drop and stream_outer_join_watermark
