@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..operators.parity import ratio
 from ..text.analysis import STOPWORDS
 
 MIN_TOKENS = 30
@@ -37,7 +38,7 @@ MIN_EN_HITS = 2  # of the 5 heuristic English stopwords
     gated AS (
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
-               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) + 0.0
+               CAST(floor(CAST((len(list_distinct(toks))) * 20000 + (len(toks)) AS DOUBLE) / (2 * (len(toks)))) AS DOUBLE) / 10000.0
                    AS uniq_ratio,
                sha256(array_to_string(list_sort(list_distinct(toks)), ' '))
                    AS fingerprint
@@ -70,9 +71,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
-            (F.round(F.size(uniq) / F.size("toks"), 4) + F.lit(0.0)).alias(
-                "uniq_ratio"
-            ),
+            ratio(F.size(uniq), F.size("toks")).alias("uniq_ratio"),
             F.sha2(F.concat_ws(" ", F.sort_array(uniq)), 256).alias("fingerprint"),
         )
     )
@@ -221,7 +220,7 @@ CONTAM_SHINGLE = 3  # tokens per shingle
     SELECT tot.doc_id,
            CAST(n_shingles AS INTEGER) AS n_shingles,
            CAST(coalesce(n_shared, 0) AS INTEGER) AS n_shared,
-           round(coalesce(n_shared, 0) * 1.0 / n_shingles, 4) + 0.0
+           CAST(floor(CAST((coalesce(n_shared, 0)) * 20000 + (n_shingles) AS DOUBLE) / (2 * (n_shingles))) AS DOUBLE) / 10000.0
                AS contamination_frac
     FROM tot LEFT JOIN hit USING (doc_id)
     """,
@@ -274,9 +273,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         F.coalesce("n_shared", F.lit(0)).cast("int").alias("n_shared"),
-        (
-            F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_shingles"), 4)
-            + F.lit(0.0)
+        ratio(
+            F.coalesce("n_shared", F.lit(0)), F.col("n_shingles")
         ).alias("contamination_frac"),
     )
 
@@ -392,11 +390,10 @@ def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(avg(n_chars), 4) + 0.0 AS avg_chars,
+           CAST(floor(CAST((sum(n_chars)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS avg_chars,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-           round(count(*) FILTER (lang = 'en') * 1.0 / count(*), 4) + 0.0
-               AS en_frac,
-           round(1 - count(DISTINCT h) * 1.0 / count(*), 4) + 0.0
+           CAST(floor(CAST((count(*) FILTER (lang = 'en')) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS en_frac,
+           CAST(floor(CAST((count(*) - count(DISTINCT h)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0
                AS exact_dup_rate
     FROM t GROUP BY source
     """,
@@ -419,20 +416,15 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.round(F.avg("n_chars"), 4) + F.lit(0.0)).alias("avg_chars"),
+        ratio(F.sum("n_chars"), F.count("*")).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
-        (
-            F.round(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                / F.count("*"),
-                4,
-            )
-            + F.lit(0.0)
+        ratio(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)),
+            F.count("*"),
         ).alias("en_frac"),
-        (
-            F.round(F.lit(1) - F.countDistinct("h") / F.count("*"), 4)
-            + F.lit(0.0)
-        ).alias("exact_dup_rate"),
+        ratio(F.count("*") - F.countDistinct("h"), F.count("*")).alias(
+            "exact_dup_rate"
+        ),
     )
 
 
@@ -577,9 +569,8 @@ MAX_BLOCKED_FRAC = 0.12
     scored AS (
         SELECT doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
-               round(len(list_filter(toks,
-                         x -> list_contains(['slow', 'dup', 'the'], x)))
-                     * 1.0 / len(toks), 4) + 0.0 AS blocked_frac
+               CAST(floor(CAST((len(list_filter(toks, x -> list_contains(['slow', 'dup', 'the'], x)))) * 20000 + (len(toks)) AS DOUBLE) / (2 * (len(toks)))) AS DOUBLE) / 10000.0
+                   AS blocked_frac
         FROM t WHERE len(toks) > 0
     )
     SELECT doc_id, n_tokens, blocked_frac
@@ -611,9 +602,7 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
-            (F.round(blocked / F.size("toks"), 4) + F.lit(0.0)).alias(
-                "blocked_frac"
-            ),
+            ratio(blocked, F.size("toks")).alias("blocked_frac"),
         )
         .where(F.col("blocked_frac") <= MAX_BLOCKED_FRAC)
     )
@@ -754,17 +743,22 @@ _M31 = 2147483648  # 2^31
     ),
     s AS (
         SELECT source, count(*) AS n_docs, sum(n_tokens) AS tokens,
+               CAST({MIX_BUDGET} AS BIGINT) AS wnum,
+               (SELECT count(DISTINCT source) FROM documents)
+                   * sum(n_tokens) AS wden,
                least(1.0, ({MIX_BUDGET} / (SELECT count(DISTINCT source)
                                            FROM documents))
                           / sum(n_tokens)) AS w
         FROM t GROUP BY source
     )
-    SELECT s.source, s.n_docs, s.tokens, round(s.w, 6) + 0.0 AS weight,
+    SELECT s.source, s.n_docs, s.tokens,
+           CASE WHEN s.wnum >= s.wden THEN 1.0
+                ELSE CAST(floor(CAST((s.wnum) * 2000000 + (s.wden) AS DOUBLE) / (2 * (s.wden))) AS DOUBLE) / 1000000.0 END AS weight,
            count(*) FILTER (WHERE t.r < s.w * {_M32}) AS n_sampled,
            CAST(sum(t.n_tokens) FILTER (WHERE t.r < s.w * {_M32})
                 AS BIGINT) AS tokens_sampled
     FROM t JOIN s USING (source)
-    GROUP BY s.source, s.n_docs, s.tokens, s.w
+    GROUP BY s.source, s.n_docs, s.tokens, s.w, s.wnum, s.wden
     """,
 )
 def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +793,8 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens"),
+        F.lit(MIX_BUDGET).alias("wnum"),
+        (F.lit(n_sources) * F.sum("n_tokens")).alias("wden"),
         F.least(
             F.lit(1.0), F.lit(MIX_BUDGET / n_sources) / F.sum("n_tokens")
         ).alias("w"),
@@ -806,7 +802,7 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.col("r") < F.col("w") * _M32
     return (
         t.join(F.broadcast(s), "source")
-        .groupBy("source", "n_docs", "tokens", "w")
+        .groupBy("source", "n_docs", "tokens", "w", "wnum", "wden")
         .agg(
             F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
             F.sum(F.when(sampled, F.col("n_tokens")).otherwise(0))
@@ -817,7 +813,9 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "tokens",
-            (F.round("w", 6) + F.lit(0.0)).alias("weight"),
+            F.when(F.col("wnum") >= F.col("wden"), F.lit(1.0))
+            .otherwise(ratio(F.col("wnum"), F.col("wden"), 6))
+            .alias("weight"),
             "n_sampled",
             "tokens_sampled",
         )

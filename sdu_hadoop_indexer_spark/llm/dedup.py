@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..iteration import RoundStager, stage_round
+from ..operators.parity import ratio
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 from ..xhash import (
@@ -589,8 +590,8 @@ def _kgram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS total_grams,
            CAST(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS dup_grams,
-           round(sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) + 0.0 AS dup_frac
+           CAST(floor(CAST((sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0
+               AS dup_frac
     FROM gg LEFT JOIN dup ON gg.gram = dup.gram
     GROUP BY gg.doc_id
     """,
@@ -634,10 +635,9 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "total_grams",
             "dup_grams",
-            (
-                F.round(F.col("dup_grams") / F.col("total_grams"), 4)
-                + F.lit(0.0)
-            ).alias("dup_frac"),
+            ratio(F.col("dup_grams"), F.col("total_grams")).alias(
+                "dup_frac"
+            ),
         )
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.parity import ratio
 from ..registry import register
 from ..xhash import A as XH_A
 from ..xhash import B as XH_B
@@ -1015,7 +1016,7 @@ def _recall_oracle() -> str:
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS k_exact,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
-           round(count(a.neighbor_id) * 1.0 / count(*), 4) + 0.0 AS recall
+           CAST(floor(CAST((count(a.neighbor_id)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS recall
     FROM ({ORACLES["sim_topk_search"]}) e
     LEFT JOIN ({ORACLES["sim_topk_lsh"]}) a
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -1045,8 +1046,6 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("k_exact"),
             F.count("hit").alias("n_hit"),
-            (
-                F.round(F.count("hit") / F.count("*"), 4) + F.lit(0.0)
-            ).alias("recall"),
+            ratio(F.count("hit"), F.count("*")).alias("recall"),
         )
     )

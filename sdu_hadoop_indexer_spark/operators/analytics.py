@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .parity import SQL_EVENTS_US, sql_epoch_s
+from .parity import SQL_EVENTS_US, ratio, sql_epoch_s
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 
@@ -119,7 +119,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(s1) AS n_view,
            count(s2) AS n_click_after_view,
            count(s3) AS n_purchase_after_click,
-           round(count(s3) / count(*), 4) + 0.0 AS conversion
+           CAST(floor(CAST((count(s3)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS conversion
     FROM u3
     """,
 )
@@ -147,9 +147,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s1").alias("n_view"),
         F.count("s2").alias("n_click_after_view"),
         F.count("s3").alias("n_purchase_after_click"),
-        (F.round(F.count("s3") / F.count("*"), 4) + F.lit(0.0)).alias(
-            "conversion"
-        ),
+        ratio(F.count("s3"), F.count("*")).alias("conversion"),
     )
 
 
@@ -293,8 +291,9 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(value) AS high,
            min(value) AS low,
            arg_max(value, ord) AS close,
-           round(CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
-                 / count(value), 4) + 0.0 AS avg_value
+           CAST(floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) * 200
+                           + count(value) AS DOUBLE)
+                      / (2 * count(value))) AS DOUBLE) / 10000.0 AS avg_value
     FROM k
     GROUP BY day, event_type
     """,
@@ -326,15 +325,21 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", "ord").alias("close"),
-            # exact decimal accumulation (schema_audit rule): a rounded raw
-            # float avg is order-dependent across engines
+            # integer half-away average (the parity.ravg form): the true
+            # avg CAN land exactly on a 4dp half boundary (sf0.001 round-4:
+            # 307.03/8), where Spark's BigDecimal round and DuckDB's binary
+            # ×1e4 round legitimately disagree — integer cents arithmetic
+            # is boundary-proof on both engines
             (
-                F.round(
-                    F.sum(F.col("value").cast("decimal(25,4)")).cast("double")
-                    / F.count("value"),
-                    4,
-                )
-                + F.lit(0.0)
+                F.floor(
+                    (
+                        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                        * 200
+                        + F.count("value")
+                    ).cast("long")
+                    / (2 * F.count("value"))
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("avg_value"),
         )
     )
@@ -1099,7 +1104,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT dau.day,
            CAST(dau.dau AS BIGINT) AS dau,
            CAST(mau.mau AS BIGINT) AS mau,
-           round(dau.dau * 1.0 / mau.mau, 4) + 0.0 AS stickiness
+           CAST(floor(CAST((dau.dau) * 20000 + (mau.mau) AS DOUBLE) / (2 * (mau.mau))) AS DOUBLE) / 10000.0 AS stickiness
     FROM dau JOIN mau USING (month)
     """,
 )
@@ -1129,8 +1134,6 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "mau",
-            (F.round(F.col("dau") / F.col("mau"), 4) + F.lit(0.0)).alias(
-                "stickiness"
-            ),
+            ratio(F.col("dau"), F.col("mau")).alias("stickiness"),
         )
     )

@@ -28,18 +28,54 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def ravg(col: Column | str, alias: str, ndigits: int = 4) -> Column:
-    """Rounded average over the exact decimal sum: identical dividend and
-    divisor on both engines ⇒ identical pre-round double ⇒ stable round.
-    `+ 0.0` folds a -0.0 (possible when the column is negative-valued) to
-    +0.0 in lockstep with :func:`sql_ravg`."""
+    """Half-away-rounded average computed ENTIRELY in integer arithmetic.
+
+    The previous form — `round(sum(decimal)/count, 4)` — still diverged
+    when the TRUE average sits exactly on a half boundary (round-4
+    `ts_ohlc` at sf0.001: 307.03/8 = 38.378750 → Spark's BigDecimal round
+    re-reads the double's shortest decimal string and rounds UP while
+    DuckDB's binary ×1e4 lands a hair below .5 and rounds DOWN). Integer
+    form kills the class: columns carry ≤2 decimals (fixture invariant),
+    so Σ(value·100) is an exact int64 and the half-away ndigits quotient
+    is `(2·S·f + n) DIV (2·n)` with f = 10^(ndigits-2) — pure integer
+    ops, bit-identical on any engine at EVERY boundary. Non-negative
+    inputs assumed (DIV truncation == floor); all current users qualify."""
+    assert ndigits >= 2
+    factor = 10 ** (ndigits - 2)  # cents → target digits
     c = F.col(col) if isinstance(col, str) else col
+    s2 = F.sum(F.round(c * 100, 0).cast("long"))
+    n = F.count(c)
+    q = (s2 * (2 * factor) + n).cast("long") / (2 * n)  # double; floor next
     return (
-        F.round(
-            F.sum(c.cast("decimal(25,4)")).cast("double") / F.count(c),
-            ndigits,
-        )
-        + F.lit(0.0)
+        F.floor(q).cast("double") / F.lit(float(10 ** ndigits))
     ).alias(alias)
+
+
+def ratio(num: Column, den: Column, ndigits: int = 4) -> Column:
+    """Half-away-rounded ratio of two INTEGER-valued columns, computed as
+    an integer quotient — boundary-proof like :func:`ravg` (ratios of
+    integers are exactly the values whose doubles' shortest decimal reprs
+    can terminate ON a rounding half, where Spark's string-based BigDecimal
+    round and DuckDB's binary scale-multiply legitimately disagree —
+    the round-4 ts_ohlc lesson). Non-negative numerators assumed."""
+    scale = 10 ** ndigits
+    n64 = num.cast("long")
+    d64 = den.cast("long")
+    return F.floor((n64 * (2 * scale) + d64) / (2 * d64)).cast(
+        "double"
+    ) / F.lit(float(scale))
+
+
+def sql_ratio(num: str, den: str, ndigits: int = 4) -> str:
+    """DuckDB twin of :func:`ratio` (same double-division-then-floor ops)."""
+    scale = 10 ** ndigits
+    # ::BIGINT before the scale multiply: an INT32-typed numerator (e.g. an
+    # integer literal column) would overflow DuckDB's checked 32-bit
+    # multiply at ndigits ≥ 5 (round-4 llm_mixing_weights at sf0.1)
+    return (
+        f"CAST(floor(CAST(CAST(({num}) AS BIGINT) * {2 * scale} + ({den})"
+        f" AS DOUBLE) / (2 * ({den}))) AS DOUBLE) / {float(scale)!r}"
+    )
 
 
 # SQL-side counterpart (DuckDB): use in oracle strings.
@@ -48,12 +84,15 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_ravg(expr: str, alias: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`ravg` — `+ 0.0` is load-bearing here: DuckDB's
-    round() stays in IEEE doubles and emits -0.0 for tiny negative inputs
-    where Spark's BigDecimal round emits +0.0 (round-3 driver red)."""
+    """DuckDB twin of :func:`ravg` — the same integer half-away quotient
+    (see ravg's docstring for why float round() is boundary-unsafe even
+    over exact decimal sums)."""
+    factor = 10 ** (ndigits - 2)
     return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,4))) AS DOUBLE)"
-        f" / count({expr}), {ndigits}) + 0.0 AS {alias}"
+        f"CAST(floor(CAST(sum(CAST(round({expr} * 100) AS BIGINT))"
+        f" * {2 * factor} + count({expr}) AS DOUBLE)"
+        f" / (2 * count({expr}))) AS DOUBLE)"
+        f" / {float(10 ** ndigits)!r} AS {alias}"
     )
 
 

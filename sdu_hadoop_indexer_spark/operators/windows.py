@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .parity import SQL_EVENTS_US, sql_epoch_s
+from .parity import SQL_EVENTS_US, sql_epoch_s, ratio
 
 
 @register(
@@ -176,10 +176,13 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cume_dist",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           round(percent_rank() OVER w, 6) + 0.0 AS pr,
-           round(cume_dist() OVER w, 6) + 0.0 AS cd
+           CASE WHEN count(*) OVER wp = 1 THEN 0.0
+                ELSE CAST(floor(CAST((row_number() OVER w - 1) * 2000000 + (count(*) OVER wp - 1) AS DOUBLE) / (2 * (count(*) OVER wp - 1))) AS DOUBLE) / 1000000.0
+           END AS pr,
+           CAST(floor(CAST((row_number() OVER w) * 2000000 + (count(*) OVER wp) AS DOUBLE) / (2 * (count(*) OVER wp))) AS DOUBLE) / 1000000.0 AS cd
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           wp AS (PARTITION BY o_orderstatus)
     """,
 )
 def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,11 +195,22 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("o_orderstatus")
         .orderBy("o_totalprice", "o_orderkey")
     )
+    wp = Window.partitionBy("o_orderstatus")
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pr"),
-        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cd"),
+        # integer-ratio form (parity.ratio): the (o_totalprice, o_orderkey)
+        # order is UNIQUE, so percent_rank ≡ (row_number-1)/(n-1) and
+        # cume_dist ≡ row_number/n — ratios of ints, rounded boundary-proof
+        # (engine round() implementations split on exact half boundaries)
+        F.when(F.count("*").over(wp) == 1, F.lit(0.0))
+        .otherwise(
+            ratio(
+                F.row_number().over(w) - 1, F.count("*").over(wp) - 1, 6
+            )
+        )
+        .alias("pr"),
+        ratio(F.row_number().over(w), F.count("*").over(wp), 6).alias("cd"),
     )
 
 

@@ -78,7 +78,7 @@ def sql_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dls AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
     SELECT f.doc_id, f.tf, d.dl,
-           round(f.tf * 1.0 / d.dl, 4) + 0.0 AS norm_tf
+           CAST(floor(CAST((f.tf) * 20000 + (d.dl) AS DOUBLE) / (2 * (d.dl))) AS DOUBLE) / 10000.0 AS norm_tf
     FROM flat f JOIN dls d USING (doc_id)
     WHERE f.term = 'join'
     ORDER BY norm_tf DESC, f.doc_id
@@ -93,7 +93,8 @@ def sql_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT f.doc_id, f.tf, d.dl,
-               round(f.tf * 1.0 / d.dl, 4) + 0.0 AS norm_tf
+               CAST(floor(CAST(f.tf * 20000 + d.dl AS DOUBLE)
+                          / (2 * d.dl)) AS DOUBLE) / 10000.0 AS norm_tf
         FROM text_index f JOIN doc_lengths d USING (doc_id)
         WHERE f.term = 'join'
         ORDER BY norm_tf DESC, f.doc_id

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.parity import ratio
 from ..registry import register
 
 # BPE-ish pre-tokenizer: word pieces OR single non-space punctuation — the
@@ -39,10 +40,10 @@ STOPWORDS = {
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
-           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) + 0.0
+           CAST(floor(CAST((len(list_distinct(toks))) * 20000 + (len(toks)) AS DOUBLE) / (2 * (len(toks)))) AS DOUBLE) / 10000.0
                AS uniq_ratio,
-           round(list_sum(list_transform(toks, x -> length(x))) * 1.0
-                 / len(toks), 4) + 0.0 AS avg_tok_len,
+           CAST(floor(CAST((list_sum(list_transform(toks, x -> length(x)))) * 20000 + (len(toks)) AS DOUBLE) / (2 * (len(toks)))) AS DOUBLE) / 10000.0
+               AS avg_tok_len,
            n_chars
     FROM t
     """,
@@ -64,10 +65,8 @@ def quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_uniq"),
-        (F.round(F.size(F.array_distinct("toks")) / n, 4) + F.lit(0.0)).alias(
-            "uniq_ratio"
-        ),
-        (F.round(total_chars / n, 4) + F.lit(0.0)).alias("avg_tok_len"),
+        ratio(F.size(F.array_distinct("toks")), n).alias("uniq_ratio"),
+        ratio(total_chars, n).alias("avg_tok_len"),
         "n_chars",
     )
 
@@ -166,13 +165,13 @@ def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram),
     a AS (
         SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
-               round(max(cnt) * 1.0 / sum(cnt), 4) + 0.0 AS top_bigram_frac
+               CAST(floor(CAST((max(cnt)) * 20000 + (sum(cnt)) AS DOUBLE) / (2 * (sum(cnt)))) AS DOUBLE) / 10000.0 AS top_bigram_frac
         FROM c GROUP BY doc_id
     ),
     d AS (
         SELECT doc_id,
-               round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
-                   + 0.0 AS dup_token_frac
+               CAST(floor(CAST((len(toks) - len(list_distinct(toks))) * 20000 + (len(toks)) AS DOUBLE) / (2 * (len(toks)))) AS DOUBLE) / 10000.0
+                   AS dup_token_frac
         FROM t
     )
     SELECT a.doc_id, n_bigrams, top_bigram_frac, dup_token_frac
@@ -205,16 +204,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = counts.groupBy("doc_id").agg(
         F.sum("count").cast("int").alias("n_bigrams"),
-        (F.round(F.max("count") / F.sum("count"), 4) + F.lit(0.0)).alias(
-            "top_bigram_frac"
-        ),
+        ratio(F.max("count"), F.sum("count")).alias("top_bigram_frac"),
     )
     dup = t.select(
         "doc_id",
-        (
-            F.round(F.lit(1) - F.size(F.array_distinct("toks")) / n, 4)
-            + F.lit(0.0)
-        ).alias("dup_token_frac"),
+        ratio(n - F.size(F.array_distinct("toks")), n).alias(
+            "dup_token_frac"
+        ),
     )
     return agg.join(dup, "doc_id").select(
         "doc_id", "n_bigrams", "top_bigram_frac", "dup_token_frac"

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.parity import ratio
 from ..registry import jsonify_complex, register
 from .indexer import TOK_SQL, doclen, index_flat, tokenize
 
@@ -272,7 +273,7 @@ def ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS avg_chars,
+           CAST(floor(CAST((sum(n_chars)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS avg_chars,
            sum(n_chars) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
@@ -283,9 +284,7 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias(
-            "avg_chars"
-        ),
+        ratio(F.sum("n_chars"), F.count("*")).alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )

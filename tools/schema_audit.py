@@ -16,6 +16,17 @@ failure classes the gate has actually produced:
    integer/decimal sums + identical final expression text on both engines
    (see ``_SM_FORMULAS`` in operators/aggregates.py).
 
+   Round-4 sharpening: IDENTICAL pre-round doubles are STILL not enough
+   when the true value is a ratio of integers that lands EXACTLY on a
+   decimal half (ts_ohlc at sf0.001: 307.03/8 = 38.378750 — Spark's
+   BigDecimal round re-reads the double's shortest decimal string and
+   rounds UP; DuckDB's binary ×10^k lands a hair under .5 and rounds
+   DOWN). Every rounded integer-ratio output therefore goes through
+   ``parity.ratio``/``sql_ratio`` (integer half-away quotient — no float
+   round anywhere); ``round()`` stays legal only for transcendental-
+   valued expressions (ln/sqrt/exp/cosine...), whose doubles land on a
+   ≤(k+1)-digit shortest repr with negligible probability.
+
 Usage::
 
     python tools/schema_audit.py [--sf /root/testdata/sf0.001]
