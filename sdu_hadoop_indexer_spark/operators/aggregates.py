@@ -644,3 +644,346 @@ def agg_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"
         )[2].alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: portable HLL, OLS regression, weighted median.
+# ---------------------------------------------------------------------------
+
+# Portable HyperLogLog constants (Flajolet et al. 2007): m = 256 registers
+# (p = 8), bias constant alpha_m for m >= 128. The alpha*m^2 product and the
+# 256-entry linear-counting table m*ln(m/V) are computed HERE in Python and
+# embedded as double literals in BOTH engines' expression text, so no
+# engine-side pow()/ln() (whose last-ulp behavior is libm-specific) ever
+# runs — every remaining op (int shift, dyadic 1/2^M sum, one division) is
+# IEEE-correctly-rounded and therefore bit-identical across engines.
+import math as _math
+
+_HLL_M = 256
+_HLL_AM2 = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+_HLL_LC = [_HLL_M * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT o_orderstatus,
+               (list_reduce(list_prepend(7::BIGINT, list_transform(string_split(CAST(o_custkey AS VARCHAR), ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 131 + c) % 1000000007)) % {_HLL_M} AS reg,
+               (list_reduce(list_prepend(17::BIGINT, list_transform(string_split(CAST(o_custkey AS VARCHAR), ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 137 + c) % 1000000007)) AS v
+        FROM orders
+    ), r AS (
+        SELECT o_orderstatus, reg,
+               max(CASE WHEN v = 0 THEN 31
+                   ELSE length(regexp_extract(bin(v), '0*$', 0)) + 1 END)
+               AS m
+        FROM h GROUP BY o_orderstatus, reg
+    ), s AS (
+        SELECT o_orderstatus,
+               sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << m)) AS s_present,
+               count(*) AS present
+        FROM r GROUP BY o_orderstatus
+    ), e AS (
+        SELECT o_orderstatus,
+               CAST({_HLL_AM2!r} AS DOUBLE)
+                 / (s_present + CAST({_HLL_M} - present AS DOUBLE)) AS e_raw,
+               {_HLL_M} - present AS v_zero
+        FROM s
+    ), x AS (
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT x.o_orderstatus, x.n_exact,
+           CASE WHEN e.e_raw <= {2.5 * _HLL_M!r} AND e.v_zero > 0
+                THEN ([{", ".join(repr(x) for x in _HLL_LC)}]::DOUBLE[])[e.v_zero]
+                ELSE e.e_raw END AS hll_est
+    FROM x JOIN e USING (o_orderstatus)
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch, EXACT-oracled.
+
+    The engine-native sketch ops (`agg_approx_distinct`,
+    `agg_hll_sketch_merge`) are irreducibly ROWS-ONLY at the gate — their
+    xxhash64/Datasketches internals have no cross-engine twin. This
+    operator shows the sketch itself is plain relational algebra over a
+    portable hash family, so the GATE can verify it bit-for-bit:
+
+    - register index = xh1(key) mod 256; rank = trailing-zero count of
+      xh2(key) + 1 (bin()+regexp, identical in both engines);
+    - per (group, register) `max(rank)` — a map-side-combinable agg, the
+      same mergeability that makes HLL the 100 TB distinct-count path
+      (registers re-aggregate across ingest batches exactly like
+      `bitmap_or_agg` in `agg_bitmap_distinct`);
+    - estimate = alpha*m^2 / sum(2^-M_j): the 2^-M_j terms are exact
+      dyadics spanning < 53 bits, so their SUM is exact in any order —
+      partitioning cannot perturb it; the final division is one
+      correctly-rounded IEEE op. Linear-counting small-range correction
+      comes from a precomputed literal table (no engine ln()).
+
+    Output: exact distinct (for reference) next to the sketch estimate —
+    at sf0.01 the estimate lands within ~7% (1.04/sqrt(256)), asserted in
+    tests/test_round4_ops.py.
+    """
+    from ..xhash import xh1, xh2
+
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    h = o.select(
+        "o_orderstatus",
+        (xh1(key) % _HLL_M).alias("reg"),
+        xh2(key).alias("v"),
+    )
+    r = h.groupBy("o_orderstatus", "reg").agg(
+        F.expr(
+            "max(CASE WHEN v = 0 THEN 31"
+            " ELSE length(regexp_extract(bin(v), '0*$', 0)) + 1 END)"
+        ).alias("m")
+    )
+    s = r.groupBy("o_orderstatus").agg(
+        F.expr(
+            "sum(CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), m))"
+        ).alias("s_present"),
+        F.count("*").alias("present"),
+    )
+    e = s.select(
+        "o_orderstatus",
+        (
+            F.lit(_HLL_AM2)
+            / (F.col("s_present") + (F.lit(_HLL_M) - F.col("present")).cast("double"))
+        ).alias("e_raw"),
+        (F.lit(_HLL_M) - F.col("present")).alias("v_zero"),
+    )
+    lc = F.array(*[F.lit(x) for x in _HLL_LC])
+    est = e.select(
+        "o_orderstatus",
+        F.when(
+            (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+            F.element_at(lc, F.col("v_zero").cast("int")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("hll_est"),
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    return exact.join(F.broadcast(est), "o_orderstatus").select(
+        "o_orderstatus", "n_exact", "hll_est"
+    )
+
+
+# Shared OLS closed-form text (both engines): every input is an exact int64
+# sum over cent-scaled values, so num/den are exact integers < 2^53 at gate
+# SFs; each appears in EXACTLY ONE correctly-rounded IEEE division (and r2
+# in one further multiply) with identical association on both sides, so the
+# raw doubles are bit-identical WITHOUT any round() — the whole rounding
+# half-boundary class (round-4 ts_ohlc lesson) is sidestepped by never
+# rounding. Division-by-zero (a constant regressor) guards to NULL.
+_LR_FORMULAS = {
+    "slope": "CASE WHEN den_x = 0 THEN NULL"
+    " ELSE CAST(num_xy AS DOUBLE) / CAST(den_x AS DOUBLE) END",
+    "intercept": "CASE WHEN den_x = 0 THEN NULL"
+    " ELSE CAST(st * sdd - sd * sdt AS DOUBLE) / CAST(den_x AS DOUBLE)"
+    " / 100.0 END",
+    "r2": "CASE WHEN den_x = 0 OR den_y = 0 THEN NULL"
+    " ELSE (CAST(num_xy AS DOUBLE) / CAST(den_x AS DOUBLE))"
+    " * (CAST(num_xy AS DOUBLE) / CAST(den_y AS DOUBLE)) END",
+}
+
+
+@register(
+    "agg_linreg",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(d) AS sd, sum(t) AS st, sum(d * t) AS sdt,
+               sum(d * d) AS sdd, sum(t * t) AS stt
+        FROM c GROUP BY l_returnflag
+    ), m AS (
+        SELECT *,
+               n * sdt - sd * st AS num_xy,
+               n * sdd - sd * sd AS den_x,
+               n * stt - st * st AS den_y
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           {_LR_FORMULAS["slope"]} AS slope,
+           {_LR_FORMULAS["intercept"]} AS intercept,
+           {_LR_FORMULAS["r2"]} AS r2
+    FROM m
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS simple linear regression (slope / intercept / R²) —
+    the `REGR_SLOPE`/`REGR_R2` family, computed from exact integer sums.
+
+    Engine-native `regr_*` are one-pass streaming-moment kernels whose
+    float accumulation is partition-order-dependent — the exact failure
+    mode that made `agg_stats_moments` driver-red for two rounds. Here
+    both engines aggregate cent-scaled int64 sums (exact, order-free,
+    still a single map-side-combinable HashAggregate pair) and evaluate
+    the SAME closed-form `_LR_FORMULAS` text: raw IEEE doubles out, no
+    round(), bit-identical.
+
+    Scale: the shuffle carries 6 int64s per group — identical shape to
+    any `avg()`. At 100 TB the cent sums outgrow int64 (~1e18); the
+    production variant flips the sums to decimal(38,0) exactly as
+    `agg_stats_moments` does, leaving the formula text unchanged.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("t"),
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    m = s.select(
+        "*",
+        F.expr("n * sdt - sd * st").alias("num_xy"),
+        F.expr("n * sdd - sd * sd").alias("den_x"),
+        F.expr("n * stt - st * st").alias("den_y"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(_LR_FORMULAS["slope"]).alias("slope"),
+        F.expr(_LR_FORMULAS["intercept"]).alias("intercept"),
+        F.expr(_LR_FORMULAS["r2"]).alias("r2"),
+    )
+
+
+# Weighted-median bucket width: price cents DIV 1e5 = $1000 buckets, ~100
+# buckets over TPC-H's extendedprice domain.
+_WM_BUCKET = 100_000
+
+
+@register(
+    "agg_weighted_median",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_quantity * 100) AS BIGINT) AS w
+        FROM lineitem
+    ), b AS (
+        SELECT l_returnflag, price_c // {_WM_BUCKET} AS bkt, sum(w) AS wsum
+        FROM c GROUP BY l_returnflag, price_c // {_WM_BUCKET}
+    ), t AS (
+        SELECT l_returnflag, sum(wsum) AS total FROM b GROUP BY l_returnflag
+    ), cb AS (
+        SELECT b.l_returnflag, b.bkt, b.wsum, t.total,
+               sum(b.wsum) OVER (
+                   PARTITION BY b.l_returnflag ORDER BY b.bkt
+               ) AS cum
+        FROM b JOIN t USING (l_returnflag)
+    ), tb AS (
+        SELECT l_returnflag, min(bkt) AS tbkt FROM cb
+        WHERE 2 * cum >= total GROUP BY l_returnflag
+    ), pr AS (
+        SELECT cb.l_returnflag, cb.bkt, cb.cum - cb.wsum AS prior, cb.total
+        FROM cb JOIN tb
+          ON cb.l_returnflag = tb.l_returnflag AND cb.bkt = tb.tbkt
+    ), f AS (
+        SELECT c.l_returnflag, c.price_c, pr.prior, pr.total,
+               sum(c.w) OVER (
+                   PARTITION BY c.l_returnflag ORDER BY c.price_c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum2
+        FROM c JOIN pr
+          ON c.l_returnflag = pr.l_returnflag
+         AND c.price_c // {_WM_BUCKET} = pr.bkt
+    ), n AS (
+        SELECT l_returnflag, count(*) AS n_rows FROM c GROUP BY l_returnflag
+    )
+    SELECT f.l_returnflag, n.n_rows,
+           max(f.total) AS total_w_c,
+           CAST(min(f.price_c) AS DOUBLE) / 100.0 AS wmedian
+    FROM f JOIN n USING (l_returnflag)
+    WHERE 2 * (f.prior + f.cum2) >= f.total
+    GROUP BY f.l_returnflag, n.n_rows
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) per group, built
+    scale-first: bucket-then-refine instead of one global sorted window.
+
+    A naive weighted median windows the ENTIRE fact table in |groups|
+    partitions — the "No Partition Defined"-adjacent shape the plan pins
+    forbid. Here:
+      1. rows hash-aggregate into ~100 weight buckets per group ($1000
+         price bands) — corpus-sized input, calendar-sized output;
+      2. a window over that TINY bucket relation locates the bucket
+         holding the median mass (prefix sums over ≤100 rows/group);
+      3. only rows INSIDE the located bucket (≈1/100th of the group)
+         re-enter a RANGE-framed cumulative window; the median is the
+         first price where cumulative weight crosses half the total.
+    The RANGE frame makes ties collapse to peer totals, so the result is
+    independent of partition/sort order on both engines — EXACT oracle.
+    Same decomposition TDigest/GK avoid by approximating; this is the
+    exact path when the answer must be reproducible to the cent.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("w"),
+    )
+    b = c.groupBy(
+        "l_returnflag", (F.col("price_c") / _WM_BUCKET).cast("long").alias("bkt")
+    ).agg(F.sum("w").alias("wsum"))
+    t = b.groupBy("l_returnflag").agg(F.sum("wsum").alias("total"))
+    wb = Window.partitionBy("l_returnflag").orderBy("bkt")
+    cb = (
+        b.join(F.broadcast(t), "l_returnflag")
+        .withColumn("cum", F.sum("wsum").over(wb))
+    )
+    tb = (
+        cb.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bkt").alias("tbkt"))
+    )
+    pr = cb.join(
+        F.broadcast(tb.withColumnRenamed("l_returnflag", "rf_t")),
+        (F.col("l_returnflag") == F.col("rf_t")) & (F.col("bkt") == F.col("tbkt")),
+    ).select(
+        "l_returnflag",
+        "bkt",
+        (F.col("cum") - F.col("wsum")).alias("prior"),
+        "total",
+    )
+    wf = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = (
+        c.join(
+            F.broadcast(pr).withColumnRenamed("l_returnflag", "rf"),
+            (c.l_returnflag == F.col("rf"))
+            & ((F.col("price_c") / _WM_BUCKET).cast("long") == F.col("bkt")),
+        )
+        .withColumn("cum2", F.sum("w").over(wf))
+    )
+    n = c.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    return (
+        f.where(2 * (F.col("prior") + F.col("cum2")) >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("total").alias("total_w_c"),
+            (F.min("price_c").cast("double") / 100.0).alias("wmedian"),
+        )
+        .join(F.broadcast(n), "l_returnflag")
+        .select("l_returnflag", "n_rows", "total_w_c", "wmedian")
+    )

@@ -1137,3 +1137,80 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.col("dau"), F.col("mau")).alias("stickiness"),
         )
     )
+
+
+# Shared lag-24h Pearson text for ts_autocorr: exact int64 count sums in,
+# one correctly-rounded IEEE division over a correctly-rounded sqrt — no
+# round(), so the raw doubles are bit-identical across engines (the
+# agg_linreg parity argument; sqrt is correctly rounded per IEEE-754).
+_AC_FORMULA = (
+    "CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL"
+    " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE)) END"
+)
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}, c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS cnt
+        FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    ), p AS (
+        SELECT x.event_type, x.cnt AS xc, y.cnt AS yc
+        FROM c x JOIN c y
+          ON x.event_type = y.event_type
+         AND y.h = x.h + INTERVAL 24 HOUR
+    ), s AS (
+        SELECT event_type, count(*) AS n,
+               sum(xc) AS sx, sum(yc) AS sy, sum(xc * yc) AS sxy,
+               sum(xc * xc) AS sxx, sum(yc * yc) AS syy
+        FROM p GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs, {_AC_FORMULA} AS r_lag24
+    FROM s
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24h autocorrelation of the hourly event rate per type — the
+    seasonality detector that justifies (or refutes) the daily profile
+    `events_hour_heatmap` assumes and `ts_ewma` smooths over.
+
+    Shape: the corpus reduces FIRST to a calendar-sized (type, hour)
+    count relation (map-side-combined hash agg — the only pass that
+    touches fact rows); the lag pairing is a self-equi-join on
+    (type, hour+24h) over that tiny relation, then one more hash agg of
+    exact int64 moment sums. Pearson r comes out of the shared
+    `_AC_FORMULA` text raw (no round) — bit-identical on both engines.
+    Gap-robust: hours missing on either side simply produce no pair
+    (join semantics), rather than silently pairing misaligned rows the
+    way a ROWS-frame lag() over a gappy series would.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    y = c.select(
+        F.col("event_type").alias("et"),
+        F.col("cnt").alias("yc"),
+        (F.col("h") - F.expr("INTERVAL 24 HOURS")).alias("h_prev"),
+    )
+    p = c.join(
+        y,
+        (F.col("event_type") == F.col("et")) & (F.col("h") == F.col("h_prev")),
+    ).select("event_type", F.col("cnt").alias("xc"), "yc")
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.expr(_AC_FORMULA).alias("r_lag24"),
+    )

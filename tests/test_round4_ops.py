@@ -271,3 +271,93 @@ def test_dau_mau_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r.dau <= r.mau  # a day's actives are a subset of its month's
         assert 0.0 < r.stickiness <= 1.0
+
+
+def test_hll_portable_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=256 registers has relative standard error 1.04/16 ≈ 6.5%;
+    assert every group's estimate is within 4σ (26%) of the exact count —
+    loose enough to never flake, tight enough to catch a broken register
+    or rank computation (which lands orders of magnitude off)."""
+    from sdu_hadoop_indexer_spark.operators import aggregates
+
+    rows = aggregates.agg_hll_portable(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_est > 0
+        assert abs(r.hll_est - r.n_exact) / r.n_exact < 0.26, r
+
+
+def test_linreg_matches_numpy(spark, sf_dir):
+    """Closed-form OLS must agree with numpy's polyfit on the same rows."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.operators import aggregates
+
+    got = {
+        r.l_returnflag: r
+        for r in aggregates.agg_linreg(spark, sf_dir).collect()
+    }
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_discount", "l_tax")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp.l_discount.to_numpy()
+        y = grp.l_tax.to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[flag]
+        assert abs(r.slope - slope) < 1e-9
+        assert abs(r.intercept - intercept) < 1e-9
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r.r2 - corr * corr) < 1e-9
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """Bucket-then-refine must reproduce the lower weighted median a
+    single sorted cumulative scan computes."""
+    from sdu_hadoop_indexer_spark.operators import aggregates
+
+    got = {
+        r.l_returnflag: r.wmedian
+        for r in aggregates.agg_weighted_median(spark, sf_dir).collect()
+    }
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        g = grp.sort_values("l_extendedprice")
+        cum = g.l_quantity.cumsum()
+        half = g.l_quantity.sum() / 2
+        expected = g.l_extendedprice[cum >= half].iloc[0]
+        assert abs(got[flag] - expected) < 1e-6, flag
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    """The join-paired Pearson r must match numpy over the same pairs."""
+    import numpy as np
+    import pandas as pd
+
+    got = {
+        r.event_type: r
+        for r in analytics.ts_autocorr(spark, sf_dir).collect()
+    }
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .toPandas()
+    )
+    counts = ev.groupby(["event_type", "h"]).size().rename("cnt").reset_index()
+    for et, grp in counts.groupby("event_type"):
+        lag = grp.copy()
+        lag["h"] = lag.h - pd.Timedelta(hours=24)
+        pairs = grp.merge(lag, on=["event_type", "h"], suffixes=("_x", "_y"))
+        if et not in got:
+            assert len(pairs) == 0
+            continue
+        assert got[et].n_pairs == len(pairs)
+        if len(pairs) >= 2 and pairs.cnt_x.std() > 0 and pairs.cnt_y.std() > 0:
+            expected = np.corrcoef(pairs.cnt_x, pairs.cnt_y)[0, 1]
+            assert abs(got[et].r_lag24 - expected) < 1e-9, et
