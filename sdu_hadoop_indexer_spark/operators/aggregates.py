@@ -933,6 +933,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of partition/sort order on both engines — EXACT oracle.
     Same decomposition TDigest/GK avoid by approximating; this is the
     exact path when the answer must be reproducible to the cent.
+
+    Plan economy (pinned in tests/test_plans.py): row counts ride the
+    bucket agg and the target bucket is selected with `min_by` rather
+    than a cb⋈cb self-join, so the expensive fact aggregation subtree is
+    built ONCE — exactly 2 fact scans (bucket build + refine probe) and
+    2 windows in the whole plan.
     """
     li = table(spark, sf_dir, "lineitem")
     c = li.select(
@@ -942,48 +948,47 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = c.groupBy(
         "l_returnflag", (F.col("price_c") / _WM_BUCKET).cast("long").alias("bkt")
-    ).agg(F.sum("w").alias("wsum"))
-    t = b.groupBy("l_returnflag").agg(F.sum("wsum").alias("total"))
+    ).agg(F.sum("w").alias("wsum"), F.count("*").alias("cnt"))
     wb = Window.partitionBy("l_returnflag").orderBy("bkt")
+    wt = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # total/n_rows as full-partition window sums over the TINY bucket
+    # relation: same partition+order spec as `cum`, so Catalyst fuses all
+    # three into ONE WindowExec — no second derivation of the fact agg
+    # (a groupBy+join formulation would rebuild the bucket subtree and
+    # cost an extra fact scan).
     cb = (
-        b.join(F.broadcast(t), "l_returnflag")
-        .withColumn("cum", F.sum("wsum").over(wb))
+        b.withColumn("cum", F.sum("wsum").over(wb))
+        .withColumn("total", F.sum("wsum").over(wt))
+        .withColumn("n_rows", F.sum("cnt").over(wt))
+        .withColumn("prior", F.col("cum") - F.col("wsum"))
     )
-    tb = (
+    pr = (
         cb.where(2 * F.col("cum") >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(F.min("bkt").alias("tbkt"))
-    )
-    pr = cb.join(
-        F.broadcast(tb.withColumnRenamed("l_returnflag", "rf_t")),
-        (F.col("l_returnflag") == F.col("rf_t")) & (F.col("bkt") == F.col("tbkt")),
-    ).select(
-        "l_returnflag",
-        "bkt",
-        (F.col("cum") - F.col("wsum")).alias("prior"),
-        "total",
+        .groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.min_by(
+                F.struct("bkt", "prior", "total", "n_rows"), F.col("bkt")
+            ).alias("s")
+        )
+        .select("rf", "s.*")
     )
     wf = (
         Window.partitionBy("l_returnflag")
         .orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    f = (
-        c.join(
-            F.broadcast(pr).withColumnRenamed("l_returnflag", "rf"),
-            (c.l_returnflag == F.col("rf"))
-            & ((F.col("price_c") / _WM_BUCKET).cast("long") == F.col("bkt")),
-        )
-        .withColumn("cum2", F.sum("w").over(wf))
-    )
-    n = c.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    f = c.join(
+        F.broadcast(pr),
+        (c.l_returnflag == F.col("rf"))
+        & ((F.col("price_c") / _WM_BUCKET).cast("long") == F.col("bkt")),
+    ).withColumn("cum2", F.sum("w").over(wf))
     return (
         f.where(2 * (F.col("prior") + F.col("cum2")) >= F.col("total"))
         .groupBy("l_returnflag")
         .agg(
+            F.max("n_rows").alias("n_rows"),
             F.max("total").alias("total_w_c"),
             (F.min("price_c").cast("double") / 100.0).alias("wmedian"),
         )
-        .join(F.broadcast(n), "l_returnflag")
         .select("l_returnflag", "n_rows", "total_w_c", "wmedian")
     )

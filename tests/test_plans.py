@@ -484,3 +484,57 @@ def test_asof_forward_is_single_window_pass(spark, sf_dir):
     plan = _plan(joins.join_asof_forward(spark, sf_dir))
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_hll_portable_is_two_hash_aggs_no_window(spark, sf_dir):
+    """The portable HLL must stay a pure (partial-combinable) aggregation
+    pipeline: register build + register merge are HashAggregates, never a
+    window or sort — that mergeability IS the 100 TB claim."""
+    from sdu_hadoop_indexer_spark.operators.aggregates import agg_hll_portable
+
+    plan = _plan(agg_hll_portable(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # estimate (3 rows) broadcast onto exact
+
+
+def test_linreg_is_single_partial_agg(spark, sf_dir):
+    """OLS = one HashAggregate pair over the fact scan (map-side partial),
+    then scalar projection — no join, window, or second scan."""
+    from sdu_hadoop_indexer_spark.operators.aggregates import agg_linreg
+
+    plan = _plan(agg_linreg(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # partial→final pair present
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_weighted_median_windows_are_not_global_fact_sorts(spark, sf_dir):
+    """Bucket-then-refine: the only windows run (a) over the ~100-row
+    bucket relation and (b) over the rows of ONE located bucket per group
+    (reached through broadcast joins) — never a window over the whole
+    fact table without the bucket filter. Pin: every join that feeds the
+    refine stage is broadcast, nothing is cartesian."""
+    from sdu_hadoop_indexer_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    plan = _plan(agg_weighted_median(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all tiny sides broadcast
+    assert plan.count("Window") == 2  # bucket locate + in-bucket refine only
+    assert plan.count("Scan parquet") == 2  # bucket build + refine probe
+
+
+def test_autocorr_pairs_after_reduction(spark, sf_dir):
+    """The self-join must happen AFTER the corpus reduces to (type, hour)
+    counts — exactly one scan of the events parquet, and no cartesian."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_autocorr
+
+    plan = _plan(ts_autocorr(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # Spark may rescan for self-join
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
