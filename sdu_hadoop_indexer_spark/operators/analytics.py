@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .parity import SQL_EVENTS_US, ratio, sql_epoch_s
+from .parity import SQL_EVENTS_US, ratio, sql_epoch_s, sql_sratio, sratio
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 
@@ -1213,4 +1213,53 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_pairs"),
         F.expr(_AC_FORMULA).alias("r_lag24"),
+    )
+
+
+@register(
+    "ts_pct_change",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}, c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        FROM ev GROUP BY event_type, date_trunc('hour', ts)
+    ), l AS (
+        SELECT event_type, h, cnt,
+               lag(cnt) OVER (PARTITION BY event_type ORDER BY h) AS prev
+        FROM c
+    )
+    SELECT event_type, {sql_epoch_s("h")} AS hour_s, cnt, prev,
+           CASE WHEN prev IS NULL THEN NULL
+                ELSE {sql_sratio("cnt - prev", "prev")} END AS pct_change
+    FROM l
+    """,
+)
+def ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period percent change of the hourly event rate — the
+    day-one growth metric next to `ts_ewma` (level) and `ts_autocorr`
+    (seasonality). Change vs the previous OBSERVED hour (lag over the
+    present series; a gap simply widens the comparison period, it does
+    not fabricate a zero denominator).
+
+    First registered user of the SIGNED integer-quotient ratio
+    (`parity.sratio`): deltas go negative, and a float `round((c-p)/p,4)`
+    sits on the same half-boundary class the round-4 `ts_ohlc` red proved
+    real — the signed integer form is boundary-proof with one lag()
+    window over the calendar-sized count relation.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    l = c.withColumn("prev", F.lag("cnt").over(w))
+    return l.select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_s"),
+        "cnt",
+        "prev",
+        F.when(
+            F.col("prev").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(sratio(F.col("cnt") - F.col("prev"), F.col("prev")))
+        .alias("pct_change"),
     )

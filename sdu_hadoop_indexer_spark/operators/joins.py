@@ -764,3 +764,41 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(nk, 42)").alias("next_type"),
         )
     )
+
+
+@register(
+    "join_existence_flag",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           EXISTS (
+               SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+           ) AS has_open_order
+    FROM customer
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag join: keep EVERY left row and mark whether a match
+    exists, instead of filtering like semi/anti — the shape behind
+    "flag churned users", boolean feature columns, and CASE WHEN EXISTS.
+
+    Declared as a correlated EXISTS in the SELECT list; Catalyst rewrites
+    it to its dedicated ExistenceJoin physical variant (pinned in
+    tests/test_plans.py): one hash join that emits left ⟕ exists-bit with
+    NO row duplication however many orders match — the trap in the naive
+    LEFT JOIN + `flag IS NOT NULL` formulation, which fans out on
+    multi-match keys and needs a re-distinct. The probe side shuffles
+    once on the join key; the status filter prunes the build side before
+    the exchange (predicate pushdown visible in the scan).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal,
+               EXISTS (
+                   SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+               ) AS has_open_order
+        FROM customer
+        """
+    )

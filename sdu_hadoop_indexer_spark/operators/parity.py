@@ -108,3 +108,21 @@ SQL_EVENTS_US = (
 # unix_timestamp() floors. Use this for second-precision epochs in oracles.
 def sql_epoch_s(expr: str) -> str:
     return f"CAST(epoch(date_trunc('second', {expr})) AS BIGINT)"
+
+
+def sratio(num: Column, den: Column, ndigits: int = 4) -> Column:
+    """Signed half-away-rounded integer ratio — :func:`ratio` extended to
+    negative numerators (period-over-period deltas, regression residuals).
+    Computed as sign(num) · ratio(|num|, den); den must be positive.
+    Same boundary-proof property: the only float ops are one exact
+    int→double conversion, one correctly-rounded division, and floor."""
+    from pyspark.sql import functions as F
+
+    mag = ratio(F.abs(num), den, ndigits)
+    return F.when(num < 0, -mag).otherwise(mag)
+
+
+def sql_sratio(num: str, den: str, ndigits: int = 4) -> str:
+    """DuckDB twin of :func:`sratio`."""
+    mag = sql_ratio(f"abs({num})", den, ndigits)
+    return f"CASE WHEN ({num}) < 0 THEN -({mag}) ELSE ({mag}) END"

@@ -538,3 +538,27 @@ def test_autocorr_pairs_after_reduction(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2  # Spark may rescan for self-join
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_existence_flag_plans_existence_join_no_fanout(spark, sf_dir):
+    """The EXISTS-in-SELECT form must plan Catalyst's ExistenceJoin (one
+    probe, no row duplication) — not a left join needing a re-distinct —
+    and the status filter must prune the build side before its exchange."""
+    from sdu_hadoop_indexer_spark.operators.joins import join_existence_flag
+
+    plan = _plan(join_existence_flag(spark, sf_dir))
+    assert "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+    # build-side pushdown: the orders scan carries the status predicate
+    assert "o_orderstatus" in plan and "O" in plan
+
+
+def test_pct_change_is_single_window_over_reduced_series(spark, sf_dir):
+    """One fact scan reduces to (type, hour) counts; ONE lag window over
+    that calendar-sized relation; no joins."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_pct_change
+
+    plan = _plan(ts_pct_change(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan

@@ -361,3 +361,42 @@ def test_autocorr_matches_numpy(spark, sf_dir):
         if len(pairs) >= 2 and pairs.cnt_x.std() > 0 and pairs.cnt_y.std() > 0:
             expected = np.corrcoef(pairs.cnt_x, pairs.cnt_y)[0, 1]
             assert abs(got[et].r_lag24 - expected) < 1e-9, et
+
+
+def test_existence_flag_matches_semi_and_anti(spark, sf_dir):
+    """The flag column must partition customers exactly into the semi-join
+    (flag true) and anti-join (flag false) sets — and never change the
+    row count of the left side."""
+    from sdu_hadoop_indexer_spark.operators.joins import join_existence_flag
+    from sdu_hadoop_indexer_spark.catalog import table as t
+
+    df = join_existence_flag(spark, sf_dir).cache()
+    try:
+        cust = t(spark, sf_dir, "customer")
+        orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+        assert df.count() == cust.count()
+        semi = cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).count()
+        assert df.where("has_open_order").count() == semi
+    finally:
+        df.unpersist()
+
+
+def test_pct_change_sign_and_identity(spark, sf_dir):
+    """pct_change must be NULL exactly on each type's first hour, carry
+    the sign of (cnt - prev), and be 0 iff cnt == prev."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_pct_change
+
+    df = ts_pct_change(spark, sf_dir).cache()
+    try:
+        assert df.where("prev IS NULL AND pct_change IS NOT NULL").count() == 0
+        assert (
+            df.where(
+                "prev IS NOT NULL AND sign(pct_change) != sign(cnt - prev)"
+            ).count()
+            == 0
+        )
+        assert df.where("cnt = prev AND pct_change != 0.0").count() == 0
+    finally:
+        df.unpersist()
