@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .parity import SQL_EVENTS_US, ratio, sql_epoch_s, sql_sratio, sratio
+from .parity import SQL_EVENTS_US, ratio, sql_epoch_s, sql_ratio, sql_sratio, sratio
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 
@@ -1262,4 +1262,73 @@ def ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(sratio(F.col("cnt") - F.col("prev"), F.col("prev")))
         .alias("pct_change"),
+    )
+
+
+@register(
+    "events_type_overlap",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}, d AS (
+        SELECT DISTINCT event_type, user_id FROM ev
+    ), sz AS (
+        SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+    ), ix AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT ix.type_a, ix.type_b, sa.n AS n_a, sb.n AS n_b, ix.n_both,
+           {sql_ratio("ix.n_both", "sa.n + sb.n - ix.n_both")} AS jaccard
+    FROM ix
+    JOIN sz sa ON sa.event_type = ix.type_a
+    JOIN sz sb ON sb.event_type = ix.type_b
+    """,
+)
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS behind
+    every pair of event types — the segmentation question ("do purchasers
+    also click?") behind campaign targeting and funnel design.
+
+    Shape: the corpus reduces once to DISTINCT (type, user) pairs (one
+    hash-distinct exchange, ~|users|·|types| rows max); the pair
+    intersection is a self-equi-join ON user_id over that reduced
+    relation — co-partitioned by the join key, never cartesian; type
+    set sizes are a types-sized relation broadcast onto the |types|²/2
+    output. Jaccard = n∩/(n_a+n_b−n∩) through the boundary-proof integer
+    quotient (`parity.sql_ratio`). The same plan computes containment or
+    lift by swapping the final ratio.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    sz = d.groupBy("event_type").agg(F.count("*").alias("n"))
+    b = d.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("uid")
+    )
+    ix = (
+        d.join(b, (d.user_id == b.uid) & (d.event_type < b.type_b))
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = F.broadcast(
+        sz.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sz.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    )
+    return (
+        ix.join(sa, F.col("type_a") == F.col("ta"))
+        .join(sb, F.col("type_b") == F.col("tb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            ratio(
+                F.col("n_both"),
+                F.col("n_a") + F.col("n_b") - F.col("n_both"),
+            ).alias("jaccard"),
+        )
     )

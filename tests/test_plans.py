@@ -562,3 +562,19 @@ def test_pct_change_is_single_window_over_reduced_series(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_type_overlap_self_join_is_equi_after_distinct(spark, sf_dir):
+    """The pair intersection must be an equi-join on user_id over the
+    REDUCED distinct (type,user) relation — one fact scan subtree per
+    side, no cartesian — with the types-sized set sizes broadcast."""
+    from sdu_hadoop_indexer_spark.operators.analytics import events_type_overlap
+
+    plan = _plan(events_type_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the sz marginals
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or plan.count("BroadcastHashJoin") >= 3
+    )

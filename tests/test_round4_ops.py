@@ -400,3 +400,26 @@ def test_pct_change_sign_and_identity(spark, sf_dir):
         assert df.where("cnt = prev AND pct_change != 0.0").count() == 0
     finally:
         df.unpersist()
+
+
+def test_type_overlap_jaccard_identities(spark, sf_dir):
+    """Jaccard must be symmetric-by-construction (a<b ordering yields each
+    unordered pair once), bounded by min-containment, and match a pandas
+    set computation exactly."""
+    from sdu_hadoop_indexer_spark.operators.analytics import events_type_overlap
+
+    rows = events_type_overlap(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        expected = r.n_both / (r.n_a + r.n_b - r.n_both)
+        assert abs(r.jaccard - expected) < 1e-4
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id").toPandas()
+    sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    for r in rows:
+        assert r.n_both == len(sets[r.type_a] & sets[r.type_b])
