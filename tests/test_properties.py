@@ -263,3 +263,73 @@ def test_ewma_matches_python_reference(spark, series):
         ws = _EWMA_W[: len(window)]
         want = sum(v * wt for v, wt in zip(window, ws)) / sum(ws)
         assert abs(got[t] - want) < 1e-9, (t, got[t], want)
+
+
+# ---------------------------------------------------------------------------
+# parity.ratio / sratio / sql twins: the integer half-away quotient is the
+# load-bearing rounding primitive for every rounded ratio oracle — prove it
+# against Fraction-exact half-away rounding, including exact .5 boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _halfaway(num: int, den: int, ndigits: int) -> float:
+    """Ground truth: Fraction-exact round-half-away-from-zero."""
+    from fractions import Fraction
+
+    f = Fraction(num, den) * 10**ndigits
+    q, r = divmod(abs(f.numerator), f.denominator)
+    scaled = q + (1 if 2 * r >= f.denominator else 0)
+    return (-scaled if num < 0 else scaled) / 10**ndigits
+
+
+@given(
+    num=st.integers(min_value=-(10**9), max_value=10**9),
+    den=st.integers(min_value=1, max_value=10**6),
+    ndigits=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_sql_sratio_matches_fraction_rounding(num, den, ndigits):
+    """DuckDB evaluation of sql_sratio == Fraction half-away for any signed
+    int ratio (sql_ratio is its non-negative restriction). Hypothesis finds
+    the exact-half cases (e.g. 1/8 at 2dp) that float round() gets wrong."""
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.operators.parity import sql_sratio
+
+    got = duckdb.sql(
+        f"SELECT {sql_sratio(str(num), str(den), ndigits)} AS v"
+    ).fetchone()[0]
+    assert got == _halfaway(num, den, ndigits), (num, den, ndigits)
+
+
+def test_ratio_spark_duckdb_boundary_grid(spark):
+    """Cross-engine: Spark's ratio/sratio columns and DuckDB's sql twins
+    must agree bit-for-bit on a fixed grid dense in exact .5 boundaries
+    (num = k·den/2·10^-n shapes) and sign flips."""
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.operators.parity import (
+        ratio,
+        sql_ratio,
+        sql_sratio,
+        sratio,
+    )
+
+    grid = [
+        (n, d)
+        for d in (1, 2, 3, 7, 8, 16, 1000)
+        for n in (-1001, -125, -1, 0, 1, 4, 5, 124, 125, 625, 10**7)
+    ]
+    df = spark.createDataFrame(grid, "num long, den long")
+    spark_rows = df.select(
+        "num",
+        "den",
+        ratio(F.abs(F.col("num")), F.col("den")).alias("r"),
+        sratio(F.col("num"), F.col("den")).alias("sr"),
+    ).collect()
+    for row in spark_rows:
+        dr = duckdb.sql(
+            f"SELECT {sql_ratio(str(abs(row.num)), str(row.den))} AS r,"
+            f" {sql_sratio(str(row.num), str(row.den))} AS sr"
+        ).fetchone()
+        assert (row.r, row.sr) == dr, (row.num, row.den)
