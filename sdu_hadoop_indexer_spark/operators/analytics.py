@@ -1332,3 +1332,59 @@ def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_active_streaks",
+    oracle=f"""
+    WITH {SQL_EVENTS_US}, d AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM ev
+    ), g AS (
+        SELECT user_id, day,
+               (day - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+        FROM d
+    ), s AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           count(*) AS n_streaks
+    FROM s GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands) — the
+    engagement metric behind "7-day streak" product mechanics, and the
+    canonical sessionize-in-calendar-time shape.
+
+    The corpus reduces FIRST to distinct (user, day) — at most
+    users×days rows — then the island id is the classic
+    `day_number − row_number()` constant-within-streak trick: one
+    user-partitioned window over the reduced relation (millions of tiny
+    partitions at scale — the partitioned-window shape that parallelizes,
+    not the global kind the plan pins forbid), and two hash aggs. All
+    integer arithmetic — EXACT oracle with no parity caveats.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

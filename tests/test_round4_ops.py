@@ -423,3 +423,57 @@ def test_type_overlap_jaccard_identities(spark, sf_dir):
     sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
     for r in rows:
         assert r.n_both == len(sets[r.type_a] & sets[r.type_b])
+
+
+def test_time_bucket_alignment_and_coverage(spark, sf_dir):
+    """Every bucket must be ≡ origin (mod width), bucket sums must cover
+    every event exactly once, and no event may fall outside its bucket."""
+    from sdu_hadoop_indexer_spark.operators.scalar_fns import (
+        _TB_ORIGIN_S,
+        _TB_WIDTH_S,
+        fn_time_bucket,
+    )
+
+    df = fn_time_bucket(spark, sf_dir).cache()
+    try:
+        assert (
+            df.where(
+                (F.col("bucket_s") - _TB_ORIGIN_S) % _TB_WIDTH_S != 0
+            ).count()
+            == 0
+        )
+        total = df.agg(F.sum("n")).collect()[0][0]
+        assert total == table(spark, sf_dir, "events").count()
+    finally:
+        df.unpersist()
+
+
+def test_active_streaks_matches_pandas(spark, sf_dir):
+    """Gaps-and-islands streaks must match a pandas consecutive-run scan."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_active_streaks,
+    )
+
+    got = {
+        r.user_id: r for r in events_active_streaks(spark, sf_dir).collect()
+    }
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .toPandas()
+        .drop_duplicates()
+    )
+    for uid, grp in ev.groupby("user_id"):
+        days = sorted(grp.day)
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        r = got[uid]
+        assert r.active_days == len(days)
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
