@@ -564,17 +564,17 @@ def test_pct_change_is_single_window_over_reduced_series(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_type_overlap_self_join_is_equi_after_distinct(spark, sf_dir):
-    """The pair intersection must be an equi-join on user_id over the
-    REDUCED distinct (type,user) relation — one fact scan subtree per
-    side, no cartesian — with the types-sized set sizes broadcast."""
+def test_type_overlap_single_fact_pass_with_exchange_reuse(spark, sf_dir):
+    """The overlap matrix must make ONE pass over the fact table: the
+    marginal (a,a) and intersection (a,b) branches both consume the same
+    per-user pair aggregation, so after execution AQE must show the
+    per-user exchange REUSED (not a re-derived fact subtree), the
+    types-sized marginals broadcast, and nothing cartesian."""
     from sdu_hadoop_indexer_spark.operators.analytics import events_type_overlap
 
-    plan = _plan(events_type_overlap(spark, sf_dir))
+    df = events_type_overlap(spark, sf_dir)
+    df.collect()  # AQE finalizes stage reuse at runtime
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # the sz marginals
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or plan.count("BroadcastHashJoin") >= 3
-    )
+    assert "BroadcastHashJoin" in plan  # the marginals
+    assert "ReusedExchange" in plan  # shared per-user aggregation exchange
