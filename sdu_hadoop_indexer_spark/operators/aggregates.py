@@ -992,3 +992,107 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "n_rows", "total_w_c", "wmedian")
     )
+
+
+# Skew/kurtosis shared arithmetic: the power sums s1..s4 are EXACT int64
+# (d <= 10 cents keeps sum(d^4) far under 2^53 at gate SFs), and EVERY
+# subsequent operation — the central-sum combinations AND the
+# standardization — runs in doubles through the IDENTICAL text below on
+# both engines. Each step is a correctly-rounded IEEE op on bit-equal
+# inputs, so the outputs are bit-identical with no round() anywhere.
+# (A first draft combined the central sums in wide integers — Spark
+# decimal(38,0) vs DuckDB HUGEINT — but HUGEINT→DOUBLE conversion is not
+# correctly rounded in the same way as BigDecimal's, costing a 1-ulp gate
+# miss at |M4| ~ 1e21; keeping everything past the int64 sums in doubles
+# removes the engine-specific conversion entirely.) Degenerate (zero
+# variance) groups guard to NULL.
+_SK_PRE = {
+    "nd": "CAST(n AS DOUBLE)",
+    "m2d": "CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)",
+    "m3d": "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE)"
+    " - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)",
+    "m4d": "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(s4 AS DOUBLE)"
+    " - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s3 AS DOUBLE)"
+    " + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s2 AS DOUBLE)"
+    " - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s1 AS DOUBLE)",
+}
+_SK_FORMULAS = {
+    "skewness": "CASE WHEN m2d <= 0 THEN NULL ELSE"
+    " (m3d / ((nd * nd) * nd))"
+    " / ((m2d / (nd * nd)) * sqrt(m2d / (nd * nd))) END",
+    "kurtosis_excess": "CASE WHEN m2d <= 0 THEN NULL ELSE"
+    " (m4d / ((nd * nd) * (nd * nd)))"
+    " / ((m2d / (nd * nd)) * (m2d / (nd * nd))) - 3.0 END",
+}
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag, CAST(round(l_discount * 100) AS BIGINT) AS d
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(d) AS s1,
+               sum(d * d) AS s2,
+               sum(d * d * d) AS s3,
+               sum(d * d * d * d) AS s4
+        FROM c GROUP BY l_returnflag
+    ), m AS (
+        SELECT l_returnflag,
+               {_SK_PRE["nd"]} AS nd,
+               {_SK_PRE["m2d"]} AS m2d,
+               {_SK_PRE["m3d"]} AS m3d,
+               {_SK_PRE["m4d"]} AS m4d
+        FROM s
+    )
+    SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+           {_SK_FORMULAS["skewness"]} AS skewness,
+           {_SK_FORMULAS["kurtosis_excess"]} AS kurtosis_excess
+    FROM m
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis — the 3rd/4th standardized
+    moments completing the profile family (`agg_stats_moments` stops at
+    2nd). Engine-native `skewness()`/`kurtosis()` are streaming kernels
+    with partition-order float accumulation (the proven gate failure
+    mode); here the four power sums are EXACT int64 (one hash agg,
+    map-side combinable — the same shuffle shape as avg()) and every
+    operation after them evaluates the SAME `_SK_PRE`/`_SK_FORMULAS`
+    text in doubles on both engines: correctly-rounded IEEE ops on
+    bit-equal inputs, bit-identical raw outputs, no round().
+    """
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.expr("d * d")).alias("s2"),
+        F.sum(F.expr("d * d * d")).alias("s3"),
+        F.sum(F.expr("d * d * d * d")).alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        F.expr(_SK_PRE["nd"]).alias("nd"),
+        F.expr(_SK_PRE["m2d"]).alias("m2d"),
+        F.expr(_SK_PRE["m3d"]).alias("m3d"),
+        F.expr(_SK_PRE["m4d"]).alias("m4d"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("nd").cast("long").alias("n"),
+        F.expr(_SK_FORMULAS["skewness"]).alias("skewness"),
+        F.expr(_SK_FORMULAS["kurtosis_excess"]).alias("kurtosis_excess"),
+    )

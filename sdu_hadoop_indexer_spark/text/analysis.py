@@ -277,3 +277,56 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", pred.alias("pred_lang"), (F.round(best, 4) + F.lit(0.0)).alias("confidence")
     )
+
+
+@register(
+    "text_hapax_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+'))
+               AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, count(*) AS cnt
+        FROM tok WHERE term <> '' GROUP BY lang, term
+    )
+    SELECT lang,
+           count(*) AS vocab,
+           CAST(sum(cnt) AS BIGINT) AS tokens,
+           count(*) FILTER (WHERE cnt = 1) AS hapax,
+           count(*) FILTER (WHERE cnt = 2) AS dis,
+           CAST(floor(CAST(CAST((count(*)) AS BIGINT) * 20000 + (CAST(sum(cnt) AS BIGINT)) AS DOUBLE) / (2 * (CAST(sum(cnt) AS BIGINT)))) AS DOUBLE) / 10000.0 AS type_token_ratio,
+           CAST(floor(CAST(CAST((count(*) FILTER (WHERE cnt = 1)) AS BIGINT) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS hapax_ratio
+    FROM tf GROUP BY lang
+    """,
+)
+def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per language: type/token counts, hapax
+    legomena (frequency-1 terms) and dis legomena (frequency-2), the
+    type-token ratio and hapax share — the Zipf-tail fingerprint corpus
+    linguists (and dedup QA: a collapsing hapax share flags boilerplate
+    contamination) read first.
+
+    Two map-side-combinable hash aggs — (lang, term) frequencies, then a
+    lang-sized rollup with FILTER clauses; the second shuffle carries one
+    row per distinct term, the standard vocabulary reduction. Ratios via
+    the boundary-proof integer quotient (`parity.ratio`).
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    return tf.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.sum("cnt").cast("long").alias("tokens"),
+        F.count_if(F.col("cnt") == 1).alias("hapax"),
+        F.count_if(F.col("cnt") == 2).alias("dis"),
+        ratio(F.count("*"), F.sum("cnt").cast("long")).alias(
+            "type_token_ratio"
+        ),
+        ratio(F.count_if(F.col("cnt") == 1), F.count("*")).alias(
+            "hapax_ratio"
+        ),
+    )

@@ -477,3 +477,40 @@ def test_active_streaks_matches_pandas(spark, sf_dir):
         assert r.active_days == len(days)
         assert r.longest_streak == max(streaks)
         assert r.n_streaks == len(streaks)
+
+
+def test_skew_kurtosis_matches_scipy_free_reference(spark, sf_dir):
+    """Moment formulas must match a numpy population-moment computation."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.operators.aggregates import agg_skew_kurtosis
+
+    got = {
+        r.l_returnflag: r for r in agg_skew_kurtosis(spark, sf_dir).collect()
+    }
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_discount")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = np.round(grp.l_discount.to_numpy() * 100)
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        r = got[flag]
+        assert r.n == len(x)
+        assert abs(r.skewness - m3 / m2**1.5) < 1e-9
+        assert abs(r.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-9
+
+
+def test_hapax_stats_identities(spark, sf_dir):
+    """hapax ≤ vocab ≤ tokens; ratios consistent with the counts."""
+    from sdu_hadoop_indexer_spark.text.analysis import text_hapax_stats
+
+    rows = text_hapax_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hapax <= r.vocab <= r.tokens
+        assert 0 <= r.dis <= r.vocab
+        assert abs(r.type_token_ratio - r.vocab / r.tokens) < 1e-4
+        assert abs(r.hapax_ratio - r.hapax / r.vocab) < 1e-4
