@@ -1394,3 +1394,119 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+# Gini bucket width: order totals in cents DIV 5e6 = $50k bands (~12 buckets
+# over TPC-H's o_totalprice domain) — granular enough that per-bucket local
+# windows stay ~1/12th of a group.
+_GINI_BUCKET = 5_000_000
+
+# Shared final text: S (Σ global_rank·x), n, T are exact int64 at gate SFs
+# (documented decimal switch at 100 TB); the classic identity
+# G = 2S/(nT) − (n+1)/n evaluates in doubles with identical association on
+# both engines — raw correctly-rounded output, no round().
+_GINI_FORMULA = (
+    "CASE WHEN t <= 0 OR n <= 0 THEN NULL ELSE"
+    " (2.0 * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END"
+)
+
+
+@register(
+    "agg_gini",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderstatus AS st, o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) // {_GINI_BUCKET}
+               AS bkt
+        FROM orders
+    ), b AS (
+        SELECT st, bkt, sum(x) AS sumx, count(*) AS cnt
+        FROM c GROUP BY st, bkt
+    ), cb AS (
+        SELECT st, bkt, sumx, cnt,
+               sum(cnt) OVER (PARTITION BY st ORDER BY bkt)
+               - cnt AS off,
+               sum(sumx) OVER (PARTITION BY st) AS t,
+               sum(cnt) OVER (PARTITION BY st) AS n
+        FROM b
+    ), t1 AS (
+        SELECT st, CAST(sum(off * sumx) AS BIGINT) AS term1,
+               max(t) AS t, max(n) AS n
+        FROM cb GROUP BY st
+    ), lr AS (
+        SELECT st, x,
+               row_number() OVER (
+                   PARTITION BY st, bkt ORDER BY x, okey
+               ) AS r
+        FROM c
+    ), t2 AS (
+        SELECT st, CAST(sum(r * x) AS BIGINT) AS term2 FROM lr GROUP BY st
+    )
+    SELECT t1.st AS o_orderstatus, CAST(t1.n AS BIGINT) AS n,
+           {_GINI_FORMULA.replace("s AS DOUBLE", "term1 + term2 AS DOUBLE")}
+           AS gini
+    FROM t1 JOIN t2 ON t1.st = t2.st
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of order totals per status — the inequality
+    metric (revenue concentration, whale analysis), which classically
+    needs a GLOBAL per-group sort for the rank-weighted sum Σ rank·x.
+
+    Distributed exactly without one (the `events_rfm_segments` /
+    `agg_weighted_median` decomposition): a row's global rank =
+    prefix-count offset of its $50k value band + its LOCAL rank inside
+    the band, so Σ rank·x splits into Σ_band offset·Σx(band) — computed
+    on the TINY band relation — plus Σ local_rank·x under band-PARTITIONED
+    windows (every sort is 1/|bands| of a group, fully parallel; no
+    "No Partition Defined" WindowExec anywhere, pinned). Ties carry
+    distinct ranks via the (value, orderkey) total order, which the
+    rank-sum identity makes order-independent for equal values. Exact
+    int64 throughout; final identity in shared double text, no round().
+    """
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") / _GINI_BUCKET)
+        .cast("long")
+        .alias("bkt"),
+    )
+    b = c.groupBy("st", "bkt").agg(
+        F.sum("x").alias("sumx"), F.count("*").alias("cnt")
+    )
+    wb = Window.partitionBy("st").orderBy("bkt")
+    wt = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cb = b.select(
+        "st",
+        "bkt",
+        "sumx",
+        "cnt",
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("off"),
+        F.sum("sumx").over(wt).alias("t"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    t1 = cb.groupBy("st").agg(
+        F.sum(F.col("off") * F.col("sumx")).cast("long").alias("term1"),
+        F.max("t").alias("t"),
+        F.max("n").alias("n"),
+    )
+    wl = Window.partitionBy("st", "bkt").orderBy("x", "okey")
+    lr = c.select("st", "x", F.row_number().over(wl).alias("r"))
+    t2 = lr.groupBy("st").agg(
+        F.sum(F.col("r") * F.col("x")).cast("long").alias("term2")
+    )
+    return (
+        t1.join(F.broadcast(t2.withColumnRenamed("st", "st2")),
+                F.col("st") == F.col("st2"))
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                _GINI_FORMULA.replace("s AS DOUBLE", "term1 + term2 AS DOUBLE")
+            ).alias("gini"),
+        )
+    )

@@ -578,3 +578,19 @@ def test_type_overlap_single_fact_pass_with_exchange_reuse(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the marginals
     assert "ReusedExchange" in plan  # shared per-user aggregation exchange
+
+
+def test_gini_has_no_global_windows(spark, sf_dir):
+    """Every WindowExec must be partitioned (by group or by group+band) —
+    the global per-group sort the classic formulation needs must NOT
+    appear, and the plan must stay non-cartesian."""
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_gini
+
+    plan = _plan(agg_gini(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Spark renders an unpartitioned window spec as "Window [..], [..]" with
+    # an empty partition list → "windowspecdefinition(" directly after a
+    # bare ORDER BY; cheap proxy: every Window line mentions a partition col
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "st#" in line, line

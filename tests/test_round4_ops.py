@@ -514,3 +514,26 @@ def test_hapax_stats_identities(spark, sf_dir):
         assert 0 <= r.dis <= r.vocab
         assert abs(r.type_token_ratio - r.vocab / r.tokens) < 1e-4
         assert abs(r.hapax_ratio - r.hapax / r.vocab) < 1e-4
+
+
+def test_gini_matches_sorted_reference(spark, sf_dir):
+    """Bucket-prefix decomposition must equal the classic full-sort Gini."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_gini
+
+    got = {r.o_orderstatus: r for r in agg_gini(spark, sf_dir).collect()}
+    pdf = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    for st, grp in pdf.groupby("o_orderstatus"):
+        x = np.sort(np.round(grp.o_totalprice.to_numpy() * 100))
+        n = len(x)
+        ranks = np.arange(1, n + 1)
+        expected = 2 * (ranks * x).sum() / (n * x.sum()) - (n + 1) / n
+        r = got[st]
+        assert r.n == n
+        assert abs(r.gini - expected) < 1e-9, st
+        assert 0 <= r.gini < 1
