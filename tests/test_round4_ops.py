@@ -537,3 +537,16 @@ def test_gini_matches_sorted_reference(spark, sf_dir):
         assert r.n == n
         assert abs(r.gini - expected) < 1e-9, st
         assert 0 <= r.gini < 1
+
+
+def test_lsh_quality_eval_consistency(spark, sf_dir):
+    """Hits can exceed neither side; metrics must equal their count ratios;
+    the fixture corpus must yield a nonempty truth set so the metric is
+    meaningful."""
+    from sdu_hadoop_indexer_spark.llm.dedup import dedup_lsh_quality_eval
+
+    r = dedup_lsh_quality_eval(spark, sf_dir).collect()[0]
+    assert r.n_truth > 0
+    assert 0 <= r.n_hit <= min(r.n_truth, r.n_cand)
+    assert abs(r.recall - r.n_hit / r.n_truth) < 1e-4
+    assert abs(r.precision - r.n_hit / r.n_cand) < 1e-4
