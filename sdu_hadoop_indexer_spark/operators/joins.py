@@ -802,3 +802,111 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    bk AS (
+        SELECT p.event_id, e.event_id AS cand_id, e.event_type AS cand_type,
+               epoch_us(p.ts) - epoch_us(e.ts) AS delta_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM p JOIN ev e ON p.user_id = e.user_id AND e.ts < p.ts
+    ),
+    fw AS (
+        SELECT p.event_id, e.event_id AS cand_id, e.event_type AS cand_type,
+               epoch_us(e.ts) - epoch_us(p.ts) AS delta_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM p JOIN ev e ON p.user_id = e.user_id AND e.ts > p.ts
+    ),
+    b1 AS (SELECT * FROM bk WHERE rn = 1),
+    f1 AS (SELECT * FROM fw WHERE rn = 1)
+    SELECT p.event_id,
+           CASE WHEN f1.cand_id IS NULL
+                     OR (b1.cand_id IS NOT NULL
+                         AND b1.delta_us <= f1.delta_us)
+                THEN b1.cand_id ELSE f1.cand_id END AS nearest_event_id,
+           CASE WHEN f1.cand_id IS NULL
+                     OR (b1.cand_id IS NOT NULL
+                         AND b1.delta_us <= f1.delta_us)
+                THEN b1.cand_type ELSE f1.cand_type END AS nearest_type,
+           CASE WHEN f1.cand_id IS NULL
+                     OR (b1.cand_id IS NOT NULL
+                         AND b1.delta_us <= f1.delta_us)
+                THEN b1.delta_us ELSE f1.delta_us END AS abs_delta_us,
+           CASE WHEN f1.cand_id IS NULL
+                     OR (b1.cand_id IS NOT NULL
+                         AND b1.delta_us <= f1.delta_us)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM p
+    LEFT JOIN b1 ON b1.event_id = p.event_id
+    LEFT JOIN f1 ON f1.event_id = p.event_id
+    WHERE b1.cand_id IS NOT NULL OR f1.cand_id IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third direction parameter of the TSDB asof
+    API family (`join_asof` backward, `join_asof_forward` forward): each
+    purchase matched to the closest other same-user event in EITHER
+    direction by |Δt|, preferring backward on exact ties (and within a
+    direction, the same (ts, event_id) tie-breaks as the parent ops).
+
+    Both directional candidates come from the SAME user-partitioned
+    microsecond-ordered sort — the backward MAX over UNBOUNDED
+    PRECEDING..1 PRECEDING and the forward MIN over 1 FOLLOWING..UNBOUNDED
+    FOLLOWING share one window spec modulo frame, so Catalyst fuses them
+    into ONE WindowExec (pinned): still one shuffle, linear state, no
+    join. The oracle replays both directions in the engine-independent
+    window form and applies the identical preference rule.
+    """
+    ev = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%019d-%s",
+        F.unix_micros("ts"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    base = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    wb = base.rangeBetween(Window.unboundedPreceding, -1)
+    wf = base.rangeBetween(1, Window.unboundedFollowing)
+    both = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tsu"),
+        F.max(key).over(wb).alias("pk"),
+        F.min(key).over(wf).alias("fk"),
+    )
+    cand = both.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "tsu",
+        F.substring("pk", 22, 19).cast("bigint").alias("b_id"),
+        F.expr("substring(pk, 42)").alias("b_type"),
+        (F.col("tsu") - F.substring("pk", 1, 20).cast("bigint")).alias("b_d"),
+        F.substring("fk", 22, 19).cast("bigint").alias("f_id"),
+        F.expr("substring(fk, 42)").alias("f_type"),
+        (F.substring("fk", 1, 20).cast("bigint") - F.col("tsu")).alias("f_d"),
+    )
+    pick_backward = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (F.col("b_d") <= F.col("f_d"))
+    )
+    return cand.where(
+        F.col("b_id").isNotNull() | F.col("f_id").isNotNull()
+    ).select(
+        "event_id",
+        F.when(pick_backward, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("nearest_event_id"),
+        F.when(pick_backward, F.col("b_type"))
+        .otherwise(F.col("f_type"))
+        .alias("nearest_type"),
+        F.when(pick_backward, F.col("b_d"))
+        .otherwise(F.col("f_d"))
+        .alias("abs_delta_us"),
+        F.when(pick_backward, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

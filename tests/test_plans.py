@@ -594,3 +594,14 @@ def test_gini_has_no_global_windows(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "st#" in line, line
+
+
+def test_asof_nearest_fuses_both_directions_one_window(spark, sf_dir):
+    """Backward MAX and forward MIN share one partition+order spec, so
+    Catalyst must evaluate them in a single WindowExec — one shuffle, no
+    join anywhere in the plan."""
+    from sdu_hadoop_indexer_spark.operators.joins import join_asof_nearest
+
+    plan = _plan(join_asof_nearest(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan

@@ -550,3 +550,29 @@ def test_lsh_quality_eval_consistency(spark, sf_dir):
     assert 0 <= r.n_hit <= min(r.n_truth, r.n_cand)
     assert abs(r.recall - r.n_hit / r.n_truth) < 1e-4
     assert abs(r.precision - r.n_hit / r.n_cand) < 1e-4
+
+
+def test_asof_nearest_agrees_with_directional_ops(spark, sf_dir):
+    """Nearest must pick exactly the backward op's match when it wins or
+    ties, and the forward op's match otherwise."""
+    from sdu_hadoop_indexer_spark.operators.joins import (
+        join_asof,
+        join_asof_forward,
+        join_asof_nearest,
+    )
+
+    near = {r.event_id: r for r in join_asof_nearest(spark, sf_dir).collect()}
+    back = {r.event_id: r.prior_event_id for r in join_asof(spark, sf_dir).collect()}
+    fwd = {
+        r.event_id: r.next_event_id
+        for r in join_asof_forward(spark, sf_dir).collect()
+    }
+    assert near
+    for eid, r in near.items():
+        assert r.abs_delta_us > 0
+        if r.direction == "backward":
+            assert back[eid] == r.nearest_event_id
+        else:
+            assert fwd[eid] == r.nearest_event_id
+    # every purchase with any neighbor appears
+    assert set(near) == set(back) | set(fwd)
