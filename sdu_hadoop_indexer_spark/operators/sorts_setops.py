@@ -157,3 +157,49 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
     b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
     return a.exceptAll(b)
+
+
+# Keyset cursor: the (o_totalprice, o_orderkey) of the last row of some
+# previous page — fixed literals so the op is deterministic at every SF.
+_KS_PRICE = 450000.0
+_KS_KEY = 0
+_KS_PAGE = 25
+
+
+@register(
+    "sort_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice < {_KS_PRICE!r}
+       OR (o_totalprice = {_KS_PRICE!r} AND o_orderkey > {_KS_KEY})
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {_KS_PAGE}
+    """,
+)
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-correct form of "page N of
+    results ordered by X": resume strictly after the previous page's last
+    (o_totalprice, o_orderkey) via a sargable predicate, never
+    OFFSET·LIMIT.
+
+    Why it matters at 100 TB: `ORDER BY … OFFSET k LIMIT p` must
+    materialize and discard k rows EVERY page — O(k) per page, O(n²/p)
+    for a full crawl. The keyset predicate is pushed to the parquet scan
+    (min/max row-group pruning on o_totalprice) and the plan stays
+    `TakeOrderedAndProject(p)` over the filtered scan — O(page) work per
+    page regardless of depth, the only pagination that survives a deep
+    crawl of a fact table. The strict total order (unique tie-break key
+    in the cursor) is what makes pages non-overlapping and the result
+    deterministic/oracle-able.
+    """
+    o = table(spark, sf_dir, "orders")
+    after_cursor = (F.col("o_totalprice") < _KS_PRICE) | (
+        (F.col("o_totalprice") == _KS_PRICE) & (F.col("o_orderkey") > _KS_KEY)
+    )
+    return (
+        o.where(after_cursor)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(_KS_PAGE)
+    )

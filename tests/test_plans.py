@@ -605,3 +605,16 @@ def test_asof_nearest_fuses_both_directions_one_window(spark, sf_dir):
     plan = _plan(join_asof_nearest(spark, sf_dir))
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
+    """The cursor predicate must reach the parquet scan (PushedFilters on
+    o_totalprice) and the page must plan as TakeOrderedAndProject — never
+    a global sort + offset discard."""
+    from sdu_hadoop_indexer_spark.operators.sorts_setops import (
+        sort_keyset_pagination,
+    )
+
+    df = sort_keyset_pagination(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+    assert "o_totalprice" in _formatted(df).split("PushedFilters", 1)[1].split("\n")[0]

@@ -576,3 +576,35 @@ def test_asof_nearest_agrees_with_directional_ops(spark, sf_dir):
             assert fwd[eid] == r.nearest_event_id
     # every purchase with any neighbor appears
     assert set(near) == set(back) | set(fwd)
+
+
+def test_keyset_page_is_contiguous_and_disjoint_from_cursor(spark, sf_dir):
+    """Every row must sort strictly after the cursor in (price DESC, key)
+    order, and the page must be exactly the next _KS_PAGE rows of the
+    full ordering."""
+    from sdu_hadoop_indexer_spark.operators.sorts_setops import (
+        _KS_KEY,
+        _KS_PAGE,
+        _KS_PRICE,
+        sort_keyset_pagination,
+    )
+
+    rows = sort_keyset_pagination(spark, sf_dir).collect()
+    assert len(rows) == _KS_PAGE
+    for r in rows:
+        assert r.o_totalprice < _KS_PRICE or (
+            r.o_totalprice == _KS_PRICE and r.o_orderkey > _KS_KEY
+        )
+    full = (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    expected = [
+        r.o_orderkey
+        for r in full
+        if r.o_totalprice < _KS_PRICE
+        or (r.o_totalprice == _KS_PRICE and r.o_orderkey > _KS_KEY)
+    ][:_KS_PAGE]
+    assert [r.o_orderkey for r in rows] == expected
