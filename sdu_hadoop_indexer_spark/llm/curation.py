@@ -144,7 +144,7 @@ PACK_BUDGET = 512  # tokens per training sequence
     )
     SELECT doc_id, source, n_tokens,
            CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-           start_off % {PACK_BUDGET} AS pack_offset
+           CAST(start_off % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM c
     """,
 )
@@ -751,7 +751,7 @@ _M31 = 2147483648  # 2^31
                           / sum(n_tokens)) AS w
         FROM t GROUP BY source
     )
-    SELECT s.source, s.n_docs, s.tokens,
+    SELECT s.source, s.n_docs, CAST(s.tokens AS BIGINT) AS tokens,
            CASE WHEN s.wnum >= s.wden THEN 1.0
                 ELSE CAST(floor(CAST((s.wnum) * 2000000 + (s.wden) AS DOUBLE) / (2 * (s.wden))) AS DOUBLE) / 1000000.0 END AS weight,
            count(*) FILTER (WHERE t.r < s.w * {_M32}) AS n_sampled,

@@ -310,9 +310,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id,
            CAST(frame_ms // 500 AS INTEGER) AS frame_idx,
            frame_ms,
-           coalesce(list_sum(list_transform(
+           CAST(coalesce(list_sum(list_transform(
                string_split(substring(text, ((frame_ms // 500) % n) + 1, 64), ''),
-               c -> ascii(c)::BIGINT)), 0) AS frame_checksum
+               c -> ascii(c)::BIGINT)), 0) AS BIGINT) AS frame_checksum
     FROM frames
     """,
 )

@@ -908,7 +908,11 @@ _WM_BUCKET = 100_000
         SELECT l_returnflag, count(*) AS n_rows FROM c GROUP BY l_returnflag
     )
     SELECT f.l_returnflag, n.n_rows,
-           max(f.total) AS total_w_c,
+           -- DuckDB types sum(BIGINT) as HUGEINT (int128); uncast it reaches
+           -- the result surface as int128 where Spark emits int64 and the
+           -- driver's hasher sees a type divergence even though every VALUE
+           -- is bit-identical (round-4 driver red). Cast back to BIGINT.
+           CAST(max(f.total) AS BIGINT) AS total_w_c,
            CAST(min(f.price_c) AS DOUBLE) / 100.0 AS wmedian
     FROM f JOIN n USING (l_returnflag)
     WHERE 2 * (f.prior + f.cum2) >= f.total

@@ -274,7 +274,7 @@ def ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            CAST(floor(CAST((sum(n_chars)) * 20000 + (count(*)) AS DOUBLE) / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS avg_chars,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,

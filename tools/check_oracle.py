@@ -92,6 +92,20 @@ def duck_rows(con, sql: str) -> list[dict]:
     return [dict(zip(cols, row)) for row in cur.fetchall()]
 
 
+def type_fingerprint_findings(name: str, con, sql: str, schema) -> list[str]:
+    """Round-4 class: compare the DECLARED DuckDB result type of every
+    oracle column against the Spark output type. Fetched Python values are
+    identical for int64 vs HUGEINT, but the driver's pandas bridge turns
+    HUGEINT into float64 and hashes red — only a structural check sees it."""
+    from sdu_hadoop_indexer_spark.oracle_types import type_parity_findings
+
+    rel = con.sql(sql)  # prepare-only; no second execution
+    spark_fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return type_parity_findings(
+        name, spark_fields, rel.columns, [str(t) for t in rel.types]
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -143,6 +157,11 @@ def main() -> int:
             drows = duck_rows(con, oracles[name])
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        tfinds = type_fingerprint_findings(name, con, oracles[name], sdf.schema)
+        if tfinds:
+            print(f"{name}: FAIL type-parity — {tfinds[0]}")
             n_fail += 1
             continue
         scols = sorted(srows[0]) if srows else sorted(sdf.columns)

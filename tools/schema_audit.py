@@ -175,6 +175,25 @@ def probe_neg_zero(name: str, con, sql: str) -> list[str]:
     return []
 
 
+def probe_result_types(name: str, con, sql: str, schema) -> list[str]:
+    """Rule 3 (round-4 class): the DECLARED DuckDB result type of every
+    oracle column must be physically equivalent to the Spark output type.
+    Values can be bit-identical and the driver hash still red: DuckDB's
+    pandas bridge turns HUGEINT (any uncast sum(BIGINT) chain) into
+    float64 where Spark ships int64. Value-level compares can never see
+    this — both sides fetch as Python int — so the check is structural,
+    against `con.sql(...).types` (prepare-only, no execution)."""
+    from sdu_hadoop_indexer_spark.oracle_types import type_parity_findings
+
+    try:
+        rel = con.sql(sql)
+        duck_cols, duck_types = rel.columns, [str(t) for t in rel.types]
+    except Exception as e:
+        return [f"{name}: oracle failed type probe ({type(e).__name__}: {e})"]
+    spark_fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return type_parity_findings(name, spark_fields, duck_cols, duck_types)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -218,6 +237,7 @@ def main() -> int:
         if name in oracles:
             findings.extend(audit_oracle(name, oracles[name]))
             findings.extend(probe_neg_zero(name, con, oracles[name]))
+            findings.extend(probe_result_types(name, con, oracles[name], schema))
 
     for line in findings:
         print(f"AUDIT {line}")
