@@ -1432,7 +1432,14 @@ _GINI_FORMULA = (
                sum(cnt) OVER (PARTITION BY st) AS n
         FROM b
     ), t1 AS (
-        SELECT st, CAST(sum(off * sumx) AS BIGINT) AS term1,
+        -- decimal(38,0) accumulation: the rank-weighted products reach
+        -- ~0.7·n·T ≈ 7e18 for the big status groups already at sf1 and
+        -- blow past int64 around sf≥2 — where Spark's long cast would
+        -- WRAP silently and DuckDB would RAISE (divergent failure).
+        -- 128-bit unscaled decimals keep both engines exact to ~1e38.
+        SELECT st,
+               CAST(sum(CAST(off AS DECIMAL(19,0)) * CAST(sumx AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS term1,
                max(t) AS t, max(n) AS n
         FROM cb GROUP BY st
     ), lr AS (
@@ -1442,7 +1449,10 @@ _GINI_FORMULA = (
                ) AS r
         FROM c
     ), t2 AS (
-        SELECT st, CAST(sum(r * x) AS BIGINT) AS term2 FROM lr GROUP BY st
+        SELECT st,
+               CAST(sum(CAST(r AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS term2
+        FROM lr GROUP BY st
     )
     SELECT t1.st AS o_orderstatus, CAST(t1.n AS BIGINT) AS n,
            {_GINI_FORMULA.replace("s AS DOUBLE", "term1 + term2 AS DOUBLE")}
@@ -1489,15 +1499,27 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sumx").over(wt).alias("t"),
         F.sum("cnt").over(wt).alias("n"),
     )
+    # decimal(38,0) products+sums (mirrors the oracle): the rank-weighted
+    # terms overflow int64 around sf≥2 and the two engines fail DIVERGENTLY
+    # there (Spark long cast wraps, DuckDB HUGEINT→BIGINT raises); 128-bit
+    # decimals stay exact to ~1e38 and are still one-pass partial aggs.
     t1 = cb.groupBy("st").agg(
-        F.sum(F.col("off") * F.col("sumx")).cast("long").alias("term1"),
+        F.sum(
+            F.col("off").cast("decimal(19,0)") * F.col("sumx").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("term1"),
         F.max("t").alias("t"),
         F.max("n").alias("n"),
     )
     wl = Window.partitionBy("st", "bkt").orderBy("x", "okey")
     lr = c.select("st", "x", F.row_number().over(wl).alias("r"))
     t2 = lr.groupBy("st").agg(
-        F.sum(F.col("r") * F.col("x")).cast("long").alias("term2")
+        F.sum(
+            F.col("r").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("term2")
     )
     return (
         t1.join(F.broadcast(t2.withColumnRenamed("st", "st2")),

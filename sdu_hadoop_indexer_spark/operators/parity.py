@@ -57,25 +57,35 @@ def ratio(num: Column, den: Column, ndigits: int = 4) -> Column:
     integers are exactly the values whose doubles' shortest decimal reprs
     can terminate ON a rounding half, where Spark's string-based BigDecimal
     round and DuckDB's binary scale-multiply legitimately disagree —
-    the round-4 ts_ohlc lesson). Non-negative numerators assumed."""
+    the round-4 ts_ohlc lesson). Non-negative numerators assumed.
+
+    Zero-denominator contract: NULL. Under Spark 4's default ANSI mode a
+    bare division throws DIVIDE_BY_ZERO at runtime while DuckDB's float
+    division yields NULL-ish results — a hard-failure-vs-NULL divergence
+    on degenerate input (e.g. a corpus with no near-dup ground truth in
+    `dedup_lsh_quality_eval`). Both engine twins guard explicitly, so a
+    ratio over an empty/zero base is NULL everywhere."""
     scale = 10 ** ndigits
     n64 = num.cast("long")
     d64 = den.cast("long")
-    return F.floor((n64 * (2 * scale) + d64) / (2 * d64)).cast(
+    mag = F.floor((n64 * (2 * scale) + d64) / (2 * d64)).cast(
         "double"
     ) / F.lit(float(scale))
+    return F.when(d64 > 0, mag)
 
 
 def sql_ratio(num: str, den: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`ratio` (same double-division-then-floor ops)."""
+    """DuckDB twin of :func:`ratio` (same double-division-then-floor ops,
+    same NULL-on-zero-denominator guard)."""
     scale = 10 ** ndigits
     # ::BIGINT before the scale multiply: an INT32-typed numerator (e.g. an
     # integer literal column) would overflow DuckDB's checked 32-bit
     # multiply at ndigits ≥ 5 (round-4 llm_mixing_weights at sf0.1)
-    return (
+    mag = (
         f"CAST(floor(CAST(CAST(({num}) AS BIGINT) * {2 * scale} + ({den})"
         f" AS DOUBLE) / (2 * ({den}))) AS DOUBLE) / {float(scale)!r}"
     )
+    return f"CASE WHEN ({den}) > 0 THEN {mag} END"
 
 
 # SQL-side counterpart (DuckDB): use in oracle strings.
@@ -115,14 +125,18 @@ def sratio(num: Column, den: Column, ndigits: int = 4) -> Column:
     negative numerators (period-over-period deltas, regression residuals).
     Computed as sign(num) · ratio(|num|, den); den must be positive.
     Same boundary-proof property: the only float ops are one exact
-    int→double conversion, one correctly-rounded division, and floor."""
+    int→double conversion, one correctly-rounded division, and floor.
+    The trailing `+ 0.0` folds the -0.0 a tiny negative delta produces
+    (|num|/den rounds to 0.0, negated to -0.0) back to +0.0 — the same
+    signed-zero canonicalization the round-3 driver-hasher class forced
+    on every float round() (see tools/schema_audit.py)."""
     from pyspark.sql import functions as F
 
     mag = ratio(F.abs(num), den, ndigits)
-    return F.when(num < 0, -mag).otherwise(mag)
+    return F.when(num < 0, -mag).otherwise(mag) + F.lit(0.0)
 
 
 def sql_sratio(num: str, den: str, ndigits: int = 4) -> str:
-    """DuckDB twin of :func:`sratio`."""
+    """DuckDB twin of :func:`sratio` (incl. the `+ 0.0` -0.0 fold)."""
     mag = sql_ratio(f"abs({num})", den, ndigits)
-    return f"CASE WHEN ({num}) < 0 THEN -({mag}) ELSE ({mag}) END"
+    return f"(CASE WHEN ({num}) < 0 THEN -({mag}) ELSE ({mag}) END) + 0.0"
