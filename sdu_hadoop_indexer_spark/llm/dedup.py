@@ -93,28 +93,101 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard ≥ τ (exact baseline).
+    """Near-dup pairs by token-set Jaccard ≥ τ (exact baseline), via
+    LOSSLESS prefix filtering (Bayardo/Ma/Srikant "All-Pairs", Chaudhuri
+    et al. SSJoin) instead of the naive inverted-index self-join.
 
-    Inverted-index self-join: candidates only materialize for doc pairs that
-    share ≥1 token; |∩| is a grouped count, |∪| from broadcast set sizes.
+    The naive join on `term` is quadratic in docs-per-shared-token: one
+    stopword shared by all N docs alone emits N² candidate rows (measured:
+    52-88× blowup moving sf0.01→sf0.1 in the two operators composing this
+    one — the round-5 extended bench's first catch). Prefix filter:
+    order every doc's tokens by global rarity (document frequency asc,
+    term asc — ANY fixed total order is correct; rare-first makes
+    prefixes selective), and join only each doc's first
+    ``p = |A| − ⌈τ·|A|⌉ + 1`` tokens. Correctness: J ≥ τ ⇒ |A∩B| ≥
+    τ·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉ =: α, and the prefix-filter lemma says
+    |A∩B| ≥ α forces the (|A|−α+1)- and (|B|−α+1)-prefixes to share an
+    element; each side's ``p`` uses its OWN ⌈τ·|A|⌉ ≤ α, so its prefix
+    is a superset of the lemma's — no qualifying pair is lost
+    (exactness theorem, not approximation; the DuckDB oracle keeps the
+    naive formulation and the gate pins equality). NOTE the shorter
+    PPJoin ⌈(2τ/(1+τ))·|A|⌉ *index* prefix is NOT valid here — it
+    requires the probe/index asymmetry (measured: 21 missing pairs at
+    sf0.001). With τ = 9/10 the prefix is ~|A|/10 + 1 rarest tokens;
+    stopwords sort LAST and never join. Candidates then verify exactly
+    via `array_intersect` on the per-doc sorted token arrays — per-pair
+    O(|A|+|B|) JVM work on a candidate set near-linear in the true
+    near-dup count. At 100 TB this is the published exact-join scale
+    path; the LSH family remains the approximate one.
     """
+    # τ as an exact rational (9/10): the prefix bound must be integer-exact
+    # on every |A|, so ⌈9·a/10⌉ is computed as (9a+9) div 10 — no floats.
+    tau_n, tau_d = 9, 10
     tset = _token_sets(spark, sf_dir)
-    sizes = tset.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tset.select(F.col("doc_id").alias("doc_a"), "term")
-    b = tset.select(F.col("doc_id").alias("doc_b"), "term")
-    inter = (
+    dfreq = tset.groupBy("term").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "term")
+    wsz = Window.partitionBy("doc_id")
+    pref = (
+        tset.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.row_number().over(wdoc).alias("pos"),
+            F.count("*").over(wsz).alias("sz"),
+        )
+        .where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"({tau_n} * sz + {tau_d - 1}) div {tau_d}")
+            + 1
+        )
+    )
+    # NOTE on AQE: the prefix relation's shuffle is sub-MB, and AQE's
+    # byte-based coalescing would fold it to ONE partition, serializing the
+    # fused stage past it (broadcast term-join fanning 14k prefix rows into
+    # 22M candidates + distinct + verify) into a single 95 s task — AQE is
+    # blind to join FAN-OUT downstream of an exchange. Fixed engine-wide by
+    # the coalescePartitions.minPartitionSize floor in session._RUNTIME_CONF
+    # (an in-plan repartition is silently collapsed by Catalyst here).
+    a = pref.select(F.col("doc_id").alias("doc_a"), "term")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "term")
+    cand = (
         a.join(b, "term")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    arrs = tset.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    ra = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    rb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
+    )
+    # BROADCAST the doc→token-array relation onto the candidate pairs:
+    # it is docs-sized (one short array per doc — the dimension side here),
+    # and Spark's size estimator over collect_list output is conservative
+    # enough to pick shuffle joins instead, which re-executes the whole
+    # tokenize→group lineage per join side (measured 98.7 s vs 9 s at
+    # sf0.1). At a corpus where the array relation outgrows broadcast,
+    # drop the hint: both sides are already keyed on doc_id and the join
+    # degrades to one co-partitioned shuffle — same plan the oracle's
+    # semantics assume, just slower.
+    verified = (
+        cand.join(F.broadcast(ra), "doc_a")
+        .join(F.broadcast(rb), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+    )
     jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .where(jac >= JACCARD_TAU)
+        verified.where(jac >= JACCARD_TAU)
         .select("doc_a", "doc_b", (F.round(jac, 4) + F.lit(0.0)).alias("jaccard"))
     )
 

@@ -29,6 +29,17 @@ _RUNTIME_CONF = {
     # local-scale default; AQE coalesces below this, and at cluster scale the
     # right value is ~2-3x total cores (set via submit conf, not code).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # AQE sizes coalesced partitions on map-output BYTES and is blind to the
+    # FAN-OUT of operators downstream of the exchange: a ~0.8 MB prefix
+    # relation (under the 1 MB default floor) coalesces to ONE partition,
+    # and the fused stage past it — a broadcast join fanning 14k rows into
+    # 22M candidate pairs plus the distinct + verify — serializes into a
+    # single 95 s task (dedup_near_jaccard at sf0.1, round 5). With
+    # parallelismFirst (default true) the target size is
+    # max(total/defaultParallelism, THIS floor), so an 8 KB floor keeps
+    # small-but-fanning shuffles at ~default parallelism while remaining a
+    # no-op at cluster scale, where total/parallelism dominates.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8kb",
     # Arrow for every pandas interchange path (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS) which Spark has no native type
