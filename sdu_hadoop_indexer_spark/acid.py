@@ -209,13 +209,27 @@ def _commit(
         "remove": removes,
     }
     path = _log_path(table, version)
+    # Two properties at once: EXCLUSIVE (one winner per version) and ATOMIC
+    # (readers never observe partial bytes). A bare open(path, "x") +
+    # json.dump is exclusive but NOT atomic — the log entry is visible to
+    # latest_version() before its content lands, so a concurrent reader
+    # could parse a torn commit (caught designing the round-5 reader-race
+    # test). Write the payload to a private tmp file first, then publish
+    # with os.link: link(2) fails with EEXIST if the version exists (the
+    # conflict signal) and the linked name appears with its full content.
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        with open(path, "x") as fh:  # atomic exclusive create
-            json.dump(payload, fh)
+        os.link(tmp, path)
     except FileExistsError as e:
         raise CommitConflict(
             f"version {version} of {table} was committed concurrently"
         ) from e
+    finally:
+        os.unlink(tmp)
 
 
 def create_table(df: DataFrame, table: str, key: str, n_files: int = 8) -> None:

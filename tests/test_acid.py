@@ -223,3 +223,96 @@ def test_vacuum_age_fence_spares_fresh_files(spark, tmp_path):
     res = acid.vacuum(tbl, retain_versions=1)  # default min_age: 24 h
     after = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
     assert res["deleted"] == 0 and after == before
+
+
+_READER_SNIPPET = """
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import pyarrow.parquet as pq
+from sdu_hadoop_indexer_spark import acid
+tbl, stopflag, n_rows = sys.argv[1], sys.argv[2], int(sys.argv[3])
+reads, bad = 0, []
+while not os.path.exists(stopflag):
+    head = acid.latest_version(tbl)
+    if head < 0:
+        continue
+    try:
+        files = acid.snapshot_files(tbl, head)
+        total, vs = 0, set()
+        for f in files:
+            t = pq.read_table(os.path.join(tbl, f.path), columns=["v"])
+            total += t.num_rows
+            vs.update(t.column("v").to_pylist())
+        # every committed snapshot is a FULL-range rewrite with one
+        # constant v — a torn read shows mixed v values or a bad count
+        if total != n_rows or len(vs) != 1:
+            bad.append((head, total, sorted(vs)[:4]))
+    except Exception as e:  # torn commit json, missing file, ...
+        bad.append((head, type(e).__name__, str(e)[:80]))
+    reads += 1
+print("READS", reads, "BAD", len(bad), bad[:3])
+"""
+
+
+def test_concurrent_reader_sees_only_committed_prefixes(spark, tmp_path):
+    """A READER process streams snapshot reads (pure-python log fold +
+    pyarrow file reads — no second Spark session) while the writer commits
+    a stream of full-table rewrites. Every observed snapshot must be a
+    committed prefix: exact row count and ONE uniform v value per read —
+    no torn commit json, no missing data file, no mixed-version rows.
+    This is the isolation property the os.link-based atomic commit publish
+    provides (a bare exclusive-create + write exposes partial bytes)."""
+    import subprocess
+    import sys as _sys
+
+    n = 400
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    tbl = str(tmp_path / "tbl")
+    acid.create_table(df, tbl, "k", n_files=4)
+    stop = str(tmp_path / "stop")
+    reader = subprocess.Popen(
+        [_sys.executable, "-c", _READER_SNIPPET, tbl, stop, str(n)],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        for i in range(6):  # full-range rewrites: every snapshot uniform
+            upd = spark.range(n).select(
+                F.col("id").alias("k"), F.lit(i).alias("v")
+            )
+            acid.merge_upsert(spark, tbl, upd, "k")
+    finally:
+        with open(stop, "w") as fh:
+            fh.write("stop")
+    out = reader.communicate(timeout=120)[0].strip()
+    parts = out.split()
+    assert parts[0] == "READS" and int(parts[1]) > 0, out
+    assert parts[2] == "BAD" and int(parts[3]) == 0, out
+    assert acid.latest_version(tbl) == 6
+
+
+def test_time_travel_at_and_past_vacuum_retention_boundary(spark, tmp_path):
+    """Time travel must work at EXACTLY the oldest retained version and
+    fail one version past it with the declared read-time error (vacuum's
+    contract: retention trades storage against time-travel depth; the log
+    itself stays replayable)."""
+    n = 300
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    tbl = str(tmp_path / "tbl")
+    acid.create_table(df, tbl, "k", n_files=2)
+    for i in range(3):  # versions 1..3, all full-range (disjoint file sets)
+        upd = spark.range(n).select(F.col("id").alias("k"), F.lit(i).alias("v"))
+        acid.merge_upsert(spark, tbl, upd, "k")
+
+    res = acid.vacuum(tbl, retain_versions=2, min_age_seconds=0)
+    assert res["head"] == 3 and res["deleted"] > 0
+
+    # boundary: oldest retained version (head - retain + 1 = 2) still reads
+    at_boundary = acid.read_table(spark, tbl, version=2)
+    assert at_boundary.count() == n
+    assert at_boundary.where("v != 1").count() == 0
+    # one past: files gone, read raises; the LOG is untouched (audit intact)
+    with pytest.raises(Exception):
+        acid.read_table(spark, tbl, version=1).count()
+    assert acid.latest_version(tbl) == 3
+    assert len(acid.snapshot_files(tbl, 1)) > 0  # log still folds v1
