@@ -1,0 +1,104 @@
+"""Synthesize a `documents.parquet` at an arbitrary scale for SLOPE studies.
+
+The driver's fixtures stop at sf0.1 (5 000 docs) and are read-only, and its
+generator is not shipped — so scale-slope claims ("linear at 10×") need a
+local extrapolation. This generator mimics the fixture documents table's
+observable distributions (token vocabulary harvested from the real sf0.1
+fixture, ~40-60 tokens/doc, 5 langs, 20 sources, an exact-duplicate clone
+rate and a near-duplicate mutation rate for the dedup family) with a fixed
+seed, writing `<out>/documents.parquet`.
+
+IMPORTANT: slope numbers must compare runs of THIS generator at two sizes
+(e.g. --docs 5000 vs --docs 50000), never a generated corpus against the
+driver fixture — the duplicate structure differs in detail, and only the
+within-generator ratio isolates the algorithmic slope.
+
+Usage::
+
+    python tools/gen_scale_fixture.py --docs 50000 --out /tmp/slope_sf1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXACT_DUP_RATE = 0.06  # fraction of docs that are verbatim clones
+NEAR_DUP_RATE = 0.05  # fraction that are 1-2-token mutations of another doc
+
+
+def harvest_vocab(fixture: str) -> list[str]:
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM "
+        f"read_parquet('{fixture}/documents.parquet') ORDER BY t"
+    ).fetchall()
+    return [r[0] for r in rows if r[0]]
+
+
+def generate(n_docs: int, out: str, fixture: str, seed: int = 42) -> str:
+    rng = np.random.default_rng(seed)
+    vocab = np.array(harvest_vocab(fixture))
+    # Zipf-ish token popularity like the fixture's (a few hot terms)
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    order = rng.permutation(len(vocab))
+    vocab = vocab[order]
+
+    texts: list[str] = []
+    n_base = int(n_docs * (1 - EXACT_DUP_RATE - NEAR_DUP_RATE))
+    lengths = rng.integers(40, 61, size=n_base)
+    for ln in lengths:
+        toks = rng.choice(vocab, size=ln, p=weights)
+        texts.append(" ".join(toks))
+    while len(texts) < n_docs * (1 - NEAR_DUP_RATE):  # exact clones
+        texts.append(texts[int(rng.integers(0, n_base))])
+    while len(texts) < n_docs:  # near-dups: mutate 1-2 tokens
+        src = texts[int(rng.integers(0, n_base))].split(" ")
+        for _ in range(int(rng.integers(1, 3))):
+            src[int(rng.integers(0, len(src)))] = str(
+                rng.choice(vocab)
+            )
+        texts.append(" ".join(src))
+
+    perm = rng.permutation(n_docs)
+    texts = [texts[i] for i in perm]
+    langs = rng.choice(
+        np.array(["en", "fr", "es", "de", "zh"]), size=n_docs,
+        p=[0.5, 0.15, 0.15, 0.1, 0.1],
+    )
+    sources = np.array([f"src{i}" for i in rng.integers(0, 20, size=n_docs)])
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "documents.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--fixture", default="/root/testdata/sf0.1")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    path = generate(args.docs, args.out, args.fixture, args.seed)
+    print(path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
