@@ -441,12 +441,15 @@ def test_attribution_is_single_window_no_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bloom_semi_broadcasts_filter_and_never_cartesian(spark, sf_dir):
-    """The bloom words and the surviving key set are both broadcast (the
-    whole point: the fact table is pre-filtered without entering a shuffle
-    exchange keyed on it), and no stage degenerates to a cartesian/BNLJ."""
+def test_bloom_semi_filters_map_side_and_never_cartesian(spark, sf_dir):
+    """The bloom is a LITERAL word array tested map-side on the fact rows
+    (round-5: replaced the fixture-scale survivor-key broadcast): the only
+    join in the plan is the exact residual semi against the broadcast
+    build side — the fact table is pruned without a distinct, a survivor
+    set, or any exchange — and nothing degenerates to a cartesian/BNLJ."""
     plan = _plan(joins.join_bloom_semi(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1  # residual semi only
+    assert "element_at" in plan  # the literal-array bloom probe filter
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
