@@ -36,10 +36,13 @@ _RUNTIME_CONF = {
     # 22M candidate pairs plus the distinct + verify — serializes into a
     # single 95 s task (dedup_near_jaccard at sf0.1, round 5). With
     # parallelismFirst (default true) the target size is
-    # max(total/defaultParallelism, THIS floor), so an 8 KB floor keeps
-    # small-but-fanning shuffles at ~default parallelism while remaining a
-    # no-op at cluster scale, where total/parallelism dominates.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8kb",
+    # max(total/defaultParallelism, THIS floor), so a sub-MB floor keeps
+    # small-but-fanning shuffles parallel while remaining a no-op at
+    # cluster scale, where total/parallelism dominates. 128 KB measured
+    # best of {8kb, 64kb, 128kb, 1mb} across BOTH sensitive shapes: the
+    # fan-out stage (near_jaccard 98.7s @1mb → 5.5s) and the many-tiny-
+    # shuffle iterative CC (cluster 2.9s @8kb → 1.75s, its 1mb baseline).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128kb",
     # Arrow for every pandas interchange path (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # events.parquet stores TIMESTAMP(NANOS) which Spark has no native type
