@@ -1022,3 +1022,84 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         r < F.round(F.col("quality_score") * _M32).cast("long")
     ).select("doc_id", "quality_score")
+
+
+@register(
+    "llm_bigram_ppl",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(range(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x <> ''))))
+                   AS pos,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, term,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM t
+    ),
+    bg AS (SELECT doc_id, term, nxt FROM big WHERE nxt IS NOT NULL),
+    c2 AS (SELECT term, nxt, count(*) AS cnt2 FROM bg GROUP BY term, nxt),
+    c1 AS (SELECT term, count(*) AS cnt1 FROM bg GROUP BY term),
+    v AS (SELECT count(DISTINCT term) AS vocab FROM t),
+    s AS (
+        SELECT bg.doc_id,
+               ln((c2.cnt2 + 1) * 1.0 / (c1.cnt1 + v.vocab)) AS lp
+        FROM bg JOIN c2 USING (term, nxt) JOIN c1 USING (term) CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-lp), 4) + 0.0 AS avg_neg_logprob,
+           round(exp(avg(-lp)), 3) + 0.0 AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-one smoothing: per-document mean
+    −ln p(next | term) under the corpus's own bigram model, plus its exp()
+    perplexity — the KenLM-shaped filter one notch above
+    `llm_unigram_logprob` (CCNet ranks documents by exactly this kind of
+    n-gram-LM perplexity before any model-based scoring). Smoothing:
+    p(u|t) = (C(t,u) + 1) / (C(t·) + V).
+
+    Scale shape mirrors the unigram op: one tokenize scan feeds the bigram
+    stream; C2/C1 are vocabulary²-bounded relations (tiny next to the
+    corpus) broadcast back onto the stream; one per-doc rollup. The ln()
+    arguments are exact integer ratios evaluated identically on both
+    engines; only the final avg/exp round (transcendental — the legal
+    ROUNDED class)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "term", "nxt")
+    )
+    c2 = bg.groupBy("term", "nxt").agg(F.count("*").alias("cnt2"))
+    c1 = bg.groupBy("term").agg(F.count("*").alias("cnt1"))
+    vocab = toks.agg(F.countDistinct("term").alias("vocab"))
+    lp = (
+        bg.join(F.broadcast(c2), ["term", "nxt"])
+        .join(F.broadcast(c1), "term")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cnt2") + 1) * 1.0 / (F.col("cnt1") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.round(F.avg(-F.col("lp")), 4) + F.lit(0.0)).alias("avg_neg_logprob"),
+        (F.round(F.exp(F.avg(-F.col("lp"))), 3) + F.lit(0.0)).alias("ppl"),
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..iteration import RoundStager, stage_round
-from ..operators.parity import ratio
+from ..operators.parity import ratio, sql_ratio
 from ..registry import register
 from ..text.indexer import TOK_SQL, tokenize
 from ..xhash import (
@@ -1021,4 +1021,166 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(
             F.sum(F.col("is_truth") * F.col("is_cand")), F.sum("is_cand")
         ).alias("precision"),
+    )
+
+
+CONTAIN_TAU_N, CONTAIN_TAU_D = 9, 10  # containment threshold τ = 9/10
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / sa.sz, 4) + 0.0 AS containment
+    FROM pairs JOIN tsize sa ON doc_a = sa.doc_id
+    WHERE inter * 1.0 / sa.sz >= {CONTAIN_TAU_N / CONTAIN_TAU_D}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment pairs: |A∩B| / |A| ≥ τ — doc_a's token set is
+    (nearly) contained in doc_b's. The contamination/quotation detector
+    Jaccard misses: a benchmark prompt pasted inside a much longer document
+    has tiny Jaccard (the union is huge) but containment ≈ 1. Companion to
+    `llm_contamination_check` (which tests against a FIXED holdout set;
+    this mines containment between arbitrary corpus documents).
+
+    Same lossless prefix-filter scale path as `dedup_near_jaccard`, with
+    the ONE-SIDED bound: |A∩B| ≥ ⌈τ·|A|⌉ =: α depends only on the
+    contained side, so only A is prefix-reduced (first |A| − α + 1
+    rarest-first tokens) and it joins B's FULL token set — if A's prefix
+    misses B entirely, at most α − 1 intersection elements fit in A's
+    suffix, so no qualifying pair is lost. Candidates verify exactly via
+    the broadcast `array_intersect` relation (same 100 TB caveat as the
+    Jaccard op: at corpus scale the array join degrades to one
+    co-partitioned shuffle)."""
+    tset = _token_sets(spark, sf_dir)
+    dfreq = tset.groupBy("term").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "term")
+    wsz = Window.partitionBy("doc_id")
+    pref = (
+        tset.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.row_number().over(wdoc).alias("pos"),
+            F.count("*").over(wsz).alias("sz"),
+        )
+        .where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(
+                f"({CONTAIN_TAU_N} * sz + {CONTAIN_TAU_D - 1})"
+                f" div {CONTAIN_TAU_D}"
+            )
+            + 1
+        )
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "term")
+    b = tset.select(F.col("doc_id").alias("doc_b"), "term")  # FULL side
+    cand = (
+        a.join(b, "term")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = tset.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    ra = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    rb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    verified = (
+        cand.join(F.broadcast(ra), "doc_a")
+        .join(F.broadcast(rb), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    cont = F.col("inter") / F.col("sa")
+    return verified.where(cont >= CONTAIN_TAU_N / CONTAIN_TAU_D).select(
+        "doc_a", "doc_b", (F.round(cont, 4) + F.lit(0.0)).alias("containment")
+    )
+
+
+PARA_TOKENS = 12  # tokens per "paragraph" chunk
+
+
+@register(
+    "text_paragraph_dedup",
+    oracle=f"""
+    WITH {TOK_SQL},
+    chunks AS (
+        SELECT doc_id, pos // {PARA_TOKENS} AS chunk_id,
+               string_agg(term, ' ' ORDER BY pos) AS chunk
+        FROM tok GROUP BY doc_id, pos // {PARA_TOKENS}
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_id,
+               row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, chunk_id
+               ) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           {sql_ratio("sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)", "count(*)")}
+               AS keep_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-hash dedup profile: cut every document into
+    {PARA_TOKENS}-token chunks (the newline-free fixture's stand-in for
+    paragraphs), drop every chunk whose exact text already appeared
+    earlier in the corpus (first occurrence by (doc_id, chunk_id) wins),
+    and report per-doc kept/dropped counts — the normalize→chunk→hash→
+    group dedup step every web-scale curation pipeline runs BEFORE
+    document-level near-dup (CCNet, RefinedWeb, FineWeb all start here).
+
+    Differs from `dedup_exact_substring`/`text_dup_spans`: those profile
+    OVERLAPPING K-gram windows to find duplicated spans; this partitions
+    into DISJOINT chunks and makes a keep/drop decision per chunk — the
+    actual deletion rule, not the diagnostic.
+
+    Scale shape: one tokenize scan → disjoint-chunk hash agg (corpus/12
+    rows) → one ranking window PARTITIONED BY chunk text (at 100 TB the
+    partition key becomes the chunk's 128-bit hash; distinct-chunk
+    partitions are numerous and tiny — fully parallel) → per-doc rollup.
+    No joins, no all-pairs anything."""
+    chunks = (
+        tokenize(spark, sf_dir)
+        .withColumn("chunk_id", F.expr(f"pos div {PARA_TOKENS}"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s.term,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    wc = Window.partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    ranked = chunks.select(
+        "doc_id", F.row_number().over(wc).alias("rn")
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        ratio(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)), F.count("*")
+        ).alias("keep_ratio"),
     )

@@ -1100,3 +1100,77 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SK_FORMULAS["skewness"]).alias("skewness"),
         F.expr(_SK_FORMULAS["kurtosis_excess"]).alias("kurtosis_excess"),
     )
+
+
+RSV_K = 5  # sample size per group
+RSV_SALT = "rsv-v1|"
+_RSV_SHARDS = 64  # phase-1 shard count for the two-phase top-K
+
+
+@register(
+    "agg_reservoir_hash_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               md5('{RSV_SALT}' || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)) AS hk
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY hk, l_orderkey, l_linenumber
+               ) AS rk
+        FROM h
+    )
+    SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber
+    FROM r WHERE rk <= {RSV_K}
+    """,
+)
+def agg_reservoir_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group K-sample — reservoir sampling, derandomized:
+    keep each group's K rows with the smallest salted md5 of the row key.
+    Because the "random" order is a pure function of (salt, key), the
+    sample is uniform-hash-random yet reproducible across runs, engines
+    and re-shards — the property `llm_split_holdout`/`llm_sample_stratified`
+    give fractions, applied to FIXED-SIZE samples (eval subsets, spot-check
+    batches, per-segment debugging rows).
+
+    Scale shape: a naive per-group ranking window puts each group in ONE
+    partition (3 groups here — the worst case). Two-phase instead: phase 1
+    ranks within ({_RSV_SHARDS} data-derived shards × group) — parallel
+    windows over corpus-sized input — keeping K per shard; phase 2 ranks
+    the ≤ {_RSV_SHARDS}·K survivors per group. min-of-mins = global min,
+    so the result is identical to the one-window oracle formulation at any
+    shard count; the final window touches a bounded relation regardless of
+    corpus size (the same salted two-phase shape as `topk_per_group`)."""
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat(
+                F.lit(RSV_SALT),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hk"),
+        (F.col("l_orderkey") % _RSV_SHARDS).alias("shard"),
+    )
+    w1 = Window.partitionBy("l_returnflag", "shard").orderBy(
+        "hk", "l_orderkey", "l_linenumber"
+    )
+    cand = h.withColumn("rk1", F.row_number().over(w1)).where(
+        F.col("rk1") <= RSV_K
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy(
+        "hk", "l_orderkey", "l_linenumber"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= RSV_K)
+        .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
+    )

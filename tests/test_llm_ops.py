@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sdu_hadoop_indexer_spark.catalog import table
 from sdu_hadoop_indexer_spark.llm import dedup, similarity
 
 
@@ -351,3 +352,111 @@ def test_domain_quota_cap_and_ordering(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_containment_is_asymmetric_and_superset_of_identity(spark, sf_dir):
+    """Containment must (a) include both directions for identical token
+    sets, (b) match a brute-force pandas set computation exactly on the
+    ratio, and (c) bound every Jaccard >= tau pair's SMALLER side (J >= tau
+    implies containment of the smaller set >= tau)."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        dedup_containment,
+        dedup_near_jaccard,
+        _token_sets,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows
+    got = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    sets = {
+        r.doc_id: set(r.toks)
+        for r in _token_sets(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("toks"))
+        .collect()
+    }
+    import random
+
+    rnd = random.Random(7)
+    for (a, b), c in rnd.sample(sorted(got.items()), min(200, len(got))):
+        inter = len(sets[a] & sets[b])
+        assert inter / len(sets[a]) >= 0.9
+        assert abs(c - round(inter / len(sets[a]), 4)) < 5e-4
+    # identical sets appear in both directions
+    both = [(a, b) for (a, b) in got if sets[a] == sets[b]]
+    for a, b in both[:50]:
+        assert (b, a) in got
+    # J >= tau pairs: the smaller side is contained
+    jac = dedup_near_jaccard(spark, sf_dir).limit(500).collect()
+    for r in jac:
+        small, big = sorted((r.doc_a, r.doc_b), key=lambda d: len(sets[d]))
+        assert (small, big) in got or (big, small) in got
+
+
+def test_paragraph_dedup_conservation_and_first_wins(spark, sf_dir):
+    """Chunk conservation: sum(n_chunks) == total distinct (doc, chunk_id)
+    pairs; the corpus-wide first occurrence of every chunk text is KEPT
+    (sum of drops == duplicates beyond first); keep_ratio in (0, 1]."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        PARA_TOKENS,
+        text_paragraph_dedup,
+    )
+    from sdu_hadoop_indexer_spark.text.indexer import tokenize
+
+    df = text_paragraph_dedup(spark, sf_dir).cache()
+    try:
+        tot = df.agg(
+            F.sum("n_chunks").alias("c"), F.sum("n_dropped").alias("d")
+        ).first()
+        chunks = (
+            tokenize(spark, sf_dir)
+            .withColumn("cid", F.expr(f"pos div {PARA_TOKENS}"))
+            .groupBy("doc_id", "cid")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                        lambda s: s.term,
+                    ),
+                    " ",
+                ).alias("chunk")
+            )
+        )
+        n_chunks = chunks.count()
+        n_distinct = chunks.select("chunk").distinct().count()
+        assert tot.c == n_chunks
+        assert tot.d == n_chunks - n_distinct  # every dup beyond first drops
+        # keep_ratio = 0 is legitimate: every chunk of the doc already
+        # appeared earlier in the corpus (fully-duplicated document)
+        assert df.where("keep_ratio < 0 OR keep_ratio > 1").count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_bigram_ppl_bounds_and_smoothing(spark, sf_dir):
+    """Perplexity must be >= 1, finite everywhere (add-one smoothing: no
+    zero-prob bigram), docs with < 2 tokens excluded, and n_bigrams ==
+    n_tokens - 1 per included doc."""
+    from sdu_hadoop_indexer_spark.llm.curation import bigram_ppl
+
+    df = bigram_ppl(spark, sf_dir).cache()
+    try:
+        assert df.count() > 0
+        assert df.where("ppl < 1.0 OR isnan(ppl) OR ppl IS NULL").count() == 0
+        assert df.where("avg_neg_logprob < 0").count() == 0
+        toks = (
+            table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+                    )
+                ).alias("n"),
+            )
+        )
+        j = df.join(toks, "doc_id")
+        assert j.where("n_bigrams != n - 1").count() == 0
+        assert df.count() == toks.where("n >= 2").count()
+    finally:
+        df.unpersist()

@@ -631,3 +631,52 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
     }
     assert otrain == strain
     assert oencode == sencode
+
+
+def test_reservoir_hash_sample_deterministic_and_uniformish(spark, sf_dir):
+    """The hash sample must be (a) exactly reproducible across builds, (b)
+    K rows per group ranked 1..K, and (c) equal to the single-window
+    formulation (two-phase min-of-mins identity)."""
+    from pyspark.sql import Window
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.aggregates import (
+        RSV_K,
+        RSV_SALT,
+        agg_reservoir_hash_sample,
+    )
+
+    a = {tuple(r) for r in agg_reservoir_hash_sample(spark, sf_dir).collect()}
+    b = {tuple(r) for r in agg_reservoir_hash_sample(spark, sf_dir).collect()}
+    assert a == b and a
+    per_group = {}
+    for rf, rk, _, _ in a:
+        per_group.setdefault(rf, []).append(rk)
+    for rf, rks in per_group.items():
+        assert sorted(rks) == list(range(1, RSV_K + 1)), rf
+    # two-phase == one global window per group
+    li = table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat(
+                F.lit(RSV_SALT),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hk"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "hk", "l_orderkey", "l_linenumber"
+    )
+    ref = {
+        tuple(r)
+        for r in h.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RSV_K)
+        .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert a == ref
