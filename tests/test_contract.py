@@ -51,3 +51,29 @@ def test_entry_runs(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert [f.name for f in df.schema.fields] == ["term", "postings", "df"]
+
+
+def test_coverage_order_puts_never_sampled_first():
+    """queries()/oracle_sql() must enumerate names the driver gate has
+    never verified BEFORE already-sampled ones (the gate samples a ~50-name
+    window in enumeration order), keep the two dicts' relative order
+    consistent, and lose/duplicate nothing relative to the registry."""
+    import glob
+    import json
+
+    import __spark_entry__ as e
+    from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(q) == set(all_queries())
+    assert set(o) == set(all_oracles())
+    sampled = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(path) as fh:
+            sampled.update(json.load(fh))
+    names = list(q)
+    flags = [n in sampled for n in names]
+    # monotone: once we hit a sampled name, everything after is sampled
+    assert flags == sorted(flags), "never-sampled names must come first"
+    # oracle enumeration follows the same order (restricted to oracle names)
+    assert [n for n in names if n in o] == list(o)
