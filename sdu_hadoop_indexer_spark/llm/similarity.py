@@ -300,31 +300,40 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     Assignment is distributed; each round collects only the k×dim integer
     centroid table (tiny, bounded)."""
     e = table(spark, sf_dir, "embeddings")
-    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv"))
-    init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
-    cents = [list(r.qv) for r in init]
-    dims = len(cents[0])
-    for _ in range(KMEANS_ITERS):
-        assigned = qv.select(
-            _ivf_assign(F.col("qv"), cents).alias("cell"),
-            F.posexplode("qv").alias("dim", "q"),
-        )
-        rows = (
-            assigned.groupBy("cell", "dim")
-            .agg(
-                F.round(F.sum("q").cast("double") / F.count("*"), 0)
-                .cast("long")
-                .alias("m")
+    # persist the quantized-vector relation for the training loop: every
+    # Lloyd round re-reads it (assignment + moment agg), and without the
+    # persist each round re-runs the parquet scan + quantization lineage —
+    # the staged-input rule every iterative operator here follows
+    # (dedup_minhash_cluster, llm_bpe_train). Values are identical either
+    # way; released before returning.
+    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv")).persist()
+    try:
+        init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+        cents = [list(r.qv) for r in init]
+        dims = len(cents[0])
+        for _ in range(KMEANS_ITERS):
+            assigned = qv.select(
+                _ivf_assign(F.col("qv"), cents).alias("cell"),
+                F.posexplode("qv").alias("dim", "q"),
             )
-            .collect()
-        )
-        new: dict[int, dict[int, int]] = {}
-        for r in rows:
-            new.setdefault(r.cell, {})[r.dim] = r.m
-        cents = [
-            [new[i][d] for d in range(dims)] if i in new else cents[i]
-            for i in range(N_CELLS)
-        ]
+            rows = (
+                assigned.groupBy("cell", "dim")
+                .agg(
+                    F.round(F.sum("q").cast("double") / F.count("*"), 0)
+                    .cast("long")
+                    .alias("m")
+                )
+                .collect()
+            )
+            new: dict[int, dict[int, int]] = {}
+            for r in rows:
+                new.setdefault(r.cell, {})[r.dim] = r.m
+            cents = [
+                [new[i][d] for d in range(dims)] if i in new else cents[i]
+                for i in range(N_CELLS)
+            ]
+    finally:
+        qv.unpersist()
     return cents
 
 
