@@ -1058,3 +1058,97 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.count("hit"), F.count("*")).alias("recall"),
         )
     )
+
+
+TRUNC_DIM = 16  # Matryoshka truncation: keep the first 16 of 64 dims
+
+
+def _matryoshka_oracle() -> str:
+    """Full-dim ground truth (the registered `sim_topk_search` oracle,
+    embedded verbatim) vs a brute-force top-k over the FIRST {TRUNC_DIM}
+    dims only — same rounded-cosine + vec_id ranking discipline."""
+    from ..registry import ORACLES
+    from ..operators.parity import sql_ratio
+
+    trunc_cos = f"""
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   + 0.0 AS cosine
+        FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(unnest(a.embedding[1:{TRUNC_DIM}]) AS DOUBLE) AS x,
+                   CAST(unnest(b.embedding[1:{TRUNC_DIM}]) AS DOUBLE) AS y
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+        )
+        GROUP BY va, vb
+    """
+    return f"""
+    WITH tcos AS ({trunc_cos}),
+    trunc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT va AS query_id, vb AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY va ORDER BY cosine DESC, vb
+                   ) AS rn
+            FROM tcos
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k_full,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_ratio("count(t.neighbor_id)", "count(*)")} AS recall
+    FROM ({ORACLES["sim_topk_search"]}) e
+    LEFT JOIN trunc t
+      ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("sim_matryoshka_eval", oracle=_matryoshka_oracle())
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation acceptance gate (round 5): per-query recall@k
+    of brute-force search over only the FIRST {TRUNC_DIM} embedding dims
+    against the full-dim ground truth — the metric that decides whether an
+    MRL-style truncated index (4× smaller vectors, 4× cheaper scans) is
+    safe to deploy, exactly as `sim_ann_recall_eval` decides for LSH.
+
+    Composition discipline: ground truth IS the registered
+    `sim_topk_search` (its oracle embedded verbatim); the truncated side
+    reuses the same broadcast × scan + rounded-cosine ranking shape on
+    `slice(embedding, 1, {TRUNC_DIM})`. At scale the truncated pass scans
+    1/4 of the vector bytes — the whole point being graded."""
+    exact = sim_topk_search(spark, sf_dir).select("query_id", "neighbor_id")
+    e = table(spark, sf_dir, "embeddings")
+    te = F.slice("embedding", 1, TRUNC_DIM)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        te.alias("qe"),
+        _norm(te).alias("qn"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        te.alias("ce"),
+        _norm(te).alias("cn"),
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    trunc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact.join(F.broadcast(trunc), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_full"),
+            F.count("hit").alias("n_hit"),
+            ratio(F.count("hit"), F.count("*")).alias("recall"),
+        )
+    )

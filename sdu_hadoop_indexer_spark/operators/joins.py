@@ -914,3 +914,70 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+ASOF_TOL_S = 3600  # tolerance: prior event must be within 1 hour
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    m AS (
+        SELECT p.event_id, e.event_id AS prior_event_id,
+               e.event_type AS prior_type,
+               epoch_us(p.ts) - epoch_us(e.ts) AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM p JOIN ev e
+          ON p.user_id = e.user_id AND e.ts < p.ts
+         AND epoch_us(e.ts) >= epoch_us(p.ts) - {ASOF_TOL_S * 1_000_000}
+    )
+    SELECT event_id, prior_event_id, prior_type,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM m WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=...)`,
+    QuestDB/kdb `asof ... within`): the latest strictly-earlier same-user
+    event, but only if it happened within {ASOF_TOL_S} s — purchases with
+    no recent-enough context get NO row (the difference from `join_asof`,
+    where arbitrarily stale context still matches). Completes the as-of
+    family: backward / forward / nearest / backward-with-tolerance.
+
+    Same LOCF-window scale shape as `join_asof` — ONE user-partitioned
+    window, no join-then-rank — with the tolerance expressed as the
+    frame's LOWER bound: `RANGE BETWEEN {ASOF_TOL_S}·10⁶ PRECEDING AND 1
+    PRECEDING` over unix_micros, so out-of-tolerance rows never even
+    enter the max() state. The gap rides out as exact integer µs."""
+    ev = table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%019d-%s",
+        F.unix_micros("ts"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-ASOF_TOL_S * 1_000_000, -1)
+    )
+    withprior = ev.select(
+        "event_id", "event_type", F.unix_micros("ts").alias("tsu"),
+        F.max(key).over(w).alias("pk"),
+    )
+    return (
+        withprior.where(
+            (F.col("event_type") == "purchase") & F.col("pk").isNotNull()
+        )
+        .select(
+            "event_id",
+            F.substring("pk", 22, 19).cast("bigint").alias("prior_event_id"),
+            F.expr("substring(pk, 42)").alias("prior_type"),
+            (
+                F.col("tsu") - F.substring("pk", 1, 20).cast("bigint")
+            ).alias("gap_us"),
+        )
+    )

@@ -620,3 +620,54 @@ def test_keyset_page_is_contiguous_and_disjoint_from_cursor(spark, sf_dir):
         or (r.o_totalprice == _KS_PRICE and r.o_orderkey > _KS_KEY)
     ][:_KS_PAGE]
     assert [r.o_orderkey for r in rows] == expected
+
+
+def test_asof_tolerance_is_filtered_asof(spark, sf_dir):
+    """Tolerance-asof must equal plain asof RESTRICTED to matches whose gap
+    fits the window (for purchases whose nearest prior event is within
+    tolerance), emit no row for the rest, and every gap must be in
+    (0, tolerance] microseconds."""
+    from sdu_hadoop_indexer_spark.operators.joins import (
+        ASOF_TOL_S,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    tol = {r.event_id: r for r in join_asof_tolerance(spark, sf_dir).collect()}
+    assert tol
+    for r in tol.values():
+        assert 0 < r.gap_us <= ASOF_TOL_S * 1_000_000
+    plain = {r.event_id: r for r in join_asof(spark, sf_dir).collect()}
+    # where both emit, they agree on the chosen prior event
+    for eid, r in tol.items():
+        assert plain[eid].prior_event_id == r.prior_event_id
+        assert plain[eid].prior_type == r.prior_type
+    # a purchase missing from tolerance output: its plain-asof prior (if
+    # any) must be OUT of tolerance — recompute gap via the events table
+    from sdu_hadoop_indexer_spark.catalog import table as t
+
+    ev = {
+        r.event_id: r.tsu
+        for r in t(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("tsu"))
+        .collect()
+    }
+    for eid, r in plain.items():
+        if eid not in tol:
+            assert ev[eid] - ev[r.prior_event_id] > ASOF_TOL_S * 1_000_000
+
+
+def test_matryoshka_eval_bounds_and_selfconsistency(spark, sf_dir):
+    """recall in [0,1], n_hit <= k_full = TOP_K, and recall equals the
+    n_hit/k_full ratio to output resolution."""
+    from sdu_hadoop_indexer_spark.llm.similarity import (
+        TOP_K,
+        sim_matryoshka_eval,
+    )
+
+    rows = sim_matryoshka_eval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.k_full == TOP_K
+        assert 0 <= r.n_hit <= r.k_full
+        assert abs(r.recall - round(r.n_hit / r.k_full, 4)) < 5e-4
