@@ -128,8 +128,20 @@ def pagerank_keywords(
     cannot flip the cut."""
     edges = _bigram_edges(spark, sf_dir)
     outw = edges.groupBy("a").agg(F.sum("w").alias("tw"))
-    en = edges.join(outw, "a").select("a", "b", (F.col("w") / F.col("tw")).alias("p"))
-    nodes = edges.select(F.col("a").alias("v")).distinct()
+    # loop-invariant relations: every one of the PR_ITERS rounds re-reads
+    # the normalized edge set, and without the (lazy) localCheckpoint each
+    # round's lineage re-runs the tokenize → bigram-count build — 10× the
+    # corpus work for one fixed graph. Non-eager: materializes once inside
+    # the final action and is reused by all rounds (the same staged-input
+    # rule as dedup_minhash_cluster / llm_bpe_train / sim_topk_ivf).
+    en = (
+        edges.join(outw, "a")
+        .select("a", "b", (F.col("w") / F.col("tw")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("a").alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
     ranks = nodes.select("v", F.lit(1.0).alias("r"))
     stager = RoundStager(reliable, eager=False)  # ≤1 staged copy on disk
     for _ in range(PR_ITERS):
