@@ -269,22 +269,33 @@ def _ivf_qvec(col: str | Column) -> Column:
     )
 
 
-def _ivf_dist2(qv_col: Column, m: list[int]) -> Column:
-    """Squared L2 distance to an integer centroid — PURE int64 arithmetic
-    (|q−m| ≤ ~6e4 per dim → Σ over 64 dims ≤ ~2e11), so the sum is
-    order-independent and the argmin below cannot drift across engines."""
-    marr = F.array(*[F.lit(int(v)).cast("long") for v in m])
-    return F.aggregate(
-        F.zip_with(qv_col, marr, lambda q, c: (q - c) * (q - c)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+def _ivf_dist2_arr(qv_col: Column, cents: list[list[int]]) -> Column:
+    """array<long> of squared L2 distances to every integer centroid —
+    PURE int64 arithmetic (|q−m| ≤ ~6e4 per dim → Σ over 64 dims ≤
+    ~2e11), so each sum is order-independent and the argmin below cannot
+    drift across engines.
+
+    The centroid table ships as ONE nested-array literal + a transform
+    loop rather than N_CELLS separately-built fold expressions: the
+    unrolled form put ~N_CELLS×dims literal nodes in the tree and driver-
+    side analysis/codegen of it dominated the whole operator (15 s of an
+    18 s sf0.1 run — constant in data, but real at bench scale)."""
+    carr = F.lit([[int(v) for v in m] for m in cents])
+    return F.transform(
+        carr,
+        lambda m: F.aggregate(
+            F.zip_with(qv_col, m, lambda q, c: (q - c) * (q - c)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
     )
 
 
 def _ivf_assign(qv_col: Column, cents: list[list[int]]) -> Column:
     """Nearest-centroid cell id, ties → smallest cell index (identical to
-    the oracle's `ORDER BY dist2, cell` rank-1)."""
-    dists = F.array(*[_ivf_dist2(qv_col, m) for m in cents])
+    the oracle's `ORDER BY dist2, cell` rank-1; array_position returns the
+    FIRST occurrence of the min)."""
+    dists = _ivf_dist2_arr(qv_col, cents)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -300,24 +311,56 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     Assignment is distributed; each round collects only the k×dim integer
     centroid table (tiny, bounded)."""
     e = table(spark, sf_dir, "embeddings")
-    # persist the quantized-vector relation for the training loop: every
-    # Lloyd round re-reads it (assignment + moment agg), and without the
-    # persist each round re-runs the parquet scan + quantization lineage —
-    # the staged-input rule every iterative operator here follows
-    # (dedup_minhash_cluster, llm_bpe_train). Values are identical either
-    # way; released before returning.
+    # persist the exploded (vec_id, dim, q) relation for the training loop:
+    # every Lloyd round re-reads it (assignment + moment agg), and without
+    # the persist each round re-runs the parquet scan + quantization
+    # lineage — the staged-input rule every iterative operator here
+    # follows (dedup_minhash_cluster, llm_bpe_train). Values are identical
+    # either way; released before returning.
+    #
+    # The per-round ASSIGNMENT is the relational join form — centroids as
+    # a broadcast (cell, dim, m) relation, d2 = hash-agg of per-dim
+    # squares, argmin via min_by over the (d2, cell) struct (== the
+    # oracle's ORDER BY dist2, cell rank-1) — NOT the `_ivf_assign`
+    # lambda-fold expression: per-round Janino codegen of that 8×64
+    # nested-lambda tree cost ~8 s of an ~9 s round at sf0.1 on 2 000
+    # vectors (the work is milliseconds; the generated-class compile
+    # isn't). Integer addition is order-independent, so the hash-agg d2
+    # equals the fold d2 bit-for-bit and the oracle is untouched.
     qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv")).persist()
+    qe = qv.select("vec_id", F.posexplode("qv").alias("dim", "q")).persist()
     try:
         init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
         cents = [list(r.qv) for r in init]
         dims = len(cents[0])
         for _ in range(KMEANS_ITERS):
-            assigned = qv.select(
-                _ivf_assign(F.col("qv"), cents).alias("cell"),
-                F.posexplode("qv").alias("dim", "q"),
+            crows = [
+                (c, d, int(m))
+                for c, ms in enumerate(cents)
+                for d, m in enumerate(ms)
+            ]
+            cdf = spark.createDataFrame(crows, "cell int, dim int, m long")
+            d2 = (
+                qe.join(F.broadcast(cdf), "dim")
+                .groupBy("vec_id", "cell")
+                .agg(
+                    F.sum(
+                        (F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))
+                    ).alias("d2")
+                )
+            )
+            assign = (
+                d2.groupBy("vec_id")
+                .agg(
+                    F.min_by(
+                        F.struct("cell"), F.struct("d2", "cell")
+                    ).alias("s")
+                )
+                .select("vec_id", F.col("s.cell").alias("cell"))
             )
             rows = (
-                assigned.groupBy("cell", "dim")
+                assign.join(qe, "vec_id")
+                .groupBy("cell", "dim")
                 .agg(
                     F.round(F.sum("q").cast("double") / F.count("*"), 0)
                     .cast("long")
@@ -333,6 +376,7 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
                 for i in range(N_CELLS)
             ]
     finally:
+        qe.unpersist()
         qv.unpersist()
     return cents
 
@@ -458,7 +502,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_assign(qv, cents).alias("cell"),
     )
     # probe list: N_PROBE nearest cells per query (integer dist2, cell ties)
-    q_dists = F.array(*[_ivf_dist2(qv, m) for m in cents])
+    q_dists = _ivf_dist2_arr(qv, cents)
     probes = (
         e.where(F.col("vec_id") < N_QUERIES)
         .select(
