@@ -621,3 +621,43 @@ def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark, sf_dir):
     df = sort_keyset_pagination(spark, sf_dir)
     assert "TakeOrderedAndProject" in _plan(df)
     assert "o_totalprice" in _formatted(df).split("PushedFilters", 1)[1].split("\n")[0]
+
+
+def test_round5_ops_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the round-5 additions: the window-form ops plan
+    NO join at all, the pair miners never degenerate to a cartesian, and
+    the two-phase sampler uses exactly two ranking windows."""
+    from sdu_hadoop_indexer_spark.llm.curation import bigram_ppl
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        dedup_containment,
+        text_paragraph_dedup,
+    )
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_matryoshka_eval
+    from sdu_hadoop_indexer_spark.operators.aggregates import (
+        agg_reservoir_hash_sample,
+    )
+    from sdu_hadoop_indexer_spark.operators.joins import join_asof_tolerance
+
+    plan = _plan(join_asof_tolerance(spark, sf_dir))
+    assert "Join" not in plan  # LOCF window form, not join-then-rank
+    assert plan.count("Window [") == 1
+
+    plan = _plan(text_paragraph_dedup(spark, sf_dir))
+    assert "Join" not in plan  # chunk → rank window → rollup only
+    assert plan.count("Window [") == 1
+
+    plan = _plan(agg_reservoir_hash_sample(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window [") == 2  # two-phase: sharded then global
+
+    plan = _plan(dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # prefix-term join + array verify
+
+    plan = _plan(bigram_ppl(spark, sf_dir))
+    assert "CartesianProduct" not in plan  # the 1-row vocab crossJoin is BNLJ
+    assert "BroadcastHashJoin" in plan  # C2/C1 broadcast onto the stream
+
+    plan = _plan(sim_matryoshka_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
