@@ -1532,3 +1532,89 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# Wilson 95% score interval over exact integer (conversions, trials).
+# Shared expression TEXT evaluated in doubles on BOTH engines from the same
+# exact bigint inputs (the _SM_FORMULAS discipline): /,*,+,sqrt are all
+# correctly-rounded IEEE ops, so bit-equal inputs give bit-equal doubles;
+# only the final round() is applied, and its argument is sqrt-transcendental
+# (the legal ROUNDED class — never a terminating-decimal ratio).
+_WILSON_Z2 = "3.8416"  # 1.96² exactly (the literal parses identically)
+_WILSON = {
+    "lo": (
+        "((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        f" + {_WILSON_Z2} / (2.0 * CAST(n_users AS DOUBLE)))"
+        " - 1.96 * sqrt((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        " * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        f" + {_WILSON_Z2} / (4.0 * CAST(n_users AS DOUBLE))) / CAST(n_users AS DOUBLE)))"
+        f" / (1.0 + {_WILSON_Z2} / CAST(n_users AS DOUBLE))"
+    ),
+    "hi": (
+        "((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        f" + {_WILSON_Z2} / (2.0 * CAST(n_users AS DOUBLE)))"
+        " + 1.96 * sqrt((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        " * (1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        f" + {_WILSON_Z2} / (4.0 * CAST(n_users AS DOUBLE))) / CAST(n_users AS DOUBLE)))"
+        f" / (1.0 + {_WILSON_Z2} / CAST(n_users AS DOUBLE))"
+    ),
+}
+
+
+@register(
+    "agg_conversion_wilson",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    u AS (SELECT DISTINCT user_id, event_type FROM ev),
+    p AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+    s AS (
+        SELECT u.event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(p.user_id) AS BIGINT) AS n_conv
+        FROM u LEFT JOIN p USING (user_id)
+        GROUP BY u.event_type
+    )
+    SELECT event_type, n_users, n_conv,
+           {sql_ratio("n_conv", "n_users")} AS rate,
+           round({_WILSON["lo"]}, 4) + 0.0 AS wilson_lo,
+           round({_WILSON["hi"]}, 4) + 0.0 AS wilson_hi
+    FROM s
+    """,
+)
+def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type purchase-conversion rate WITH a Wilson 95% score
+    interval — the uncertainty-aware funnel metric (a 3/7 segment and a
+    300/700 segment have the same rate but very different evidence; every
+    experimentation/metrics stack ships Wilson or Jeffreys bounds for
+    exactly this). Point rate via the boundary-proof integer quotient;
+    interval endpoints via the shared-text double formula over exact
+    integer (n, k) — sqrt is correctly-rounded IEEE, so both engines agree
+    bit-for-bit before the final (transcendental-class) round.
+
+    Scale shape: one distinct-reduce of events to (user, type) pairs, the
+    purchase-user set as a broadcast semi-ish LEFT join, one hash agg —
+    types-sized output, no window, no fact-fact shuffle."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    s = (
+        u.join(F.broadcast(p), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("is_conv").alias("n_conv"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_users",
+        "n_conv",
+        ratio(F.col("n_conv"), F.col("n_users")).alias("rate"),
+        (F.round(F.expr(_WILSON["lo"]), 4) + F.lit(0.0)).alias("wilson_lo"),
+        (F.round(F.expr(_WILSON["hi"]), 4) + F.lit(0.0)).alias("wilson_hi"),
+    )

@@ -73,3 +73,30 @@ def test_ohlc_low_high_bracket_open_close(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_conversion_wilson_interval_properties(spark, sf_dir):
+    """Wilson bounds must bracket the point rate, stay inside [0, 1],
+    narrow with sample size (checked against a scipy-free reference
+    implementation), and the purchase row must convert at 100%."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        agg_conversion_wilson,
+    )
+
+    rows = {r.event_type: r for r in agg_conversion_wilson(spark, sf_dir).collect()}
+    assert rows
+    import math
+
+    for t, r in rows.items():
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0, t
+        # reference Wilson (z = 1.96)
+        n, k = r.n_users, r.n_conv
+        ph = k / n
+        z2 = 3.8416
+        center = ph + z2 / (2 * n)
+        rad = 1.96 * math.sqrt((ph * (1 - ph) + z2 / (4 * n)) / n)
+        den = 1 + z2 / n
+        assert abs(r.wilson_lo - round((center - rad) / den, 4)) < 5e-4
+        assert abs(r.wilson_hi - round((center + rad) / den, 4)) < 5e-4
+    pr = rows["purchase"]
+    assert pr.n_conv == pr.n_users and pr.rate == 1.0
