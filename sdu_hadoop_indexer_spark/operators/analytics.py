@@ -1618,3 +1618,100 @@ def agg_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.expr(_WILSON["lo"]), 4) + F.lit(0.0)).alias("wilson_lo"),
         (F.round(F.expr(_WILSON["hi"]), 4) + F.lit(0.0)).alias("wilson_hi"),
     )
+
+
+BOT_MIN_EVENTS = 5  # users below this have too little evidence to profile
+BOT_GAP_US = 60_000_000  # median inter-event gap under 60 s → automation-like
+
+
+@register(
+    "events_bot_flags",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    t AS (
+        SELECT user_id, {sql_epoch_s('ts')} * 1000000
+               + (epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) AS tsu,
+               event_id
+        FROM ev
+    ),
+    g AS (
+        SELECT user_id,
+               tsu - lag(tsu) OVER (
+                   PARTITION BY user_id ORDER BY tsu, event_id
+               ) AS gap
+        FROM t
+    ),
+    gg AS (
+        SELECT user_id, gap,
+               row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_gaps
+        FROM g WHERE gap IS NOT NULL
+    ),
+    med AS (
+        SELECT user_id, CAST(gap AS BIGINT) AS med_gap_us
+        FROM gg WHERE rn = (n_gaps + 1) // 2
+    ),
+    s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               max(tsu) - min(tsu) AS span_us
+        FROM t GROUP BY user_id HAVING count(*) >= {BOT_MIN_EVENTS}
+    )
+    SELECT s.user_id, s.n_events, med.med_gap_us,
+           {sql_ratio("s.n_events * 60000000", "s.span_us")} AS events_per_min,
+           med.med_gap_us < {BOT_GAP_US} AS is_bot
+    FROM s JOIN med ON s.user_id = med.user_id
+    """,
+)
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot detection by inter-event timing — the traffic-hygiene
+    filter a training-data pipeline runs over behavioral logs before
+    trusting engagement signals (scrapers and replay bots have machine-
+    regular, sub-minute median gaps; humans do not). Per user with ≥
+    {BOT_MIN_EVENTS} events: the LOWER MEDIAN inter-event gap (the
+    ⌈n/2⌉-th smallest — an ORDER STATISTIC of exact integer microseconds,
+    not an interpolated quantile, so both engines select the identical
+    value with no float anywhere), overall event rate via the boundary-
+    proof integer quotient, and the is_bot flag.
+
+    Scale shape: ONE shuffle on user_id feeds the lag window, the ranking
+    window and the per-user rollup (same partitioning — Catalyst reuses
+    the exchange); millions of tiny user partitions parallelize. The
+    rank-based median avoids `percentile()`'s engine-specific
+    interpolation entirely."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    wl = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    g = t.select(
+        "user_id", (F.col("tsu") - F.lag("tsu").over(wl)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy("gap")
+    wc = Window.partitionBy("user_id")
+    med = (
+        g.select(
+            "user_id",
+            "gap",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wc).alias("n_gaps"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n_gaps") + 1) / 2))
+        .select("user_id", F.col("gap").alias("med_gap_us"))
+    )
+    s = (
+        t.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tsu") - F.min("tsu")).alias("span_us"),
+        )
+        .where(F.col("n_events") >= BOT_MIN_EVENTS)
+    )
+    return s.join(med, "user_id").select(
+        "user_id",
+        "n_events",
+        "med_gap_us",
+        ratio(F.col("n_events") * 60_000_000, F.col("span_us")).alias(
+            "events_per_min"
+        ),
+        (F.col("med_gap_us") < BOT_GAP_US).alias("is_bot"),
+    )

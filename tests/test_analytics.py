@@ -100,3 +100,40 @@ def test_conversion_wilson_interval_properties(spark, sf_dir):
         assert abs(r.wilson_hi - round((center + rad) / den, 4)) < 5e-4
     pr = rows["purchase"]
     assert pr.n_conv == pr.n_users and pr.rate == 1.0
+
+
+def test_bot_flags_median_is_order_statistic(spark, sf_dir):
+    """med_gap_us must equal the python lower-median of the user's exact
+    integer gaps; events_per_min must be consistent with (n, span); flags
+    follow the threshold exactly."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        BOT_GAP_US,
+        BOT_MIN_EVENTS,
+        events_bot_flags,
+    )
+
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    rows = {r.user_id: r for r in events_bot_flags(spark, sf_dir).collect()}
+    assert rows
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("tsu"), "event_id")
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.tsu, r.event_id))
+    for uid, r in list(rows.items())[:200]:
+        ts = sorted(by_user[uid])
+        assert r.n_events == len(ts) >= BOT_MIN_EVENTS
+        gaps = sorted(
+            ts[i + 1][0] - ts[i][0] for i in range(len(ts) - 1)
+        )
+        assert r.med_gap_us == gaps[(len(gaps) + 1) // 2 - 1]
+        assert r.is_bot == (r.med_gap_us < BOT_GAP_US)
+        span = ts[-1][0] - ts[0][0]
+        assert abs(r.events_per_min - round(len(ts) * 60_000_000 / span, 4)) < 5e-4
+    # users below the evidence floor are absent
+    small = [u for u, es in by_user.items() if len(es) < BOT_MIN_EVENTS]
+    assert all(u not in rows for u in small)
