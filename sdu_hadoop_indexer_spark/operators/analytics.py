@@ -1715,3 +1715,200 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("med_gap_us") < BOT_GAP_US).alias("is_bot"),
     )
+
+
+@register(
+    "events_user_entropy",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    c AS (
+        SELECT user_id, event_type, count(*) AS k
+        FROM ev GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, sum(k) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(max(n.n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(sum(-(k * 1.0 / n.n) * ln(k * 1.0 / n.n)), 4) + 0.0
+               AS entropy_nats
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (nats) of the user's
+    event-type distribution — the engagement-diversity / anomaly feature
+    (entropy ≈ 0 = single-action bots and scrapers, high entropy = broad
+    organic use; pairs with `events_bot_flags` as the second axis of the
+    traffic-hygiene screen).
+
+    p-terms are exact bigint ratios evaluated identically on both engines;
+    the ln/sum/round tail is the accepted transcendental ROUNDED class
+    (the `llm_unigram_logprob` precedent — ≤ |event types| terms per user,
+    boundary probability negligible). Scale shape: two hash aggs on the
+    same user_id clustering plus a vocabulary-free re-join of the tiny
+    per-user totals — no window, no fact-fact join."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count("*").alias("n_types"),
+            (F.round(F.sum(-p * F.log(p)), 4) + F.lit(0.0)).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+_PARETO_BUCKET = 100_000  # $1000 bands over o_totalprice cents
+_PARETO_NUM, _PARETO_DEN = 4, 5  # revenue coverage target 4/5 = 80%
+
+
+@register(
+    "agg_pareto_cut",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS pr, o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) // {_PARETO_BUCKET}
+                   AS bkt
+        FROM orders
+    ), b AS (
+        SELECT pr, bkt, sum(x) AS wsum, count(*) AS cnt
+        FROM c GROUP BY pr, bkt
+    ), cb AS (
+        SELECT pr, bkt, wsum, cnt,
+               sum(wsum) OVER (PARTITION BY pr ORDER BY bkt DESC) AS cum,
+               sum(cnt) OVER (PARTITION BY pr ORDER BY bkt DESC) AS cumrows,
+               sum(wsum) OVER (PARTITION BY pr) AS total,
+               sum(cnt) OVER (PARTITION BY pr) AS n_orders
+        FROM b
+    ), tb AS (
+        SELECT pr, max(bkt) AS tbkt FROM cb
+        WHERE {_PARETO_DEN} * cum >= {_PARETO_NUM} * total GROUP BY pr
+    ), pp AS (
+        SELECT cb.pr, cb.bkt,
+               CAST(cb.cum - cb.wsum AS BIGINT) AS prior_rev,
+               CAST(cb.cumrows - cb.cnt AS BIGINT) AS prior_rows,
+               CAST(cb.total AS BIGINT) AS total,
+               CAST(cb.n_orders AS BIGINT) AS n_orders
+        FROM cb JOIN tb ON cb.pr = tb.pr AND cb.bkt = tb.tbkt
+    ), f AS (
+        SELECT c.pr, pp.prior_rev, pp.prior_rows, pp.total, pp.n_orders,
+               sum(c.x) OVER (
+                   PARTITION BY c.pr ORDER BY c.x DESC, c.okey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum2,
+               row_number() OVER (
+                   PARTITION BY c.pr ORDER BY c.x DESC, c.okey
+               ) AS rn
+        FROM c JOIN pp
+          ON c.pr = pp.pr AND c.bkt = pp.bkt
+    ), k AS (
+        SELECT pr, min(rn) AS k_in_band FROM f
+        WHERE {_PARETO_DEN} * (prior_rev + cum2) >= {_PARETO_NUM} * total
+        GROUP BY pr
+    )
+    SELECT f.pr AS o_orderpriority,
+           max(f.n_orders) AS n_orders,
+           CAST(max(f.prior_rows) + max(k.k_in_band) AS BIGINT) AS n_top,
+           {sql_ratio("max(f.prior_rows) + max(k.k_in_band)", "max(f.n_orders)")}
+               AS top_frac,
+           {sql_ratio("max(f.prior_rev) + max(CASE WHEN f.rn = k.k_in_band THEN f.cum2 END)", "max(f.total)")}
+               AS rev_share
+    FROM f JOIN k ON f.pr = k.pr
+    GROUP BY f.pr
+    """,
+)
+def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue concentration: per order priority, the MINIMAL
+    number of orders (by price desc, orderkey tiebreak) whose cumulative
+    revenue reaches {_PARETO_NUM}/{_PARETO_DEN} = 80% of the group total —
+    the "how few customers carry the business" cut behind ABC inventory
+    classes and whale analysis, with the achieved revenue share.
+
+    Same scale-first decomposition as `agg_weighted_median`/`agg_gini`:
+    a naive formulation windows the ENTIRE fact table per group; here
+    (1) rows hash-aggregate into $1000 price bands, (2) a window over
+    the TINY band relation (desc order) locates the band where the 80%
+    line crosses — the coverage test is INTEGER ({_PARETO_DEN}·cum ≥
+    {_PARETO_NUM}·total; ≲8e16 at 10⁹ orders, provably inside int64 —
+    no 0.8 float anywhere), (3) only that band's rows re-enter a
+    ROWS-framed cumulative window with the (price desc, orderkey) total
+    order, so the refine is deterministic and 1/|bands| of the group.
+    All-integer until the two output ratios (boundary-proof quotient)."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") / _PARETO_BUCKET)
+        .cast("long")
+        .alias("bkt"),
+    )
+    b = c.groupBy("pr", "bkt").agg(
+        F.sum("x").alias("wsum"), F.count("*").alias("cnt")
+    )
+    wb = Window.partitionBy("pr").orderBy(F.desc("bkt"))
+    wt = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cb = (
+        b.withColumn("cum", F.sum("wsum").over(wb))
+        .withColumn("cumrows", F.sum("cnt").over(wb))
+        .withColumn("total", F.sum("wsum").over(wt))
+        .withColumn("n_orders", F.sum("cnt").over(wt))
+    )
+    pp = (
+        cb.where(_PARETO_DEN * F.col("cum") >= _PARETO_NUM * F.col("total"))
+        .groupBy(F.col("pr").alias("pr2"))
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("bkt").alias("tbkt"),
+                    (F.col("cum") - F.col("wsum")).alias("prior_rev"),
+                    (F.col("cumrows") - F.col("cnt")).alias("prior_rows"),
+                    "total",
+                    "n_orders",
+                ),
+                F.col("bkt"),
+            ).alias("s")
+        )
+        .select("pr2", "s.*")
+    )
+    wf = Window.partitionBy("pr").orderBy(F.desc("x"), F.asc("okey"))
+    wfc = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f = (
+        c.join(
+            F.broadcast(pp),
+            (c.pr == F.col("pr2")) & (c.bkt == F.col("tbkt")),
+        )
+        .withColumn("cum2", F.sum("x").over(wfc))
+        .withColumn("rn", F.row_number().over(wf))
+    )
+    hit = f.where(
+        _PARETO_DEN * (F.col("prior_rev") + F.col("cum2"))
+        >= _PARETO_NUM * F.col("total")
+    )
+    return (
+        hit.groupBy("pr")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            (F.max("prior_rows") + F.min("rn")).alias("n_top"),
+            F.max("prior_rev").alias("prior_rev"),
+            F.max("total").alias("total"),
+            F.min_by(F.col("cum2"), F.col("rn")).alias("cut_cum2"),
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n_orders",
+            F.col("n_top").cast("long").alias("n_top"),
+            ratio(F.col("n_top"), F.col("n_orders")).alias("top_frac"),
+            ratio(
+                F.col("prior_rev") + F.col("cut_cum2"), F.col("total")
+            ).alias("rev_share"),
+        )
+    )

@@ -137,3 +137,72 @@ def test_bot_flags_median_is_order_statistic(spark, sf_dir):
     # users below the evidence floor are absent
     small = [u for u, es in by_user.items() if len(es) < BOT_MIN_EVENTS]
     assert all(u not in rows for u in small)
+
+
+def test_user_entropy_reference_and_bounds(spark, sf_dir):
+    """entropy in [0, ln(n_types)]; equals the direct python computation;
+    single-type users have exactly 0."""
+    import math
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import events_user_entropy
+
+    rows = {r.user_id: r for r in events_user_entropy(spark, sf_dir).collect()}
+    assert rows
+    counts = {}
+    for r in (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    ):
+        counts.setdefault(r.user_id, []).append(r["count"])
+    for uid, r in list(rows.items())[:300]:
+        ks = counts[uid]
+        n = sum(ks)
+        ref = sum(-(k / n) * math.log(k / n) for k in ks)
+        assert abs(r.entropy_nats - round(ref, 4)) < 5e-4
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_types) + 1e-9
+        if r.n_types == 1:
+            assert r.entropy_nats == 0.0
+
+
+def test_pareto_cut_is_minimal_cover(spark, sf_dir):
+    """n_top must be the MINIMAL desc-sorted prefix reaching 80% of group
+    revenue (one fewer order falls short), and rev_share the prefix's
+    exact share."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_pareto_cut
+
+    got = {
+        r.o_orderpriority: r for r in agg_pareto_cut(spark, sf_dir).collect()
+    }
+    assert got
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        )
+        .collect()
+    )
+    groups = {}
+    for r in orders:
+        groups.setdefault(r.o_orderpriority, []).append((r.x, r.o_orderkey))
+    for pr, rows in groups.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(x for x, _ in rows)
+        cum = k = 0
+        for x, _ in rows:
+            cum += x
+            k += 1
+            if 5 * cum >= 4 * total:
+                break
+        r = got[pr]
+        assert r.n_orders == len(rows)
+        assert r.n_top == k, pr
+        assert abs(r.rev_share - round(cum / total, 4)) < 5e-4
+        # minimality: one fewer falls short
+        if k > 1:
+            assert 5 * (cum - rows[k - 1][0]) < 4 * total
