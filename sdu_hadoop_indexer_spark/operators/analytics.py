@@ -1912,3 +1912,162 @@ def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+FUNNEL_CLICK_WIN_US = 3_600_000_000  # view → click within 1 h
+FUNNEL_BUY_WIN_US = 86_400_000_000  # click → purchase within 24 h
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    t AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM ev),
+    u1 AS (
+        SELECT user_id,
+               min(tsu) FILTER (WHERE event_type = 'view') AS s1
+        FROM t GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT t.user_id, any_value(u1.s1) AS s1,
+               min(t.tsu) FILTER (
+                   WHERE t.event_type = 'click' AND t.tsu > u1.s1
+                     AND t.tsu <= u1.s1 + {FUNNEL_CLICK_WIN_US}) AS s2
+        FROM t JOIN u1 USING (user_id) GROUP BY t.user_id
+    ),
+    u3 AS (
+        SELECT t.user_id, any_value(u2.s1) AS s1, any_value(u2.s2) AS s2,
+               min(t.tsu) FILTER (
+                   WHERE t.event_type = 'purchase' AND t.tsu > u2.s2
+                     AND t.tsu <= u2.s2 + {FUNNEL_BUY_WIN_US}) AS s3
+        FROM t JOIN u2 USING (user_id) GROUP BY t.user_id
+    )
+    SELECT count(*) AS n_users,
+           count(s1) AS n_view,
+           count(s2) AS n_click_1h,
+           count(s3) AS n_purchase_24h,
+           {sql_ratio("count(s3)", "count(*)")} AS conversion,
+           {sql_ratio("count(s3)", "count(s1)")} AS view_to_buy
+    FROM u3
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOXED ordered funnel view →(≤1 h) click →(≤24 h) purchase —
+    the funnel product analytics actually ships: an unbounded funnel
+    (`events_funnel`) credits a click that happens a month after the view;
+    bounding each step's delay measures the *causal* journey. Same
+    three-sequential-windowed-mins shape over ONE user_id exchange; each
+    stage's window adds the upper delay bound, timestamps as exact integer
+    microseconds; conversions via the boundary-proof quotient (NULL-safe
+    on an empty view stage)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, tsu = F.col("event_type"), F.unix_micros("ts")
+    base = ev.select("user_id", t.alias("event_type"), tsu.alias("tsu"))
+    tt, tu = F.col("event_type"), F.col("tsu")
+    s1 = base.withColumn("s1", F.min(F.when(tt == "view", tu)).over(w))
+    s2 = s1.withColumn(
+        "s2",
+        F.min(
+            F.when(
+                (tt == "click")
+                & (tu > F.col("s1"))
+                & (tu <= F.col("s1") + FUNNEL_CLICK_WIN_US),
+                tu,
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "s3",
+        F.min(
+            F.when(
+                (tt == "purchase")
+                & (tu > F.col("s2"))
+                & (tu <= F.col("s2") + FUNNEL_BUY_WIN_US),
+                tu,
+            )
+        ).over(w),
+    )
+    per_user = s3.select("user_id", "s1", "s2", "s3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("s1").alias("n_view"),
+        F.count("s2").alias("n_click_1h"),
+        F.count("s3").alias("n_purchase_24h"),
+        ratio(F.count("s3"), F.count("*")).alias("conversion"),
+        ratio(F.count("s3"), F.count("s1")).alias("view_to_buy"),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM ev),
+    first AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+    csize AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+    buy AS (
+        SELECT e.user_id, date_trunc('week', e.ts) AS wk,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM ev e WHERE e.event_type = 'purchase'
+    ),
+    wkrev AS (
+        SELECT first.cohort,
+               CAST(date_diff('day', first.cohort, buy.wk) / 7 AS BIGINT)
+                   AS week_no,
+               CAST(sum(buy.cents) AS BIGINT) AS wk_rev_c
+        FROM buy JOIN first USING (user_id)
+        GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT cohort, week_no, wk_rev_c,
+               CAST(sum(wk_rev_c) OVER (
+                   PARTITION BY cohort ORDER BY week_no
+               ) AS BIGINT) AS cum_rev_c
+        FROM wkrev
+    )
+    SELECT strftime(tri.cohort, '%Y-%m-%d') AS cohort_week,
+           tri.week_no, tri.wk_rev_c, tri.cum_rev_c,
+           CAST(csize.cohort_size AS BIGINT) AS cohort_size,
+           {sql_ratio("tri.cum_rev_c", "100 * csize.cohort_size")} AS ltv
+    FROM tri JOIN csize USING (cohort)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: per first-active-week cohort and week number,
+    that week's purchase revenue, the CUMULATIVE revenue, and cumulative
+    LTV per cohort user — the revenue twin of `events_retention_cohort`
+    (retention says who came back; LTV says what coming back was worth,
+    the number acquisition spend is actually judged against).
+
+    Revenue accumulates as exact integer cents; the running sum windows
+    the TINY (cohort × week) relation, never the fact table; cohort sizes
+    join from the same user-keyed shuffle the cohort derivation used. LTV
+    via the boundary-proof quotient (cents / (100 · users) → dollars)."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    csize = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    buy = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("wk"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wkrev = (
+        buy.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_no"),
+        )
+        .agg(F.sum("cents").alias("wk_rev_c"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("week_no")
+    tri = wkrev.withColumn("cum_rev_c", F.sum("wk_rev_c").over(wc))
+    return tri.join(F.broadcast(csize), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_no",
+        "wk_rev_c",
+        F.col("cum_rev_c").cast("long").alias("cum_rev_c"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        ratio(F.col("cum_rev_c"), 100 * F.col("cohort_size")).alias("ltv"),
+    )

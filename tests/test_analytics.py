@@ -206,3 +206,54 @@ def test_pareto_cut_is_minimal_cover(spark, sf_dir):
         # minimality: one fewer falls short
         if k > 1:
             assert 5 * (cum - rows[k - 1][0]) < 4 * total
+
+
+def test_windowed_funnel_is_a_subset_of_unbounded(spark, sf_dir):
+    """Every stage count of the time-boxed funnel must be <= the unbounded
+    funnel's (bounding delays can only lose journeys), n_view must be
+    EQUAL (stage 1 has no bound), and the monotone funnel property holds."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_funnel,
+        events_funnel_windowed,
+    )
+
+    wf = events_funnel_windowed(spark, sf_dir).first()
+    uf = events_funnel(spark, sf_dir).first()
+    assert wf.n_users == uf.n_users
+    assert wf.n_view == uf.n_view
+    assert wf.n_click_1h <= uf.n_click_after_view
+    assert wf.n_purchase_24h <= uf.n_purchase_after_click
+    assert wf.n_view >= wf.n_click_1h >= wf.n_purchase_24h >= 0
+
+
+def test_cohort_ltv_triangle_consistency(spark, sf_dir):
+    """cum_rev_c must be the running sum of wk_rev_c within each cohort,
+    total revenue must equal the purchase-event cent sum, and LTV must be
+    monotone nondecreasing per cohort."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import events_cohort_ltv
+
+    rows = events_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    grand = 0
+    for ch, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_no)
+        cum = 0
+        prev_ltv = -1.0
+        for r in rs:
+            cum += r.wk_rev_c
+            assert r.cum_rev_c == cum, (ch, r.week_no)
+            assert r.ltv >= prev_ltv
+            prev_ltv = r.ltv
+        grand += cum
+    total_cents = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+        .first()
+        .c
+    )
+    assert grand == total_cents
