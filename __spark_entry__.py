@@ -37,9 +37,13 @@ def _coverage_order(names) -> list[str]:
     re-drew the same window — by round 4 only 85/231 distinct names had
     ever been driver-verified, and the first fresh draw (r4) immediately
     caught a real cross-engine parity class the local mirror masked.
-    Enumerate never-sampled names first (deterministic name sort inside
-    each class); once a round's CORRECTNESS_r*.json lands, its names count
-    as sampled and rotate to the back automatically, so successive rounds
+    Priority classes (VERDICT r5 item 1): a name whose LATEST driver sample
+    was red goes first — a fixed regression must re-verify in the very next
+    window, not wait ~2 rounds for the sweep to come back around (the r1/r4
+    stale-FAIL rows for fn_array / fn_map_json / agg_weighted_median sat
+    red in the cumulative record for multiple rounds after being fixed).
+    Never-sampled names come next (deterministic name sort inside each
+    class); sampled-green names rotate to the back, so successive rounds
     sweep the registry. Coverage engineering only: every name passes the
     stricter local mirror (tools/check_oracle.py) before it ever gets here.
     """
@@ -47,14 +51,36 @@ def _coverage_order(names) -> list[str]:
     import json
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    sampled: set[str] = set()
+    # latest[name] = True if the most recent driver sample of `name` was green.
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                sampled.update(json.load(f))
+                round_results = json.load(f)
         except (OSError, ValueError):
             continue  # an unreadable gate file must never break the contract
-    return sorted(names, key=lambda n: (n in sampled, n))
+        for name, res in round_results.items():
+            if not isinstance(res, dict):
+                latest[name] = True  # name-list-only file: counts as sampled
+                continue
+            err = res.get("err")
+            green = bool(
+                res.get("rows_match")
+                and res.get("schema_match") is not False
+                and res.get("hash_match") is not False
+            ) or err == "no_oracle"  # declared rows-only ops record err=no_oracle
+            latest[name] = green
+
+    def key(n: str):
+        if n in latest and not latest[n]:
+            cls = 0  # last sample red: re-verify first
+        elif n not in latest:
+            cls = 1  # never driver-sampled: fresh coverage next
+        else:
+            cls = 2  # sampled green: rotate to the back
+        return (cls, n)
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -104,14 +104,18 @@ def bench_minhash_family(spark, sf_dir: str, reps: int) -> dict[str, list[float]
     from sdu_hadoop_indexer_spark.llm.dedup import minhash_signatures
 
     out: dict[str, list[float]] = {}
-    for label, env in (("minhash_sig_portable", ""), ("minhash_sig_xxhash", "1")):
-        os.environ["SPARK_GRAFT_XXHASH"] = env
-        try:
+    prior = os.environ.get("SPARK_GRAFT_XXHASH")  # restore, don't clobber
+    try:
+        for label, env in (("minhash_sig_portable", ""), ("minhash_sig_xxhash", "1")):
+            os.environ["SPARK_GRAFT_XXHASH"] = env
             out[label] = [
                 run_once(minhash_signatures, spark, sf_dir) for _ in range(reps)
             ]
-        finally:
+    finally:
+        if prior is None:
             os.environ.pop("SPARK_GRAFT_XXHASH", None)
+        else:
+            os.environ["SPARK_GRAFT_XXHASH"] = prior
     return out
 
 
@@ -207,7 +211,27 @@ def main() -> int:
             "the host was contended and suite numbers are inflated",
         },
     }
-    print(json.dumps(out))
+    # Full record (with raw samples) to a file: the driver captures only a
+    # 2000-char output tail, which truncated BENCH_r05's headline value
+    # (VERDICT r5 item 7) — a round's headline number must never have to be
+    # reconstructed from samples.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    # stdout gets a COMPACT line (no per-rep samples) guaranteed to fit
+    # whole inside the driver's tail window, so `value` always parses.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "extended_total": out["extended_total"],
+        "canary_median_ms": out["canary"]["median_ms"],
+        "detail": "bench_out.json",
+    }
+    print(json.dumps(compact))
     return 0
 
 

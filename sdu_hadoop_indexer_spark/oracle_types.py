@@ -51,17 +51,78 @@ _SPARK_TO_DUCK: dict[str, tuple[str, ...]] = {
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
 
 
-def duck_types_ok(spark_type: str, duck_type: str) -> bool:
-    """True when the DuckDB declared type is physically equivalent to the
-    Spark output type (same pandas dtype after each engine's bridge)."""
-    st, dt = spark_type.lower(), duck_type.upper()
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (handles nested <>, (), [])."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def duck_types_compat(spark_type: str, duck_type: str) -> bool | None:
+    """Tri-state type-parity check. True = physically equivalent bridges,
+    False = known divergence (hard finding), None = unknown combination
+    (warn, don't fail — e.g. an exotic type neither table covers).
+
+    Complex types recurse: Spark ``array<T>`` ↔ DuckDB ``T'[]``,
+    ``map<K,V>`` ↔ ``MAP(K, V)``, ``struct<a:T,...>`` ↔ ``STRUCT(a T', ...)``
+    (field names matched case-insensitively, order-sensitively — both
+    engines' pandas bridges emit dicts keyed by field name but the driver's
+    hasher serializes in declaration order).
+    """
+    st, dt = spark_type.strip().lower(), duck_type.strip()
+    dtu = dt.upper()
+    if st.startswith("array<") and st.endswith(">"):
+        return duck_types_compat(st[6:-1], dt[:-2]) if dtu.endswith("[]") else False
+    if st.startswith("map<") and st.endswith(">"):
+        if not (dtu.startswith("MAP(") and dtu.endswith(")")):
+            return False
+        skv, dkv = _split_top(st[4:-1]), _split_top(dt[4:-1])
+        if len(skv) != 2 or len(dkv) != 2:
+            return None
+        rs = [duck_types_compat(a, b) for a, b in zip(skv, dkv)]
+        return None if None in rs else all(rs)
+    if st.startswith("struct<") and st.endswith(">"):
+        if not (dtu.startswith("STRUCT(") and dtu.endswith(")")):
+            return False
+        sfields, dfields = _split_top(st[7:-1]), _split_top(dt[7:-1])
+        if len(sfields) != len(dfields):
+            return False
+        for sf, df in zip(sfields, dfields):
+            sname, _, styp = sf.partition(":")
+            dname, _, dtyp = df.partition(" ")
+            if dname.strip('"').lower() != sname.strip().lower():
+                return False
+            r = duck_types_compat(styp, dtyp)
+            if r is not True:
+                return r
+        return True
     m = _DECIMAL_RE.match(st)
     if m:
         # exact precision/scale match only — Spark decimal(p,s) and DuckDB
         # DECIMAL(p,s) both bridge via decimal/object consistently.
-        return dt == f"DECIMAL({m.group(1)},{m.group(2)})"
+        return dtu == f"DECIMAL({m.group(1)},{m.group(2)})"
     allowed = _SPARK_TO_DUCK.get(st)
-    return allowed is not None and dt in allowed
+    if allowed is None:
+        return None  # Spark type not in the physical-equivalence table
+    return dtu in allowed
+
+
+def duck_types_ok(spark_type: str, duck_type: str) -> bool:
+    """True when the DuckDB declared type is physically equivalent to the
+    Spark output type (same pandas dtype after each engine's bridge)."""
+    return duck_types_compat(spark_type, duck_type) is True
 
 
 def type_parity_findings(
@@ -82,7 +143,20 @@ def type_parity_findings(
         st = spark_fields.get(col)
         if st is None:
             continue
-        if not duck_types_ok(st, str(dt)):
+        compat = duck_types_compat(st, str(dt))
+        if compat is None:
+            # unknown combination: warn (stderr), never a hard finding —
+            # a complex/exotic type outside the equivalence table must not
+            # block registration when the bridges may well agree (ADVICE r5)
+            import sys
+
+            print(
+                f"WARN {name}: column `{col}` type pair Spark `{st}` / "
+                f"DuckDB `{dt}` not in the parity table — verify by hash",
+                file=sys.stderr,
+            )
+            continue
+        if compat is False:
             finds.append(
                 f"{name}: column `{col}` — Spark `{st}` vs DuckDB `{dt}`; "
                 f"the pandas bridges diverge (e.g. HUGEINT->float64) and "
