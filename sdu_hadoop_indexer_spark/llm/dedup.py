@@ -75,6 +75,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
+    s = str(v).strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 10 << 20  # Spark's default threshold
+
+
+def _source_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a source parquet table (file or directory). At
+    cluster scale this is the catalog's table-size statistic; locally we
+    read the filesystem directly."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+# Uncompressed token-array expansion over parquet-compressed text: measured
+# ~4-6x on the fixtures; 8x keeps the gate conservative (an over-estimate
+# can only fall back to the shuffle join, never OOM a broadcast).
+_ARRS_EXPANSION = 8
+
+
+def _arrs_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
+    """Size-gate for broadcasting the doc→token-array relation (VERDICT r5
+    item 3): the relation is bounded by the documents table's text volume,
+    so estimate it from the source parquet bytes × expansion factor and
+    compare against the session's own autoBroadcastJoinThreshold. Above
+    the threshold (or threshold ≤ 0, Spark's broadcast-disabled setting)
+    the caller omits the hint and the join degrades to a co-partitioned
+    shuffle — a slowdown, never an executor OOM."""
+    cap = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    if cap <= 0:
+        return False
+    return _source_bytes(sf_dir, "documents") * _ARRS_EXPANSION <= cap
+
+
 @register(
     "dedup_near_jaccard",
     oracle=f"""
@@ -119,7 +174,30 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|A|+|B|) JVM work on a candidate set near-linear in the true
     near-dup count. At 100 TB this is the published exact-join scale
     path; the LSH family remains the approximate one.
+
+    The verified pair relation is memoize-persisted per (app, sf_dir)
+    (VERDICT r5 item 2): it is the τ=0.9 similarity EDGE SET that
+    `graph_triangle_count` and `dedup_lsh_quality_eval` both consume, and
+    re-materializing the candidate-verify pipeline (11 M candidates at
+    sf0.1) from scratch in each composer was 52 s of the 70.7 s extended
+    bench. Pairs-sized output (near-linear in true near-dups), so the
+    pinned copy is tiny next to the work it saves; at cluster scale this
+    is the staged edge table a dedup pipeline would write between stages.
     """
+    from ..caching import memoized_persist
+
+    return memoized_persist(
+        _NEAR_JACCARD_CACHE,
+        spark,
+        sf_dir,
+        lambda: _near_jaccard_build(spark, sf_dir),
+    )
+
+
+_NEAR_JACCARD_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # τ as an exact rational (9/10): the prefix bound must be integer-exact
     # on every |A|, so ⌈9·a/10⌉ is computed as (9a+9) div 10 — no floats.
     tau_n, tau_d = 9, 10
@@ -171,18 +249,21 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("tb"),
         F.col("sz").alias("sb"),
     )
-    # BROADCAST the doc→token-array relation onto the candidate pairs:
-    # it is docs-sized (one short array per doc — the dimension side here),
-    # and Spark's size estimator over collect_list output is conservative
-    # enough to pick shuffle joins instead, which re-executes the whole
+    # BROADCAST the doc→token-array relation onto the candidate pairs when
+    # it fits (size-gated — see _arrs_fits_broadcast): it is docs-sized
+    # (one short array per doc — the dimension side here), and Spark's
+    # size estimator over collect_list output is conservative enough to
+    # pick shuffle joins instead, which re-executes the whole
     # tokenize→group lineage per join side (measured 98.7 s vs 9 s at
-    # sf0.1). At a corpus where the array relation outgrows broadcast,
-    # drop the hint: both sides are already keyed on doc_id and the join
-    # degrades to one co-partitioned shuffle — same plan the oracle's
-    # semantics assume, just slower.
+    # sf0.1). Above the gate the hint is OMITTED — an unconditional hint
+    # would turn a corpus-scale relation into an executor OOM instead of
+    # a slowdown — and both sides being keyed on doc_id, the join
+    # degrades to a co-partitioned shuffle.
+    if _arrs_fits_broadcast(spark, sf_dir):
+        ra, rb = F.broadcast(ra), F.broadcast(rb)
     verified = (
-        cand.join(F.broadcast(ra), "doc_a")
-        .join(F.broadcast(rb), "doc_b")
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
     )
     jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
@@ -715,6 +796,60 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_oriented_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(e, es) for the triangle counter: `e` is the degree-capped (≤64)
+    τ=0.9 near-dup edge set as canonical (u, v) pairs; `es` is the same
+    edge set oriented low→high in the (degree, id) total order, carrying
+    the destination's degree so the wedge join can order out-neighbors
+    without another join. Both derive from the memoize-persisted
+    `dedup_near_jaccard` relation, so neither re-runs the candidate-verify
+    pipeline."""
+    e0 = dedup_near_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        e0.select(F.col("u").alias("d"))
+        .unionAll(e0.select(F.col("v").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").alias("dg"))
+    )
+    keep = deg.where(F.col("dg") <= 64)
+    e = (
+        e0.join(keep.select(F.col("d").alias("u")), "u")
+        .join(keep.select(F.col("d").alias("v")), "v")
+        .select("u", "v")
+    )
+    return e, orient_edges_by_degree(e, deg)
+
+
+def orient_edges_by_degree(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Orient canonical (u, v) edges from the endpoint smaller in the
+    (degree, id) total order to the larger; output (src, dst, dst_dg).
+    ``deg`` is the (d, dg) node-degree relation — recomputed from ``e``
+    when not supplied (the triangle counter passes the one it already
+    built for the degree cap)."""
+    if deg is None:
+        deg = (
+            e.select(F.col("u").alias("d"))
+            .unionAll(e.select(F.col("v").alias("d")))
+            .groupBy("d")
+            .agg(F.count("*").alias("dg"))
+        )
+    du = deg.select(F.col("d").alias("u"), F.col("dg").alias("u_dg"))
+    dv = deg.select(F.col("d").alias("v"), F.col("dg").alias("v_dg"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = F.struct(
+        F.col("u_dg").alias("dg"), F.col("u").alias("id")
+    ) < F.struct(F.col("v_dg").alias("dg"), F.col("v").alias("id"))
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("v_dg")).otherwise(F.col("u_dg")).alias("dst_dg"),
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle=f"""
@@ -758,38 +893,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     own join algebra (the near-dup clusters are near-cliques, so the
     fixture graph is triangle-rich).
 
-    Edges are canonically oriented (u < v), so each triangle a<b<c is
-    found exactly once via two equi-joins: wedge (a,b)+(b,c), closed by
-    edge (a,c). Hub nodes with degree > 64 are DROPPED first (both
-    engines): near-universal duplicates form giant cliques whose triangle
-    count is cubic in clique size — uninformative output that no counter
-    can enumerate at scale; degree-capping is the standard mitigation
-    (count triangles among discriminative edges only), and it bounds the
-    wedge join at m×64 rows at ANY corpus size. The further 100 TB
-    refinement is degree-ORDERING (orient low→high degree), same join
-    shape.
+    Edges are DEGREE-ORDERED (oriented from the endpoint with the smaller
+    (degree, id) to the larger — the standard arboricity-bounded triangle
+    enumeration of Chiba–Nishizeki / Schank–Wagner): every triangle has
+    exactly one "pivot" node smallest in that total order, so it is found
+    exactly once as a wedge of two out-edges of the pivot closed by the
+    oriented edge between the other two. Out-degree under this orientation
+    is bounded by O(sqrt(m)) REGARDLESS of hub degree, so the wedge join
+    fans out far less than the naive u<v orientation on skewed graphs
+    (tests pin the wedge-count shrink on the fixture; the triangle COUNT
+    is orientation-invariant, so the oracle is unchanged). Hub nodes with
+    degree > 64 are additionally DROPPED first (both engines):
+    near-universal duplicates form giant cliques whose triangle count is
+    cubic in clique size — uninformative output that no counter can
+    enumerate at scale; degree-capping counts triangles among
+    discriminative edges only and bounds the wedge join at m×64 rows at
+    ANY corpus size.
     """
-    e0 = dedup_near_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    e, es = _capped_oriented_edges(spark, sf_dir)
+    e = e.persist()
+    # wedge at pivot a: two out-edges (a→b, a→c) with b before c in the
+    # (deg, id) order, closed by the oriented edge b→c. Struct comparison
+    # gives the lexicographic (deg, id) order JVM-side.
+    w1 = es.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                   F.col("dst_dg").alias("b_dg"))
+    w2 = es.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                   F.col("dst_dg").alias("c_dg"))
+    closing = es.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.struct("b_dg", "b") < F.struct("c_dg", "c"))
+        .join(closing, ["b", "c"])
     )
-    deg = (
-        e0.select(F.col("u").alias("d"))
-        .unionAll(e0.select(F.col("v").alias("d")))
-        .groupBy("d")
-        .agg(F.count("*").alias("dg"))
-        .where(F.col("dg") <= 64)
-        .select("d")
-    )
-    e = (
-        e0.join(deg.select(F.col("d").alias("u")), "u")
-        .join(deg.select(F.col("d").alias("v")), "v")
-        .select("u", "v")
-        .persist()
-    )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
     nodes = e.select(F.col("u").alias("d")).union(
         e.select(F.col("v").alias("d"))
     )
@@ -1099,9 +1234,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sz").alias("sa"),
     )
     rb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    # same size-gated hint as dedup_near_jaccard: docs-sized array relation,
+    # broadcast only while it fits the session threshold estimate
+    if _arrs_fits_broadcast(spark, sf_dir):
+        ra, rb = F.broadcast(ra), F.broadcast(rb)
     verified = (
-        cand.join(F.broadcast(ra), "doc_a")
-        .join(F.broadcast(rb), "doc_b")
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
     )
     cont = F.col("inter") / F.col("sa")

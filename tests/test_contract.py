@@ -53,11 +53,13 @@ def test_entry_runs(spark):
     assert [f.name for f in df.schema.fields] == ["term", "postings", "df"]
 
 
-def test_coverage_order_puts_never_sampled_first():
-    """queries()/oracle_sql() must enumerate names the driver gate has
-    never verified BEFORE already-sampled ones (the gate samples a ~50-name
-    window in enumeration order), keep the two dicts' relative order
-    consistent, and lose/duplicate nothing relative to the registry."""
+def test_coverage_order_red_then_fresh_then_green():
+    """queries()/oracle_sql() must enumerate (1) names whose LATEST driver
+    sample was red, then (2) names the gate has never verified, then (3)
+    sampled-green names (the gate samples a ~50-name window in enumeration
+    order, so this makes fixed regressions re-verify next round — VERDICT
+    r5 item 1), keep the two dicts' relative order consistent, and
+    lose/duplicate nothing relative to the registry."""
     import glob
     import json
 
@@ -67,13 +69,24 @@ def test_coverage_order_puts_never_sampled_first():
     q, o = e.queries(), e.oracle_sql()
     assert set(q) == set(all_queries())
     assert set(o) == set(all_oracles())
-    sampled = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         with open(path) as fh:
-            sampled.update(json.load(fh))
-    names = list(q)
-    flags = [n in sampled for n in names]
-    # monotone: once we hit a sampled name, everything after is sampled
-    assert flags == sorted(flags), "never-sampled names must come first"
+            latest.update(json.load(fh))
+
+    def cls(n: str) -> int:
+        if n not in latest:
+            return 1
+        res = latest[n]
+        green = bool(
+            res.get("rows_match")
+            and res.get("schema_match") is not False
+            and res.get("hash_match") is not False
+        ) or res.get("err") == "no_oracle"
+        return 2 if green else 0
+
+    classes = [cls(n) for n in q]
+    # monotone: red-retests, then never-sampled, then sampled-green
+    assert classes == sorted(classes), "class order must be red, fresh, green"
     # oracle enumeration follows the same order (restricted to oracle names)
-    assert [n for n in names if n in o] == list(o)
+    assert [n for n in q if n in o] == list(o)

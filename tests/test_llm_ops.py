@@ -460,3 +460,86 @@ def test_bigram_ppl_bounds_and_smoothing(spark, sf_dir):
         assert df.count() == toks.where("n >= 2").count()
     finally:
         df.unpersist()
+
+
+def test_triangle_orientation_shrinks_wedges(spark, sf_dir):
+    """Degree-ordered orientation (VERDICT r5 item 6) must examine fewer
+    wedge-join rows than the naive u<v orientation on the fixture graph,
+    while the triangle count stays orientation-invariant (the oracle pins
+    that side)."""
+    e, es = dedup._capped_oriented_edges(spark, sf_dir)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    naive = e1.join(e2, "b").count()
+    w1 = es.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_dg").alias("b_dg")
+    )
+    w2 = es.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_dg").alias("c_dg")
+    )
+    ordered = w1.join(w2, "a").where(F.struct("b_dg", "b") < F.struct("c_dg", "c")).count()
+    assert ordered < naive  # 15 vs 30 at sf0.001
+
+
+def test_orient_by_degree_bounds_hub_fanout(spark):
+    """Synthetic mid-id hub: star center 50 connected to leaves 0..99 (plus
+    one leaf-leaf edge to keep degrees distinct). Naive u<v orientation
+    gives the hub ~50 in- and ~50 out-edges → ~2500 fruitless wedge rows;
+    degree orientation points every spoke AT the hub → zero hub wedges."""
+    edges = [(min(i, 50), max(i, 50)) for i in range(100) if i != 50]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    es = dedup.orient_edges_by_degree(df)
+    # every spoke must orient leaf -> hub (hub has max degree)
+    assert es.where(F.col("dst") != 50).count() == 0
+    # hub out-degree 0 => no wedge has the hub as pivot
+    w1 = es.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_dg").alias("b_dg")
+    )
+    w2 = es.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_dg").alias("c_dg")
+    )
+    ordered = w1.join(w2, "a").where(F.struct("b_dg", "b") < F.struct("c_dg", "c")).count()
+    assert ordered == 0
+    e1 = df.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = df.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    assert e1.join(e2, "b").count() == 50 * 49  # the naive quadratic blowup
+
+
+def test_near_jaccard_broadcast_gate_both_plan_shapes(spark, sf_dir):
+    """VERDICT r5 item 3: the doc→token-array broadcast hint must be
+    size-gated. Below the session broadcast threshold the verify join is a
+    BroadcastHashJoin; above it (threshold forced tiny) the hint is
+    omitted and the join degrades to a shuffle join — same rows either
+    way, never a forced corpus-sized broadcast."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    # drop any memoized copy: plan canonicalization ignores hints, so the
+    # CacheManager would substitute the pinned (hinted) relation into BOTH
+    # fresh builds and the plan text would show its stored hinted plan.
+    for k, df in list(dedup._NEAR_JACCARD_CACHE.items()):
+        df.unpersist()
+        del dedup._NEAR_JACCARD_CACHE[k]
+    assert dedup._arrs_fits_broadcast(spark, sf_dir)
+    plan_b = dedup._near_jaccard_build(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_b._jdf.queryExecution().executedPlan().toString()
+    rows_b = plan_b.count()
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        assert not dedup._arrs_fits_broadcast(spark, sf_dir)
+        plan_s = dedup._near_jaccard_build(spark, sf_dir)
+        txt = plan_s._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in txt
+        assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt
+        assert plan_s.count() == rows_b  # identical result under both shapes
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_near_jaccard_memoized_per_sf(spark, sf_dir):
+    """The verified τ=0.9 edge relation is pinned once per (app, sf_dir) so
+    its composers (triangle count, LSH quality eval) reuse it instead of
+    re-running the candidate-verify pipeline (VERDICT r5 item 2)."""
+    a = dedup.dedup_near_jaccard(spark, sf_dir)
+    b = dedup.dedup_near_jaccard(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
