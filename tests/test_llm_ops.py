@@ -543,3 +543,53 @@ def test_near_jaccard_memoized_per_sf(spark, sf_dir):
     b = dedup.dedup_near_jaccard(spark, sf_dir)
     assert a is b
     assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+
+def test_ann_pairs_recall_gate_and_exact_scores(spark, sf_dir):
+    """The ANN pair miner (VERDICT r5 item 4) must recover a pinned floor of
+    the exact top-20 pairs on the adversarial near-random fixture (measured
+    0.35 at sf0.001, 0.50 at sf0.01/0.1 — θ≈60° targets, the worst regime
+    for angular LSH), and every pair it DOES return must carry the exact
+    brute-force cosine (LSH changes which pairs are scanned, never scores)."""
+    row = similarity.sim_pairs_recall_eval(spark, sf_dir).collect()[0]
+    assert row.k_exact == 20
+    assert row.recall >= 0.3, f"ANN pair recall {row.recall} < 0.3"
+    exact = {
+        (r.va, r.vb): r.cosine
+        for r in similarity.sim_nearest_pairs(spark, sf_dir).collect()
+    }
+    for r in similarity.sim_nearest_pairs_ann(spark, sf_dir).collect():
+        if (r.va, r.vb) in exact:
+            assert abs(exact[(r.va, r.vb)] - r.cosine) < 1e-9
+
+
+def test_ann_pairs_candidate_reduction(spark, sf_dir):
+    """The banded buckets must actually prune: candidate pairs (any shared
+    band bucket) stay under 25% of all N·(N-1)/2 pairs even on the
+    near-random fixture (measured ≈16%; real near-dup corpora prune far
+    harder — the docstring derives ≈1.5% at duplicate cosine 0.8)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array(
+            *[
+                similarity._lsh_bucket(
+                    "embedding",
+                    b * similarity.PAIR_BAND_PLANES,
+                    similarity.PAIR_BAND_PLANES,
+                )
+                for b in range(similarity.PAIR_BANDS)
+            ]
+        ).alias("bhs"),
+    )
+    bands = e.select("vec_id", F.posexplode("bhs").alias("band_idx", "bucket"))
+    a = bands.select(F.col("vec_id").alias("va"), "band_idx", "bucket")
+    b = bands.select(F.col("vec_id").alias("vb"), "band_idx", "bucket")
+    n = e.count()
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.25 * n * (n - 1) / 2, f"{cand} candidates of {n} vectors"
