@@ -316,3 +316,44 @@ def test_time_travel_at_and_past_vacuum_retention_boundary(spark, tmp_path):
         acid.read_table(spark, tbl, version=1).count()
     assert acid.latest_version(tbl) == 3
     assert len(acid.snapshot_files(tbl, 1)) > 0  # log still folds v1
+
+
+def test_vacuum_races_pinned_reader_fails_loud_never_partial(spark, tmp_path):
+    """A reader PINNED to an old snapshot (DataFrame built, file list
+    resolved) racing a VACUUM that collects its files must fail with the
+    declared missing-file error on any post-vacuum action — NEVER return a
+    partial result silently (the worst failure mode: a count over whatever
+    files happen to survive looks like a smaller table, not an error).
+    A reader pinned to a RETAINED version is unaffected — retained
+    snapshots reference only kept files (VERDICT r5 item 9)."""
+    n = 600
+    tbl, _ = _mk(spark, tmp_path, n=n, files=3)
+    for i in range(2):  # versions 1..2, full-range rewrites
+        upd = spark.range(n).select(F.col("id").alias("k"), F.lit(i).alias("v"))
+        acid.merge_upsert(spark, tbl, upd, "k")
+
+    pinned_old = acid.read_table(spark, tbl, version=0)  # will be collected
+    pinned_kept = acid.read_table(spark, tbl, version=2)  # retained head
+    assert pinned_old.count() == n  # pre-vacuum: both snapshots read fine
+    assert pinned_kept.count() == n
+
+    res = acid.vacuum(tbl, retain_versions=1, min_age_seconds=0)
+    assert res["deleted"] > 0
+
+    # the pinned old reader: loud failure, not a partial count
+    try:
+        got = pinned_old.count()
+        raise AssertionError(
+            f"vacuumed-snapshot read returned a PARTIAL result ({got} rows) "
+            "instead of raising"
+        )
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the declared contract: read-time error after retention
+    # fresh time-travel to the vacuumed version fails the same way
+    with pytest.raises(Exception):
+        acid.read_table(spark, tbl, version=0).count()
+    # the reader on the retained snapshot is untouched by the race
+    assert pinned_kept.count() == n
+    assert pinned_kept.where("v != 1").count() == 0

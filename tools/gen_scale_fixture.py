@@ -41,9 +41,25 @@ def harvest_vocab(fixture: str) -> list[str]:
     return [r[0] for r in rows if r[0]]
 
 
-def generate(n_docs: int, out: str, fixture: str, seed: int = 42) -> str:
+def synth_vocab(n_terms: int) -> list[str]:
+    """Open synthetic vocabulary (``w00000``…): the harvested fixture vocab
+    is only ~31 terms, so random 40-60-token docs over it are ALL
+    near-identical — true near-dup structure Θ(n²) by construction, which
+    measures output growth, not the algorithm (the round-5 LSH slope row's
+    diagnosis). The exact-join family's slope claim is about the PREFIX
+    FILTER, so it needs a corpus where true near-dups are the injected
+    clones/mutations only — i.e. a vocabulary wide enough that random docs
+    share few tokens."""
+    return [f"w{i:05d}" for i in range(n_terms)]
+
+
+def generate(
+    n_docs: int, out: str, fixture: str, seed: int = 42, vocab_terms: int = 0
+) -> str:
     rng = np.random.default_rng(seed)
-    vocab = np.array(harvest_vocab(fixture))
+    vocab = np.array(
+        synth_vocab(vocab_terms) if vocab_terms else harvest_vocab(fixture)
+    )
     # Zipf-ish token popularity like the fixture's (a few hot terms)
     weights = 1.0 / np.arange(1, len(vocab) + 1)
     weights /= weights.sum()
@@ -94,8 +110,14 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--fixture", default="/root/testdata/sf0.1")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--synth-vocab", type=int, default=0,
+        help="use an open synthetic vocabulary of N terms instead of "
+        "harvesting the fixture's (~31-term) one — required for exact-join "
+        "slope studies where true near-dups must stay sparse",
+    )
     args = ap.parse_args()
-    path = generate(args.docs, args.out, args.fixture, args.seed)
+    path = generate(args.docs, args.out, args.fixture, args.seed, args.synth_vocab)
     print(path)
     return 0
 

@@ -1,0 +1,100 @@
+"""Scale-slope study for the exact-join dedup family (round 6).
+
+Measures wall-clock of `dedup_near_jaccard`, `dedup_containment`,
+`text_paragraph_dedup`, and `graph_triangle_count` on matched synthetic
+corpora at two sizes (default 5 000 vs 50 000 docs, an OPEN 20 000-term
+vocabulary via ``gen_scale_fixture --synth-vocab``) so the prefix-filter
+"linear at scale" claim is empirical, not theory + one SF step.
+
+Protocol (matches the round-5 study in BASELINE.md):
+- corpora come from the SAME generator at both sizes — never generated
+  vs driver fixture;
+- two reps per operator; the SECOND (JVM-warm) rep is reported;
+- `dedup_near_jaccard`'s memoized persist is EVICTED before each of its
+  own reps (so rep 2 measures the build, not a cache read), but left warm
+  for `graph_triangle_count` — production semantics, and it isolates the
+  triangle join's own slope from the edge relation it consumes.
+
+Usage::
+
+    python tools/slope_study.py [--small 5000] [--large 50000]
+                                [--vocab 20000] [--out /tmp/slope]
+
+Prints one JSON line per (docs, operator) and a final summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _evict_near_jaccard_memo() -> None:
+    from sdu_hadoop_indexer_spark.llm import dedup
+
+    for k, df in list(dedup._NEAR_JACCARD_CACHE.items()):
+        df.unpersist(blocking=True)
+        del dedup._NEAR_JACCARD_CACHE[k]
+
+
+def run(small: int, large: int, vocab: int, out_root: str) -> dict:
+    from gen_scale_fixture import generate
+
+    from sdu_hadoop_indexer_spark.llm import dedup
+    from sdu_hadoop_indexer_spark.session import get_spark
+
+    spark = get_spark("slope_study")
+    ops = [
+        ("dedup_near_jaccard", dedup.dedup_near_jaccard, True),
+        ("dedup_containment", dedup.dedup_containment, False),
+        ("text_paragraph_dedup", dedup.text_paragraph_dedup, False),
+        # AFTER near_jaccard so the memoized edge relation is warm: the
+        # number isolates the degree-cap + wedge join itself.
+        ("graph_triangle_count", dedup.graph_triangle_count, False),
+    ]
+    results: dict[str, dict[int, dict]] = {name: {} for name, _, _ in ops}
+    for n_docs in (small, large):
+        d = os.path.join(out_root, f"docs{n_docs}")
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            generate(n_docs, d, "/root/testdata/sf0.1", vocab_terms=vocab)
+        for name, fn, evict in ops:
+            walls, rows = [], 0
+            for _rep in range(2):
+                if evict:
+                    _evict_near_jaccard_memo()
+                t0 = time.monotonic()
+                rows = fn(spark, d).count()
+                walls.append(time.monotonic() - t0)
+            rec = {"docs": n_docs, "op": name, "warm_s": round(walls[1], 2),
+                   "cold_s": round(walls[0], 2), "rows": rows}
+            results[name][n_docs] = rec
+            print(json.dumps(rec), flush=True)
+    print(f"\n| operator | {small} docs | {large} docs | slope | rows "
+          f"{small}->{large} |")
+    print("|---|---|---|---|---|")
+    for name, _, _ in ops:
+        s, l = results[name][small], results[name][large]
+        slope = l["warm_s"] / max(s["warm_s"], 1e-9)
+        print(f"| `{name}` | {s['warm_s']} s | {l['warm_s']} s | "
+              f"**{slope:.1f}x** | {s['rows']} -> {l['rows']} |")
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=5000)
+    ap.add_argument("--large", type=int, default=50000)
+    ap.add_argument("--vocab", type=int, default=20000)
+    ap.add_argument("--out", default="/tmp/slope_r6")
+    args = ap.parse_args()
+    run(args.small, args.large, args.vocab, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
