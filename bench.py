@@ -93,6 +93,13 @@ EXTENDED = [
     "events_type_overlap",
     "llm_global_sort_index",
     "stream_cdc_apply",
+    # round-6 additions (new entries never break comparability of the
+    # existing frozen rows): the exact-join family's heavyweight that is
+    # NOT memoized (near_jaccard is — its bench median would read the
+    # cache, not the build), and the new ANN pair miner + its gate.
+    "dedup_containment",
+    "sim_nearest_pairs_ann",
+    "sim_pairs_recall_eval",
 ]
 
 

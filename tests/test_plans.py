@@ -661,3 +661,19 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
 
     plan = _plan(sim_matryoshka_eval(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_ann_pairs_plan_no_cartesian_takes_ordered(spark, sf_dir):
+    """`sim_nearest_pairs_ann` (round 6): the candidate stage must be an
+    equi-join on (band_idx, bucket) — no CartesianProduct / BroadcastNested
+    LoopJoin anywhere (the exact miner's all-pairs shape is precisely what
+    this operator exists to avoid) — and the global top-20 must plan as
+    TakeOrderedAndProject, not a full sort."""
+    from sdu_hadoop_indexer_spark.llm import similarity
+
+    plan = _plan(similarity.sim_nearest_pairs_ann(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the bucket self-join keys on both band_idx and bucket
+    assert "band_idx" in plan and "bucket" in plan
