@@ -748,10 +748,12 @@ def _pair_band_sql() -> str:
     return f"pbands AS ({selects})"
 
 
-@register(
-    "sim_nearest_pairs_ann",
-    oracle=f"""
-    WITH {_pair_band_sql()},
+def _ann_cand_cos_sql() -> str:
+    """DuckDB CTE chain pbands→cand→cos: LSH candidate pairs with exact
+    rounded cosines — the shared front of `sim_nearest_pairs_ann` (top-20)
+    and `dedup_embedding_ann` (threshold). DISTINCT equals the Spark side's
+    first-matching-band dedup by construction."""
+    return f"""{_pair_band_sql()},
     cand AS (
         SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
         FROM pbands a JOIN pbands b
@@ -771,36 +773,17 @@ def _pair_band_sql() -> str:
             JOIN embeddings eb ON c.vb = eb.vec_id
         )
         GROUP BY va, vb
-    )
-    SELECT va, vb, cosine FROM cos ORDER BY cosine DESC, va, vb LIMIT 20
-    """,
-)
-def sim_nearest_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-blocked nearest-pair mining (round 6): the sublinear sibling of
-    the exact `sim_nearest_pairs`, closing the one remaining O(N²)
-    operator. Candidates come from banded sign-LSH buckets ({PAIR_BANDS}
-    bands × {PAIR_BAND_PLANES} hyperplanes), verified with one exact cosine
-    per candidate, then global top-20 — the candidate-generate → verify →
-    rank shape every production near-dup miner uses at corpus scale.
+    )"""
 
-    Pair dedup without a `distinct`: each vector carries its band-bucket
-    array through the bucket self-join and a pair survives only in the
-    FIRST band where the arrays agree (the `dedup_minhash_lsh` pattern,
-    `llm/dedup.py:418-432`) — the post-join stage is a pipelined filter,
-    zero extra shuffles. EXACT oracle: bucket ids are cross-engine xhash
-    parity planes, so DuckDB rebuilds identical candidate sets (its
-    DISTINCT equals first-matching-band by construction).
 
-    Honesty note on the fixture: these embeddings are near-random (top-20
-    pair cosines 0.44–0.51, i.e. θ≈60°, barely off the random-pair 90°),
-    the adversarial regime for angular LSH — measured recall ≈0.5 at a
-    6.3× candidate reduction, and `sim_pairs_recall_eval` REPORTS that
-    honestly (the gate is the point: it tells you when not to trust the
-    approximate path). On a real near-dup corpus (duplicate cosine ≥0.8 →
-    per-band p=(1-θ/π)^{PAIR_BAND_PLANES}≈0.25) the same parameters give
-    recall ≥0.94 while candidate fraction stays ≈1.5% per the same
-    formula.
-    """
+def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(va, vb, cosine): banded-LSH candidate pairs with one exact rounded
+    cosine each — the candidate-generate → verify stage shared by
+    `sim_nearest_pairs_ann` and `dedup_embedding_ann`. Pair dedup is the
+    first-matching-band filter (the `dedup_minhash_lsh` pattern,
+    `llm/dedup.py:418-432`): each vector carries its band-bucket array
+    through the bucket self-join, so the post-join stage is a pipelined
+    filter — zero extra shuffles, no distinct."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
@@ -831,12 +814,48 @@ def sim_nearest_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     cos = _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    scored = (
+    return (
         a.join(b, ["band_idx", "bucket"])
         .where(F.col("va") < F.col("vb"))
         .where(F.col("band_idx") == first_match)
         .select("va", "vb", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
     )
+
+
+@register(
+    "sim_nearest_pairs_ann",
+    oracle=f"""
+    WITH {_ann_cand_cos_sql()}
+    SELECT va, vb, cosine FROM cos ORDER BY cosine DESC, va, vb LIMIT 20
+    """,
+)
+def sim_nearest_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-blocked nearest-pair mining (round 6): the sublinear sibling of
+    the exact `sim_nearest_pairs`, closing the one remaining O(N²)
+    operator. Candidates come from banded sign-LSH buckets ({PAIR_BANDS}
+    bands × {PAIR_BAND_PLANES} hyperplanes), verified with one exact cosine
+    per candidate, then global top-20 — the candidate-generate → verify →
+    rank shape every production near-dup miner uses at corpus scale.
+
+    Pair dedup without a `distinct`: each vector carries its band-bucket
+    array through the bucket self-join and a pair survives only in the
+    FIRST band where the arrays agree (the `dedup_minhash_lsh` pattern,
+    `llm/dedup.py:418-432`) — the post-join stage is a pipelined filter,
+    zero extra shuffles. EXACT oracle: bucket ids are cross-engine xhash
+    parity planes, so DuckDB rebuilds identical candidate sets (its
+    DISTINCT equals first-matching-band by construction).
+
+    Honesty note on the fixture: these embeddings are near-random (top-20
+    pair cosines 0.44–0.51, i.e. θ≈60°, barely off the random-pair 90°),
+    the adversarial regime for angular LSH — measured recall ≈0.5 at a
+    6.3× candidate reduction, and `sim_pairs_recall_eval` REPORTS that
+    honestly (the gate is the point: it tells you when not to trust the
+    approximate path). On a real near-dup corpus (duplicate cosine ≥0.8 →
+    per-band p=(1-θ/π)^{PAIR_BAND_PLANES}≈0.25) the same parameters give
+    recall ≥0.94 while candidate fraction stays ≈1.5% per the same
+    formula.
+    """
+    scored = ann_scored_pairs(spark, sf_dir)
     return scored.orderBy(F.desc("cosine"), "va", "vb").limit(20)
 
 

@@ -593,3 +593,41 @@ def test_ann_pairs_candidate_reduction(spark, sf_dir):
         .count()
     )
     assert cand < 0.25 * n * (n - 1) / 2, f"{cand} candidates of {n} vectors"
+
+
+def test_embedding_ann_is_exact_scored_subset(spark, sf_dir):
+    """Every pair the ANN embedding dedup emits must ALSO be in the exact
+    blocked all-pairs set with the same cosine (LSH changes which pairs are
+    scanned, never scores or the τ test), and its recall gate must report
+    the pinned floor (measured 0.45 at sf0.001 on the near-random fixture)."""
+    exact = {
+        (r.va, r.vb): r.cosine
+        for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    ann = dedup.dedup_embedding_ann(spark, sf_dir).collect()
+    assert ann
+    for r in ann:
+        assert (r.va, r.vb) in exact
+        assert abs(exact[(r.va, r.vb)] - r.cosine) < 1e-9
+    row = dedup.dedup_embedding_ann_eval(spark, sf_dir).collect()[0]
+    assert row.n_exact == len(exact)
+    assert row.n_hit == len(ann)
+    assert row.recall >= 0.4
+
+
+def test_minhash_incremental_matches_lsh_cross_slice(spark, sf_dir):
+    """The incremental dedup's (new_doc, dup_of) set must equal exactly the
+    `dedup_minhash_lsh` candidate pairs with ONE endpoint in the new-batch
+    slice (doc_id % INC_MOD == 0) — same band buckets, restricted join."""
+    inc = {
+        (min(r.new_doc, r.dup_of), max(r.new_doc, r.dup_of))
+        for r in dedup.dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    for a, b in inc:
+        assert (a % dedup.INC_MOD == 0) != (b % dedup.INC_MOD == 0)
+    lsh_cross = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+        if (r.doc_a % dedup.INC_MOD == 0) != (r.doc_b % dedup.INC_MOD == 0)
+    }
+    assert inc == lsh_cross
