@@ -100,6 +100,7 @@ EXTENDED = [
     "dedup_containment",
     "sim_nearest_pairs_ann",
     "sim_pairs_recall_eval",
+    "dedup_minhash_incremental",
 ]
 
 

@@ -135,6 +135,40 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5_SQL)
 
 
+# TPC-H Q4 shape adapted to the fixture schema (no l_commitdate /
+# l_receiptdate columns): an order "shipped late" when SOME line item left
+# more than 60 days after the order date. Same decisive features as Q4:
+# EXISTS → semi join (each order counted ONCE however many lines are late),
+# date-window fact filter, tiny grouped count.
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_order_priority", oracle=_Q4_SQL)
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape as pure SQL text: late-shipment order counts per
+    priority via a correlated EXISTS — the canonical semi-join-to-agg
+    lifecycle the DataFrame surface covers with `join_semi`. Catalyst
+    plans the EXISTS as a LeftSemi hash join keyed on l_orderkey (each
+    order emitted once regardless of how many lines are late — a plain
+    inner join would over-count), pushes the one-year window into the
+    orders scan, and the final agg is priorities-sized. Identical SQL text
+    runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
 _RCTE_SQL = """
 WITH RECURSIVE edges AS (
     SELECT DISTINCT a, b FROM (

@@ -330,3 +330,88 @@ def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_ratio"
         ),
     )
+
+
+@register(
+    "text_heaps_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    dt AS (
+        SELECT CAST(floor(CAST(doc_id * 10 AS DOUBLE) / nn.n) AS INTEGER)
+                   AS dec_, count(*) AS toks
+        FROM tok, nn GROUP BY 1
+    ),
+    fs AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+    dv AS (
+        SELECT CAST(floor(CAST(fd * 10 AS DOUBLE) / nn.n) AS INTEGER)
+                   AS dec_, count(*) AS vocab
+        FROM fs, nn GROUP BY 1
+    ),
+    d AS (SELECT CAST(unnest(range(10)) AS INTEGER) AS dec_)
+    SELECT CAST(d.dec_ + 1 AS INTEGER) AS decile,
+           CAST(sum(coalesce(dt.toks, 0)) OVER (ORDER BY d.dec_) AS BIGINT)
+               AS cum_tokens,
+           CAST(sum(coalesce(dv.vocab, 0)) OVER (ORDER BY d.dec_) AS BIGINT)
+               AS cum_vocab
+    FROM d LEFT JOIN dt USING (dec_) LEFT JOIN dv USING (dec_)
+    """,
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (round 6): cumulative token count
+    vs cumulative DISTINCT-term count at each corpus decile (by doc_id) —
+    the standard corpus-health diagnostic (natural text grows vocabulary
+    ~n^0.5; a flattening curve flags closed-vocabulary/boilerplate data,
+    a super-linear one flags noise/PII-like uniqueness). All integer
+    counts — no libm, boundary-proof cross-engine.
+
+    Scale shape: two hash aggs over the token stream (per-decile token
+    counts; per-TERM first-occurrence doc then per-decile new-term
+    counts), then a 10-row cumulative window — the quadratic "recount
+    vocabulary per prefix" formulation never materializes. The corpus
+    size scalar joins in as a broadcast 1-row relation."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    nrel = d.agg((F.max("doc_id") + 1).alias("n"))
+
+    def dec_of(col: str):
+        return (
+            F.floor((F.col(col) * 10).cast("double") / F.col("n"))
+            .cast("int")
+            .alias("dec_")
+        )
+
+    dt = (
+        tok.join(F.broadcast(nrel))
+        .groupBy(dec_of("doc_id"))
+        .agg(F.count("*").alias("toks"))
+    )
+    fs = tok.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    dv = (
+        fs.join(F.broadcast(nrel))
+        .groupBy(dec_of("fd"))
+        .agg(F.count("*").alias("vocab"))
+    )
+    deciles = spark.range(10).select(F.col("id").cast("int").alias("dec_"))
+    w = Window.orderBy("dec_").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.join(dt, "dec_", "left")
+        .join(dv, "dec_", "left")
+        .select(
+            (F.col("dec_") + 1).cast("int").alias("decile"),
+            F.sum(F.coalesce("toks", F.lit(0))).over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("vocab", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+    )

@@ -677,3 +677,36 @@ def test_ann_pairs_plan_no_cartesian_takes_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the bucket self-join keys on both band_idx and bucket
     assert "band_idx" in plan and "bucket" in plan
+
+
+def test_order_priority_plans_semi_join(spark, sf_dir):
+    """`sql_order_priority` (round 6): the EXISTS must plan as a LeftSemi
+    join (each order counted once however many line items are late — an
+    inner join would over-count) and the one-year window must push into
+    the orders scan."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_order_priority
+
+    df = sql_order_priority(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    explained = _formatted(df)
+    assert "o_orderdate" in explained  # window reaches the scan filters
+
+
+def test_minhash_incremental_no_distinct_no_cartesian(spark, sf_dir):
+    """`dedup_minhash_incremental` (round 6): pair dedup must be the
+    first-matching-band FILTER, not a distinct — the plan may contain only
+    the signature-build aggregates (bands/sig_arr lineage), no
+    deduplicating aggregate over the joined pair stream, and no cartesian
+    shapes."""
+    from sdu_hadoop_indexer_spark.llm import dedup
+
+    plan = _plan(dedup.dedup_minhash_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join output flows to the project/filter directly: no aggregate
+    # keyed on (new_doc, dup_of) anywhere (that's what a distinct would be)
+    assert "functions=[], output=[new_doc" not in plan.replace("#", "")
+    import re
+
+    assert not re.search(r"HashAggregate\(keys=\[new_doc[^\]]*dup_of", plan)
