@@ -527,6 +527,113 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _est_quality_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN s1.h{i} = s2.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_bands_sql()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b, CAST({agree} AS BIGINT) AS m
+        FROM cand c
+        JOIN sig s1 ON c.doc_a = s1.doc_id
+        JOIN sig s2 ON c.doc_b = s2.doc_id
+    ),
+    tsz AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN tset ta ON ta.doc_id = c.doc_a
+        JOIN tset tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.m AS DOUBLE) / {N_HASHES} AS est,
+           CAST(coalesce(i.i, 0) AS DOUBLE) / (sa.sz + sb.sz - coalesce(i.i, 0))
+               AS jaccard,
+           abs(CAST(g.m AS DOUBLE) / {N_HASHES}
+               - CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - coalesce(i.i, 0))) AS abs_err
+    FROM agree g
+    LEFT JOIN inter i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+    JOIN tsz sa ON g.doc_a = sa.doc_id
+    JOIN tsz sb ON g.doc_b = sb.doc_id
+    """
+
+
+@register("dedup_minhash_est_quality", oracle=_est_quality_oracle())
+def dedup_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy QA for the MinHash family (round 6): for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE (matching
+    rows / {N_HASHES} — the classic unbiased MinHash estimator) next to
+    the TRUE token-set Jaccard and the absolute error — the diagnostic
+    that tells you whether {N_HASHES} rows is enough signature for your
+    corpus before you trust the banding thresholds.
+
+    Parity: every output is a single correctly-rounded IEEE op over exact
+    int64 counts (m/{N_HASHES}, i/(sa+sb-i), one subtract, one abs) with
+    identical expression structure in the DuckDB twin — bit-identical
+    without any rounding step. Scale: candidates-sized joins; the
+    signature relation broadcasts (docs × {N_HASHES} ints), the token-array
+    intersection reuses the same size-gated pattern as the τ=0.9 verify.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    s1 = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ).cast("long")
+    tset = _token_sets(spark, sf_dir)
+    arrs = tset.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.count("*").alias("sz"),
+    )
+    ra = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    rb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
+    )
+    if _arrs_fits_broadcast(spark, sf_dir):
+        ra, rb = F.broadcast(ra), F.broadcast(rb)
+    est = F.col("m").cast("double") / N_HASHES
+    jac = F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i"))
+    return (
+        cand.join(F.broadcast(s1), "doc_a")
+        .join(F.broadcast(s2), "doc_b")
+        .withColumn("m", m)
+        .join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est"),
+            jac.alias("jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
+    )
+
+
 MAX_CC_ITERS = 20
 
 

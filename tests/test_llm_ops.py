@@ -676,3 +676,19 @@ def test_embedding_ann_recall_high_on_clustered_corpus(spark, tmp_path):
     # under the 400·399/2 all-pairs space
     n_cand = similarity.ann_scored_pairs(spark, d).count()
     assert n_cand < 0.5 * 400 * 399 / 2
+
+
+def test_minhash_estimator_quality_invariants(spark, sf_dir):
+    """Sketch-accuracy QA (round 6): estimates are multiples of 1/16,
+    identical token sets estimate exactly 1.0 with zero error, and the
+    mean absolute estimator error over LSH candidates stays inside the
+    ~1/sqrt(16) MinHash error regime."""
+    rows = dedup.dedup_minhash_est_quality(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est * 16 - round(r.est * 16)) < 1e-12
+        assert abs(r.abs_err - abs(r.est - r.jaccard)) < 1e-15
+        if r.jaccard == 1.0:  # identical sets hash identically
+            assert r.est == 1.0 and r.abs_err == 0.0
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err <= 0.30, f"mean |est - true| = {mean_err:.3f}"
