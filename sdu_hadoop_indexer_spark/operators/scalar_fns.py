@@ -487,3 +487,47 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS mx
+        FROM events
+    )
+    SELECT lower(mx) AS event_type_ci,
+           count(*) AS n,
+           CAST(count(DISTINCT mx) AS BIGINT) AS n_variants
+    FROM m GROUP BY 1
+    """,
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface (round 6): GROUP BY a `UTF8_LCASE`-collated
+    key merges case variants engine-side — no lower() rewrite of the data,
+    the collation is a property of the comparison. The fixture strings are
+    single-case, so a deterministic mixed-case column is derived first
+    (upper-cased on even event_ids); `n_variants` counts the distinct RAW
+    spellings inside each collated group (binary collation inside the agg)
+    proving the merge actually happened. The emitted key is `lower(k)` so
+    the output is representative-independent (a collated group's raw
+    representative is whichever spelling an executor saw first —
+    nondeterministic by definition; never emit it). DuckDB twin groups by
+    lower() — same partition of rows, same counts.
+
+    Scale: one map-side-combinable hash agg; collation compares at the
+    shuffle key, zero extra passes."""
+    ev = table(spark, sf_dir, "events")
+    mx = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    return (
+        ev.select(mx.alias("mx"))
+        .groupBy(F.collate("mx", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.collate("mx", "UTF8_BINARY")).alias("n_variants"),
+        )
+        .select(F.lower("k").alias("event_type_ci"), "n", "n_variants")
+    )

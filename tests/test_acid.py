@@ -357,3 +357,52 @@ def test_vacuum_races_pinned_reader_fails_loud_never_partial(spark, tmp_path):
     # the reader on the retained snapshot is untouched by the race
     assert pinned_kept.count() == n
     assert pinned_kept.where("v != 1").count() == 0
+
+
+def test_writer_crash_leaves_table_fully_usable(spark, tmp_path):
+    """Simulate a writer dying at every dangerous point of the commit path:
+    (a) data files renamed into the table root but NO commit written
+    (orphans), (b) a leftover _staging dir, (c) a torn commit tmp file in
+    the log dir. Invariants: reads at every version are byte-identical,
+    version discovery ignores the torn tmp, the NEXT writer commits
+    normally, and VACUUM (age-fence waived) collects exactly the orphaned
+    data files without touching the staging dir or the log."""
+    import shutil
+
+    n = 400
+    tbl, _ = _mk(spark, tmp_path, n=n, files=2)
+    live = sorted(f for f in os.listdir(tbl) if f.endswith(".parquet"))
+
+    # (a) orphaned data file: staged-then-renamed, commit never happened
+    orphan = "part-deadbeefdeadbeefdeadbeefdeadbeef.parquet"
+    shutil.copy(os.path.join(tbl, live[0]), os.path.join(tbl, orphan))
+    # (b) leftover staging dir with a partial file
+    staging = os.path.join(tbl, "_staging-crashed00")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"torn bytes")
+    # (c) torn commit tmp next to the log (writer died inside _commit)
+    with open(acid._log_path(tbl, 1) + ".tmp-crashed00", "w") as fh:
+        fh.write('{"version": 1, "op":')  # torn JSON
+
+    # version discovery ignores the torn tmp; reads see only committed files
+    assert acid.latest_version(tbl) == 0
+    assert acid.read_table(spark, tbl).count() == n
+
+    # the next writer proceeds as if nothing happened
+    upd = spark.range(n).select(F.col("id").alias("k"), F.lit(9).alias("v"))
+    acid.merge_upsert(spark, tbl, upd, "k")
+    assert acid.latest_version(tbl) == 1
+    got = acid.read_table(spark, tbl)
+    assert got.count() == n and got.where("v != 9").count() == 0
+
+    # vacuum collects the orphan (and the files v1 rewrote away), ignores
+    # the staging dir and the log
+    res = acid.vacuum(tbl, retain_versions=1, min_age_seconds=0)
+    on_disk = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert orphan not in on_disk
+    assert on_disk == {f.path for f in acid.snapshot_files(tbl)}
+    assert os.path.isdir(staging)  # vacuum never reaches into staging
+    assert os.path.exists(acid._log_path(tbl, 0))
+    assert res["deleted"] >= 1
+    assert acid.read_table(spark, tbl).count() == n  # still perfect
