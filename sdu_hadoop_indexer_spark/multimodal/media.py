@@ -614,3 +614,37 @@ def _phash_oracle() -> str:
 @register("media_phash_neardup", oracle=_phash_oracle())
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup(media_table(spark, sf_dir))
+
+
+@register(
+    "media_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS payload_hash,
+           min(doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio' ELSE 'video' END)
+                AS BIGINT) AS n_kinds
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level exact dedup over the BINARY payload column (round 6) —
+    the first pass every multimodal pipeline runs at 100 TB, BEFORE any
+    decode: identical blobs collapse on a content hash regardless of the
+    metadata around them (`n_kinds` counts how many declared kinds share
+    the byte-identical payload — re-containered copies). One hash agg,
+    keep-min keeper — the `dedup_exact` discipline applied to the blob
+    column; at scale the sha256 streams over the binary without
+    materializing it twice.
+
+    Oracle parity: payload = utf-8 encode of the source text, and both
+    Spark's `sha2(binary)` and DuckDB's `sha256(varchar)` hash those same
+    bytes to the same hex."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy(F.sha2("payload", 256).alias("payload_hash")).agg(
+        F.min("media_id").alias("keeper"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("kind").alias("n_kinds"),
+    )
