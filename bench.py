@@ -101,6 +101,7 @@ EXTENDED = [
     "sim_nearest_pairs_ann",
     "sim_pairs_recall_eval",
     "dedup_minhash_incremental",
+    "dedup_minhash_est_quality",
 ]
 
 

@@ -1024,9 +1024,9 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality_score")
 
 
-@register(
-    "llm_bigram_ppl",
-    oracle="""
+# Shared by llm_bigram_ppl and its bucket composer llm_ppl_buckets — the
+# buckets oracle nests this whole statement as a CTE subquery.
+BIGRAM_PPL_SQL = """
     WITH t AS (
         SELECT doc_id,
                unnest(range(len(list_filter(
@@ -1055,8 +1055,10 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(-lp), 4) + 0.0 AS avg_neg_logprob,
            round(exp(avg(-lp)), 3) + 0.0 AS ppl
     FROM s GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("llm_bigram_ppl", oracle=BIGRAM_PPL_SQL)
 def bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score with add-one smoothing: per-document mean
     −ln p(next | term) under the corpus's own bigram model, plus its exp()
@@ -1102,4 +1104,88 @@ def bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         (F.round(F.avg(-F.col("lp")), 4) + F.lit(0.0)).alias("avg_neg_logprob"),
         (F.round(F.exp(F.avg(-F.col("lp"))), 3) + F.lit(0.0)).alias("ppl"),
+    )
+
+
+PPL_BUCKETS = 3  # CCNet convention: head / middle / tail
+PPL_BUCKET_PARTS = 8  # range-bucket fan-out for the global ppl ordering
+
+
+@register(
+    "llm_ppl_buckets",
+    oracle=f"""
+    WITH ppl AS ({BIGRAM_PPL_SQL}),
+    r AS (
+        SELECT doc_id, n_bigrams, ppl,
+               row_number() OVER (ORDER BY avg_neg_logprob, doc_id) - 1
+                   AS rk,
+               count(*) OVER () AS n
+        FROM ppl
+    )
+    SELECT CAST((rk * {PPL_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(ppl) + 0.0 AS min_ppl,
+           max(ppl) + 0.0 AS max_ppl,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM r GROUP BY 1
+    """,
+)
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tertiles: rank every document by its
+    bigram-LM score (`llm_bigram_ppl`, ascending — low perplexity first)
+    and cut the corpus into equal-count head/middle/tail buckets, the
+    split CCNet publishes and downstream mixes sample from (head = keep,
+    middle = maybe, tail = drop or LM-filter). One row per bucket with its
+    doc count, ppl range, and token mass.
+
+    The global ordering uses the `llm_global_sort_index` two-phase shape,
+    NOT the oracle's single-window `row_number() OVER (ORDER BY …)`:
+    documents are range-bucketed by approx-percentile pivots of the score
+    (pivots only balance the fan-out — ties share a bucket by construction
+    so correctness never depends on the sketch), per-bucket offsets are a
+    ≤ PPL_BUCKET_PARTS-long collect, and the rank window is PARTITIONED by
+    range bucket — every exchange and sort stays bucket-parallel at 100 TB.
+    Tertile id = rank·3 DIV n (pure integer; identical both engines since
+    the rank key (avg_neg_logprob, doc_id) is the EXACT-oracled 4dp score).
+    """
+    p = bigram_ppl(spark, sf_dir)
+    key = F.col("avg_neg_logprob")
+    pcts = [i / PPL_BUCKET_PARTS for i in range(1, PPL_BUCKET_PARTS)]
+    pivots = p.agg(
+        F.percentile_approx(key, pcts, 10_000).alias("p")
+    ).first()["p"]
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+    b = p.withColumn("_b", bexpr)
+    offsets, acc = {}, 0
+    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
+        offsets[r._b] = acc
+        acc += r.c
+    n = acc
+    off = (
+        F.coalesce(
+            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_b").orderBy("avg_neg_logprob", "doc_id")
+    ranked = b.select(
+        "n_bigrams",
+        "ppl",
+        (off + F.row_number().over(w) - 1).cast("long").alias("rk"),
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"(rk * {PPL_BUCKETS}) div {max(n, 1)}")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.min("ppl") + F.lit(0.0)).alias("min_ppl"),
+            (F.max("ppl") + F.lit(0.0)).alias("max_ppl"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        )
     )

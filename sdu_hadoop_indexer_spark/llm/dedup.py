@@ -1559,3 +1559,79 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)), F.count("*")
         ).alias("keep_ratio"),
     )
+
+
+def _survivorship_oracle() -> str:
+    from .curation import QSCORE_CTES
+
+    return f"""
+    WITH {_cluster_labels_sql()},
+    {QSCORE_CTES},
+    j AS (
+        SELECT l.cluster_rep, l.doc_id,
+               round(q.sigma, 4) + 0.0 AS quality_score
+        FROM labels l JOIN qscore q ON l.doc_id = q.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_rep, doc_id,
+               row_number() OVER (PARTITION BY cluster_rep
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM j
+    ),
+    keep AS (SELECT doc_id FROM ranked WHERE rn = 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(count(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_in,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_kept,
+           {sql_ratio('count(k.doc_id)', 'count(*)')} AS doc_keep_rate,
+           {sql_ratio(
+               "sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)",
+               "sum(d.n_chars)",
+           )} AS char_keep_rate
+    FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("llm_dedup_survivorship", oracle=_survivorship_oracle())
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship audit: per source, how many documents (and how
+    many characters) survive the full discover→cluster→keep-best pipeline
+    — the report a production curation run publishes alongside its output
+    so downstream consumers can see WHERE the dedup bit (a source whose
+    keep rate craters signals a mirror/scrape of another source; a source
+    at ~1.0 contributed mostly unique text). Composes the registered
+    `dedup_cluster_keep_best` keeper set verbatim.
+
+    Scale shape: the keeper relation is cluster-count-sized (≤ one row per
+    surviving doc) and joins documents on doc_id — a plain co-partitioned
+    hash join, deliberately NOT broadcast-hinted (at 100 TB the keeper set
+    is itself corpus-scale; AQE may still elect broadcast when it is
+    measured small). One hash agg keyed by source finishes — sources-sized
+    output, exact integer counts/sums, boundary-proof quotients for the
+    two rates.
+    """
+    keep = dedup_cluster_keep_best(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id"), F.lit(1).alias("kept")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    j = d.join(keep, "doc_id", "left")
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.count("kept").alias("docs_kept"),
+        F.sum("n_chars").cast("long").alias("chars_in"),
+        F.sum(F.when(F.col("kept").isNotNull(), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+    )
+    return agg.select(
+        "source",
+        "docs_in",
+        "docs_kept",
+        "chars_in",
+        "chars_kept",
+        ratio(F.col("docs_kept"), F.col("docs_in")).alias("doc_keep_rate"),
+        ratio(F.col("chars_kept"), F.col("chars_in")).alias("char_keep_rate"),
+    )

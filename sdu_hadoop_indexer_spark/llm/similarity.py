@@ -382,11 +382,11 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     return cents
 
 
-def _ivf_oracle() -> str:
-    """DuckDB twin of the whole IVF pipeline: quantize → KMEANS_ITERS
-    unrolled Lloyd rounds (integer sums; centroids re-rounded to the grid;
-    empty cells carry forward) → final assignment + probe ranking → cosine
-    top-k over probed candidates (the sim_topk_lsh scoring shape)."""
+def _ivf_train_parts() -> tuple[list[str], str]:
+    """Shared CTE prefix of the IVF oracles (`sim_topk_ivf`,
+    `sim_ivf_cell_stats`): quantize → KMEANS_ITERS unrolled Lloyd rounds
+    (integer sums; centroids re-rounded to the grid; empty cells carry
+    forward). Returns (CTE text parts, name of the final centroid CTE)."""
     parts = [
         f"""
     WITH qv AS MATERIALIZED (
@@ -425,6 +425,15 @@ def _ivf_oracle() -> str:
     )"""
         )
         prev = f"c{k}"
+    return parts, prev
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the whole IVF pipeline: the shared trained-centroid
+    prefix → final assignment + probe ranking → cosine top-k over probed
+    candidates (the sim_topk_lsh scoring shape)."""
+    parts, prev = _ivf_train_parts()
+    parts = list(parts)
     parts.append(
         f""",
     probes AS (
@@ -1368,4 +1377,77 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_hit"),
             ratio(F.count("hit"), F.count("*")).alias("recall"),
         )
+    )
+
+
+def _ivf_cell_stats_oracle() -> str:
+    parts, prev = _ivf_train_parts()
+    from ..operators.parity import sql_ratio
+
+    return "".join(parts) + f""",
+    a AS (
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    ),
+    cnt AS (
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM a GROUP BY cell
+    ),
+    t AS (
+        SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM cnt
+    )
+    SELECT cell, n_vecs, t.total, t.n_cells,
+           {sql_ratio('n_vecs', 'total')} AS share,
+           {sql_ratio('n_vecs * n_cells', 'total')} AS load_x
+    FROM cnt CROSS JOIN t
+    """
+
+
+@register("sim_ivf_cell_stats", oracle=_ivf_cell_stats_oracle())
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build QA: the inverted-list balance report every ANN
+    deployment checks before serving — per occupied cell its vector count,
+    corpus share, and load factor (`load_x` = times the mean list length;
+    a hot cell bounds probe latency the way a skewed join key bounds a
+    shuffle — `diag_key_skew`'s metric applied to the index layout, and
+    the number that decides re-training with more cells vs. splitting hot
+    lists).
+
+    Composes the registered `sim_topk_ivf` quantizer verbatim (same
+    trained integer-lattice centroids, same argmin assignment), so the
+    stats describe exactly the index that operator probes. Scale shape:
+    assignment is map-side (broadcast k×dim centroid literal), then ONE
+    hash agg keyed by cell (N_CELLS rows) and a 1-row totals broadcast —
+    nothing here grows beyond the cell count. All-integer arithmetic with
+    the boundary-proof quotient for the two ratios.
+    """
+    from ..operators.parity import ratio as _ratio
+
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell")
+    )
+    cnt = a.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    t = cnt.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").alias("n_cells"),
+    )
+    return cnt.crossJoin(F.broadcast(t)).select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_vecs",
+        "total",
+        "n_cells",
+        _ratio(F.col("n_vecs"), F.col("total")).alias("share"),
+        _ratio(F.col("n_vecs") * F.col("n_cells"), F.col("total")).alias(
+            "load_x"
+        ),
     )

@@ -2071,3 +2071,76 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("cohort_size"),
         ratio(F.col("cum_rev_c"), 100 * F.col("cohort_size")).alias("ltv"),
     )
+
+
+SKEW_TOP_N = 5  # heavy keys reported by the skew profiler
+
+
+@register(
+    "diag_key_skew",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c
+    ),
+    top AS (
+        SELECT c.user_id, c.n_rows, t.total, t.n_keys,
+               row_number() OVER (ORDER BY c.n_rows DESC, c.user_id) AS rk
+        FROM c CROSS JOIN t
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, user_id, n_rows, n_keys, total,
+           {sql_ratio('n_rows', 'total')} AS share,
+           {sql_ratio('n_rows * n_keys', 'total')} AS skew_x,
+           CAST((n_rows * n_keys + total - 1) // total AS BIGINT)
+               AS salt_parts
+    FROM top WHERE rk <= {SKEW_TOP_N}
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the diagnostic a pipeline runs BEFORE a big
+    keyed join/agg to decide whether (and how much) to salt. Reports the
+    SKEW_TOP_N heaviest keys with their row share, their skew factor
+    (`skew_x` = how many times the mean key weight this key carries — the
+    number AQE's skew-join detector thresholds on), and the integer salt
+    fan-out (`salt_parts` = ⌈key_rows / mean_rows⌉) that `join_skew_salted`
+    would need to level that key across tasks.
+
+    Scale shape: one partial+final hash agg builds the keys-sized count
+    relation; the global totals reduce to ONE row (broadcast back via
+    cross join); the top-N is a bounded TakeOrdered, never a full sort.
+    All arithmetic is exact int64 (counts well under 2^31 even at 100 TB
+    per-key, products under 2^62) with the boundary-proof quotient for the
+    two ratios and a pure integer ceiling divide for the salt factor —
+    no float anywhere an engine could disagree on.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    t = c.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    top = c.orderBy(F.desc("n_rows"), "user_id").limit(SKEW_TOP_N)
+    w = Window.orderBy(F.desc("n_rows"), "user_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rank",
+            "user_id",
+            "n_rows",
+            "n_keys",
+            "total",
+            ratio(F.col("n_rows"), F.col("total")).alias("share"),
+            ratio(F.col("n_rows") * F.col("n_keys"), F.col("total")).alias(
+                "skew_x"
+            ),
+            F.expr(
+                "(n_rows * n_keys + total - 1) div total"
+            ).cast("long").alias("salt_parts"),
+        )
+    )

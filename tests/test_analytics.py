@@ -257,3 +257,25 @@ def test_cohort_ltv_triangle_consistency(spark, sf_dir):
         .c
     )
     assert grand == total_cents
+
+
+def test_key_skew_profiler_invariants(spark, sf_dir):
+    """Top-N ranks descend by weight, shares/skews are consistent with a
+    recount, and the salt fan-out is the exact integer ceiling."""
+    rows = analytics.diag_key_skew(spark, sf_dir).collect()
+    assert len(rows) == analytics.SKEW_TOP_N
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    total, n_keys = sum(counts.values()), len(counts)
+    top_true = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, r in enumerate(rows):
+        assert r.rank == i + 1
+        assert (r.user_id, r.n_rows) == top_true[i]
+        assert r.total == total and r.n_keys == n_keys
+        assert r.salt_parts == -((-r.n_rows * n_keys) // total) >= 1
+    assert [r.n_rows for r in rows] == sorted(
+        (r.n_rows for r in rows), reverse=True
+    )

@@ -692,3 +692,55 @@ def test_minhash_estimator_quality_invariants(spark, sf_dir):
             assert r.est == 1.0 and r.abs_err == 0.0
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err <= 0.30, f"mean |est - true| = {mean_err:.3f}"
+
+
+def test_survivorship_totals_match_keeper_set(spark, sf_dir):
+    """Per-source survivorship sums back to the corpus and to the exact
+    keep-best keeper count; rates are valid proportions."""
+    rows = dedup.dedup_survivorship(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.docs_in for r in rows) == docs.count()
+    n_keepers = dedup.dedup_cluster_keep_best(spark, sf_dir).count()
+    assert sum(r.docs_kept for r in rows) == n_keepers
+    for r in rows:
+        # a source CAN keep zero docs — every doc shadowed by a keeper in
+        # another source (the fixture's src9 demonstrates it) — exactly
+        # the signal this report exists to surface
+        assert 0 <= r.docs_kept <= r.docs_in
+        assert 0 <= r.chars_kept <= r.chars_in
+        assert 0.0 <= r.doc_keep_rate <= 1.0
+        assert 0.0 <= r.char_keep_rate <= 1.0
+    assert any(r.docs_kept > 0 for r in rows)
+
+
+def test_ppl_buckets_partition_the_corpus(spark, sf_dir):
+    """Tertiles are equal-count (±1), cover every scored doc, and their
+    perplexity ranges stack monotonically (ppl is monotone in the sort
+    key, so bucket i's max never exceeds bucket i+1's min)."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = sorted(
+        curation.ppl_buckets(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == [0, 1, 2]
+    n = curation.bigram_ppl(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_ppl <= hi.min_ppl
+        assert lo.min_ppl <= lo.max_ppl
+
+
+def test_ivf_cell_stats_describe_the_index(spark, sf_dir):
+    """Cell stats account for every vector, cells are valid ids, and the
+    load factors average to ~1 by construction."""
+    rows = similarity.sim_ivf_cell_stats(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = e.count()
+    assert sum(r.n_vecs for r in rows) == total
+    assert all(r.total == total for r in rows)
+    assert all(0 <= r.cell < similarity.N_CELLS for r in rows)
+    assert all(r.n_cells == len(rows) for r in rows)
+    assert all(r.load_x > 0 for r in rows)
+    mean_load = sum(r.load_x for r in rows) / len(rows)
+    assert abs(mean_load - 1.0) < 0.25  # Σ n_vecs·k / total = k ⇒ mean ≈ 1
