@@ -102,6 +102,8 @@ EXTENDED = [
     "sim_pairs_recall_eval",
     "dedup_minhash_incremental",
     "dedup_minhash_est_quality",
+    "sim_topk_pq",
+    "sim_pq_recall_eval",
 ]
 
 

@@ -1592,8 +1592,8 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (PQ): the fourth ANN path next to brute / LSH / IVF.
 # ---------------------------------------------------------------------------
 
-PQ_M = 4  # subspaces (64-dim embeddings -> 4 x 16-dim subvectors)
-PQ_K = 8  # codebook size per subspace (3-bit codes)
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 x 8-dim subvectors)
+PQ_K = 16  # codebook size per subspace (4-bit codes)
 PQ_ITERS = 2  # Lloyd rounds, same discipline as the IVF coarse quantizer
 
 

@@ -568,23 +568,10 @@ def test_ann_pairs_candidate_reduction(spark, sf_dir):
     band bucket) stay under 25% of all N·(N-1)/2 pairs even on the
     near-random fixture (measured ≈16%; real near-dup corpora prune far
     harder — the docstring derives ≈1.5% at duplicate cosine 0.8)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.array(
-            *[
-                similarity._lsh_bucket(
-                    "embedding",
-                    b * similarity.PAIR_BAND_PLANES,
-                    similarity.PAIR_BAND_PLANES,
-                )
-                for b in range(similarity.PAIR_BANDS)
-            ]
-        ).alias("bhs"),
-    )
-    bands = e.select("vec_id", F.posexplode("bhs").alias("band_idx", "bucket"))
+    bands = similarity._pair_bands(spark, sf_dir)
     a = bands.select(F.col("vec_id").alias("va"), "band_idx", "bucket")
     b = bands.select(F.col("vec_id").alias("vb"), "band_idx", "bucket")
-    n = e.count()
+    n = table(spark, sf_dir, "embeddings").count()
     cand = (
         a.join(b, ["band_idx", "bucket"])
         .where(F.col("va") < F.col("vb"))
@@ -744,3 +731,67 @@ def test_ivf_cell_stats_describe_the_index(spark, sf_dir):
     assert all(r.load_x > 0 for r in rows)
     mean_load = sum(r.load_x for r in rows) / len(rows)
     assert abs(mean_load - 1.0) < 0.25  # Σ n_vecs·k / total = k ⇒ mean ≈ 1
+
+
+def test_pq_topk_ranking_invariants(spark, sf_dir):
+    """`sim_topk_pq`: TOP_K rows per query, rn dense 1..k, ADC distances
+    non-decreasing in rn, neighbors disjoint from the query set, and every
+    returned pair unique."""
+    rows = similarity.sim_topk_pq(spark, sf_dir).collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id >= similarity.N_QUERIES
+        assert r.adc_d2 >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, similarity.TOP_K + 1))
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo.adc_d2 <= hi.adc_d2
+        assert len({r.neighbor_id for r in rs}) == len(rs)
+
+
+def test_pq_codebooks_deterministic_and_on_lattice(spark):
+    """The PQ trainer must be a pure function of the corpus: two training
+    runs return identical integer codebooks covering every (cell, dim)."""
+    sf = "/root/testdata/sf0.001"
+    c1 = similarity._train_pq_codebooks(spark, sf)
+    c2 = similarity._train_pq_codebooks(spark, sf)
+    assert c1 == c2
+    dims = 1 + max(d for _, d in c1)
+    assert set(c1) == {(c, d) for c in range(similarity.PQ_K) for d in range(dims)}
+    assert all(isinstance(m, int) for m in c1.values())
+
+
+def test_pq_recall_high_on_clustered_corpus(spark, tmp_path):
+    """The PQ gate reports the honest (low) recall on the near-random
+    fixture; prove the operator itself is sound by planting unambiguous
+    nearest neighbors: each query gets {TOP_K} close copies among random
+    256-dim vectors, where planted ADC distances are ~20× below random
+    ones — the registered `sim_pq_recall_eval` must then report ≥0.8."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n_q, k = similarity.N_QUERIES, similarity.TOP_K
+    queries = rng.standard_normal((n_q, 256))
+    noise = 0.15 * rng.standard_normal((n_q * k, 256))
+    planted = np.repeat(queries, k, axis=0) + noise
+    randoms = rng.standard_normal((300, 256))
+    vecs = np.vstack([queries, planted, randoms]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+    rows = similarity.sim_pq_recall_eval(spark, d).collect()
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.8, f"clustered-corpus PQ recall {mean_recall}"
