@@ -1189,3 +1189,167 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").cast("long").alias("n_bigrams"),
         )
     )
+
+
+CHUNK_W = 32  # tokens per chunk window
+CHUNK_S = 24  # chunk stride (overlap = CHUNK_W - CHUNK_S = 8 tokens)
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CAST(unnest(range((len(toks) + {CHUNK_S} - 1) // {CHUNK_S}))
+                    AS INTEGER) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {CHUNK_S} AS INTEGER) AS start_pos,
+           CAST(least({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS INTEGER)
+               AS n_tokens,
+           sha256(array_to_string(
+               toks[chunk_id * {CHUNK_S} + 1 :
+                    chunk_id * {CHUNK_S} + {CHUNK_W}], ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG/embedding
+    preprocessing step: each document becomes ⌈n/{CHUNK_S}⌉ windows of up
+    to {CHUNK_W} tokens starting every {CHUNK_S} (so consecutive chunks
+    share {CHUNK_W - CHUNK_S} tokens of context). Emits (doc_id, chunk_id,
+    start_pos, n_tokens, chunk_hash) — the hash is what a downstream
+    chunk-dedup or vector-index upsert keys on, and keeping it a digest
+    (not the chunk text) keeps the relation narrow.
+
+    Scale shape: pure map-side — tokenize, one `sequence` explode per doc
+    (output rows ∝ corpus tokens / stride), `slice` + `concat_ws` +
+    `sha2` per chunk; no shuffle anywhere, trivially partition-parallel.
+    EXACT: all integer arithmetic, and both engines hash the identical
+    space-joined token window."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.size("toks") + CHUNK_S - 1) / F.lit(CHUNK_S)
+                ).cast("int")
+                - 1,
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_S
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_pos"),
+        F.least(F.lit(CHUNK_W), F.col("n") - start)
+        .cast("int")
+        .alias("n_tokens"),
+        F.sha2(
+            F.concat_ws(" ", F.slice("toks", start + 1, CHUNK_W)), 256
+        ).alias("chunk_hash"),
+    )
+
+
+NOVEL_N = 5  # n-gram order for novelty profiling
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i + 1 : i + {NOVEL_N}], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   CAST(unnest(range(len(toks) - {NOVEL_N} + 1)) AS INTEGER)
+                       AS i
+            FROM t WHERE len(toks) >= {NOVEL_N}
+        )
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.fd = g.doc_id) AS BIGINT)
+               AS n_novel,
+           CAST(floor(CAST((count(*) FILTER (WHERE f.fd = g.doc_id))
+                           * 20000 + (count(*)) AS DOUBLE)
+                      / (2 * (count(*)))) AS DOUBLE) / 10000.0 AS novelty
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the train/test-leakage and
+    boilerplate profile: for each doc, the fraction of its DISTINCT
+    {NOVEL_N}-grams whose corpus-wide FIRST occurrence (min doc_id) is
+    this doc. Novelty ≈ 1 ⇒ fresh content; ≈ 0 ⇒ the doc restates
+    n-grams earlier documents already contributed (near-dup, template, or
+    leaked-benchmark text — `llm_contamination_check`'s corpus-internal
+    sibling).
+
+    Scale shape: gram emission is map-side (array slice per position, one
+    explode); then TWO hash aggs keyed by gram (per-doc distinct, then
+    first-doc min) and one gram-keyed join back — the `text_heaps_curve`
+    first-occurrence discipline at n-gram granularity. All integers with
+    the boundary-proof quotient for the ratio."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    t = d.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= NOVEL_N
+    )
+    g = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - NOVEL_N)
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("i") + 1, NOVEL_N)
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("fd") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+            ratio(
+                F.count(F.when(F.col("fd") == F.col("doc_id"), 1)),
+                F.count("*"),
+            ).alias("novelty"),
+        )
+    )

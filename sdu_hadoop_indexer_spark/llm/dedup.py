@@ -94,6 +94,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_normalized_text",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'),
+                   '[ \\t\\n\\r]+', ' ', 'g')) AS ntext
+        FROM documents
+    )
+    SELECT sha256(ntext) AS norm_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_raw_variants
+    FROM norm GROUP BY sha256(ntext)
+    """,
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the C4/CCNet first-pass between byte-exact
+    and fuzzy dedup: lowercase, strip non-alphanumerics, collapse
+    whitespace, THEN hash — so case/punctuation/spacing re-encodings of the
+    same content collapse into one group. `n_raw_variants` counts the
+    distinct raw texts each normalized group absorbed (the added catch over
+    `dedup_exact`; > 1 ⇒ normalization did real work, a number worth
+    monitoring before turning the dedup into deletions).
+
+    Same 100 TB shape as `dedup_exact`: normalization is map-side string
+    work fused into the scan, then ONE hash agg keyed by digest —
+    map-partial combinable, linear, no skew beyond true duplicate mass.
+    EXACT oracle: the regex classes are spelled as explicit ASCII sets
+    ([^a-z0-9 \\t\\n\\r]) so Java and DuckDB regex engines agree on every
+    byte, and sha2/sha256 both emit lowercase hex."""
+    d = table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 \\t\\n\\r]", ""),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", "text", ntext.alias("ntext"))
+        .groupBy(F.sha2("ntext", 256).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+    )
+
+
 def _parse_size_bytes(v: str) -> int:
     """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
     s = str(v).strip().lower().removesuffix("b")

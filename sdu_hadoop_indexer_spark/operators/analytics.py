@@ -2144,3 +2144,104 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("salt_parts"),
         )
     )
+
+
+@register(
+    "events_attribution_position",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    p AS (SELECT event_id AS pe, user_id, ts AS pts FROM ev
+          WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS te, user_id, ts AS tts, event_type AS ch
+          FROM ev WHERE event_type IN ('view', 'click')),
+    pairs AS (
+        SELECT p.pe, t.te, t.ch,
+               row_number() OVER (PARTITION BY p.pe
+                                  ORDER BY t.tts, t.te) AS rn,
+               count(*) OVER (PARTITION BY p.pe) AS n
+        FROM p JOIN t USING (user_id)
+        WHERE (t.tts < p.pts OR (t.tts = p.pts AND t.te < p.pe))
+          AND epoch_us(p.pts) - epoch_us(t.tts) <= {ATTR_WINDOW_US}
+    ),
+    credited AS (
+        SELECT ch, pe,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN 400000
+                    ELSE 200000 // (n - 2) END AS credit_u
+        FROM pairs
+    )
+    SELECT ch,
+           CAST(count(DISTINCT pe) AS BIGINT) AS n_conversions,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(credit_u) AS DOUBLE) / 1000000, 4) + 0.0
+               AS credit
+    FROM credited GROUP BY ch
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the third
+    member of the attribution family next to last-touch: each purchase
+    splits its credit 40% to the user's FIRST in-window touch, 40% to the
+    LAST, and 20% evenly across the middle touches (1-touch paths get
+    100%, 2-touch paths 50/50). Reported per channel with conversion and
+    touch counts.
+
+    EXACT by integer quantization: per-touch credit is a millionths
+    integer (middle shares use integer division — the sub-millionth
+    remainder is truncated identically in both engines), so the per-
+    channel totals are order-free integer sums; no float accumulates.
+    Scale shape: ONE user-keyed equi-join purchases×touches gated by the
+    7-day lookback (the join is co-partitioned on user_id — the same
+    exchange the sessionize family shares), then one window over
+    per-purchase touch lists and one channel-keyed hash agg. Touch lists
+    are lookback-bounded per purchase, so the window partitions stay
+    small at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"), "user_id", F.col("ts").alias("pts")
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("te"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ch"),
+    )
+    pairs = (
+        p.join(t, "user_id")
+        .where(
+            (
+                (F.col("tts") < F.col("pts"))
+                | ((F.col("tts") == F.col("pts")) & (F.col("te") < F.col("pe")))
+            )
+            & (
+                F.unix_micros("pts") - F.unix_micros("tts")
+                <= ATTR_WINDOW_US
+            )
+        )
+        .select("pe", "te", "ch", "tts")
+    )
+    w = Window.partitionBy("pe")
+    wo = w.orderBy("tts", "te")
+    credited = pairs.select(
+        "ch",
+        "pe",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    ).select(
+        "ch",
+        "pe",
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(400_000))
+        .otherwise(F.expr("200000 div (n - 2)"))
+        .alias("credit_u"),
+    )
+    return credited.groupBy("ch").agg(
+        F.countDistinct("pe").alias("n_conversions"),
+        F.count("*").alias("n_touches"),
+        (
+            F.round(F.sum("credit_u").cast("double") / 1_000_000, 4)
+            + F.lit(0.0)
+        ).alias("credit"),
+    )

@@ -415,3 +415,118 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("vocab", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
         )
     )
+
+
+ZIPF_TOP = 100  # terms in the rank-frequency fit
+ZIPF_SCALE = 100_000_000  # ln values quantized to the 1e-8 lattice
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY freq DESC, term) AS rk, freq
+        FROM tf
+        ORDER BY freq DESC, term LIMIT {ZIPF_TOP}
+    ),
+    q AS (
+        SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT)
+                   AS qx,
+               CAST(round(ln(CAST(freq AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT)
+                   AS qy
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(qx AS HUGEINT)) AS sx, sum(CAST(qy AS HUGEINT)) AS sy,
+               sum(CAST(qx AS HUGEINT) * qy) AS sxy,
+               sum(CAST(qx AS HUGEINT) * qx) AS sxx
+        FROM q
+    )
+    SELECT n AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / {ZIPF_SCALE}, 4) + 0.0 AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank-frequency fit — the companion corpus-health
+    diagnostic to `text_heaps_curve`: OLS slope of ln(freq) on ln(rank)
+    over the top {ZIPF_TOP} terms (natural text sits near −1; a flat
+    slope flags templated/boilerplate corpora, a steep one a
+    stopword-dominated crawl). Also reports the intercept (ln-scale
+    frequency of the hypothetical rank-1 term).
+
+    EXACT-oracled via the integer-lattice discipline: ln of an INTEGER
+    rank/frequency is the same IEEE double in every libm, quantized to
+    1e-8 bigints, so all OLS moments are order-free exact integer sums
+    (decimal(38) partials — the `sim_pca_power` overflow rule) and both
+    engines evaluate the identical closed form. The 1e-8 scales cancel in
+    the slope ratio. Scale shape: one token hash-agg, a {ZIPF_TOP}-row
+    TakeOrdered, and a single-row moment agg — corpus-linear then
+    constant."""
+    from pyspark.sql import Window
+
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    top = tf.orderBy(F.desc("freq"), "term").limit(ZIPF_TOP)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "term"))
+        .alias("rk"),
+        "freq",
+    )
+    q = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE, 0)
+        .cast("long")
+        .alias("qx"),
+        F.round(F.log(F.col("freq").cast("double")) * ZIPF_SCALE, 0)
+        .cast("long")
+        .alias("qy"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("qx"))).alias("sx"),
+        F.sum(dec(F.col("qy"))).alias("sy"),
+        F.sum(dec(F.col("qx") * F.col("qy"))).alias("sxy"),
+        F.sum(dec(F.col("qx") * F.col("qx"))).alias("sxx"),
+    )
+    num = (dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - slope * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+                / ZIPF_SCALE,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )

@@ -279,3 +279,22 @@ def test_key_skew_profiler_invariants(spark, sf_dir):
     assert [r.n_rows for r in rows] == sorted(
         (r.n_rows for r in rows), reverse=True
     )
+
+
+def test_attribution_position_credit_conserves(spark, sf_dir):
+    """U-shaped credit totals must equal the number of attributed
+    conversions to within the middle-share truncation (≤1e-6 per middle
+    touch), and channel counts must be internally consistent."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_attribution_position,
+    )
+
+    rows = events_attribution_position(spark, sf_dir).collect()
+    assert rows
+    total_credit = sum(r.credit for r in rows)
+    n_touches = sum(r.n_touches for r in rows)
+    # conversions with ≥1 touch each contribute exactly 1.0 minus middle
+    # truncation; bound the loss by touches × 1e-6
+    n_conv_lower = max(r.n_conversions for r in rows)
+    assert total_credit <= n_touches  # sanity: credit never exceeds touches
+    assert total_credit >= n_conv_lower - n_touches * 1e-6 - 0.01

@@ -795,3 +795,71 @@ def test_pq_recall_high_on_clustered_corpus(spark, tmp_path):
     rows = similarity.sim_pq_recall_eval(spark, d).collect()
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.8, f"clustered-corpus PQ recall {mean_recall}"
+
+
+def test_normalized_dedup_catches_case_punct_variants(spark, tmp_path):
+    """Normalization must collapse case/punctuation/whitespace variants of
+    the same content into one group that exact dedup keeps apart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "Hello, World!",
+        "hello world",
+        "HELLO   world.",
+        "something else",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = dedup.dedup_normalized_text(spark, str(tmp_path)).collect()
+    assert len(rows) == 2  # the three variants collapse, the 4th stands
+    big = max(rows, key=lambda r: r.n_copies)
+    assert big.n_copies == 3 and big.keeper == 0 and big.n_raw_variants == 3
+
+
+def test_chunk_overlap_covers_and_overlaps(spark, sf_dir):
+    """Chunks tile every document: starts advance by the stride, token
+    counts cap at the window, the last chunk is the remainder, and chunk
+    count equals ceil(n/stride)."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = curation.llm_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        n = rs[0].n_tokens + rs[-1].chunk_id * curation.CHUNK_S \
+            if len(rs) == 1 else rs[-1].start_pos + rs[-1].n_tokens
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        for r in rs:
+            assert r.start_pos == r.chunk_id * curation.CHUNK_S
+            assert 1 <= r.n_tokens <= curation.CHUNK_W
+        assert len(rs) == (n + curation.CHUNK_S - 1) // curation.CHUNK_S
+        # every chunk except possibly the last is full or reaches the end
+        for r in rs[:-1]:
+            assert r.n_tokens == min(curation.CHUNK_W, n - r.start_pos)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The lowest doc_id with any n-grams has novelty 1.0 by construction
+    (nothing precedes it); all ratios are within [0, 1] and counts are
+    consistent."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = curation.llm_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0 and first.n_novel == first.n_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novelty <= 1.0
