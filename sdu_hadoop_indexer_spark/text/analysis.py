@@ -530,3 +530,64 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("intercept"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                    AS BIGINT) AS letters,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS sentences
+        FROM documents
+    )
+    SELECT doc_id, letters, words, sentences,
+           round(0.0588 * (100.0 * letters / words)
+                 - 0.296 * (100.0 * sentences / words) - 15.8, 4) + 0.0
+               AS cli
+    FROM m WHERE words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman–Liau readability index per document — the quality-scoring
+    signal that needs no syllable dictionary (CLI = 0.0588·L − 0.296·S −
+    15.8 over letters-per-100-words L and sentences-per-100-words S, the
+    published formula): a grade far outside ~[0, 20] flags non-prose
+    (code, tables, boilerplate) that slips past length/stopword gates.
+
+    EXACT: letters/words/sentences are integer counts from byte-explicit
+    regex classes (both engines count the same runs; sentence count
+    floors at 1 so fragments don't divide by zero), and both engines
+    evaluate the identical closed form on exact integers before the one
+    4-dp round. Scale shape: pure map-side string work fused into the
+    scan — no shuffle, no join."""
+    d = table(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    words = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    sentences = F.greatest(
+        F.lit(1), F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    )
+    m = d.select(
+        "doc_id",
+        letters.cast("long").alias("letters"),
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+    ).where(F.col("words") > 0)
+    cli = (
+        F.lit(0.0588) * (F.lit(100.0) * F.col("letters") / F.col("words"))
+        - F.lit(0.296) * (F.lit(100.0) * F.col("sentences") / F.col("words"))
+        - F.lit(15.8)
+    )
+    return m.select(
+        "doc_id",
+        "letters",
+        "words",
+        "sentences",
+        (F.round(cli, 4) + F.lit(0.0)).alias("cli"),
+    )

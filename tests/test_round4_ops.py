@@ -671,3 +671,39 @@ def test_matryoshka_eval_bounds_and_selfconsistency(spark, sf_dir):
         assert r.k_full == TOP_K
         assert 0 <= r.n_hit <= r.k_full
         assert abs(r.recall - round(r.n_hit / r.k_full, 4)) < 5e-4
+
+
+def test_benford_profile_is_probability_and_organic(spark, sf_dir):
+    """Digit shares form a distribution over 1..9 and the organic TPC-H
+    price column is not wildly un-Benford (bounded mean absolute
+    deviation — prices are bounded-range, so some deviation is expected)."""
+    from sdu_hadoop_indexer_spark.operators.aggregates import (
+        agg_benford_profile,
+    )
+
+    rows = agg_benford_profile(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert sum(r.n for r in rows) == rows[0].total if hasattr(rows[0], "total") else True
+    for r in rows:
+        assert 0.0 < r.expected < 0.31
+        assert abs(r.deviation - round(r.share - r.expected, 4)) < 1e-9
+
+
+def test_readability_counts_consistent(spark, sf_dir):
+    """CLI inputs are consistent: letters ≤ non-space chars, sentences ≥ 1,
+    and the index recomputes from the emitted counts."""
+    from sdu_hadoop_indexer_spark.text.analysis import text_readability
+
+    rows = text_readability(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.words > 0 and r.sentences >= 1
+        assert r.letters >= 0
+        cli = round(
+            0.0588 * (100.0 * r.letters / r.words)
+            - 0.296 * (100.0 * r.sentences / r.words)
+            - 15.8,
+            4,
+        )
+        assert abs(cli - r.cli) < 1e-9
