@@ -757,8 +757,9 @@ def test_pq_codebooks_deterministic_and_on_lattice(spark):
     runs return identical integer codebooks covering every (cell, dim)."""
     sf = "/root/testdata/sf0.001"
     c1 = similarity._train_pq_codebooks(spark, sf)
+    similarity._PQ_CODEBOOK_CACHE.clear()  # force a genuine retrain
     c2 = similarity._train_pq_codebooks(spark, sf)
-    assert c1 == c2
+    assert c1 is not c2 and c1 == c2
     dims = 1 + max(d for _, d in c1)
     assert set(c1) == {(c, d) for c in range(similarity.PQ_K) for d in range(dims)}
     assert all(isinstance(m, int) for m in c1.values())
@@ -863,3 +864,19 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_novel <= r.n_grams
         assert 0.0 <= r.novelty <= 1.0
+
+
+def test_round6_artifacts_memoized_per_sf(spark, sf_dir):
+    """The round-6 staged artifacts follow the near-jaccard discipline:
+    token sets, ANN band relation, and the PQ codebook all pin exactly one
+    copy per (app, sf_dir) and return the identical handle on re-request."""
+    t1, t2 = dedup._token_sets(spark, sf_dir), dedup._token_sets(spark, sf_dir)
+    assert t1 is t2
+    assert t1.storageLevel.useMemory or t1.storageLevel.useDisk
+    b1, b2 = similarity._pair_bands(spark, sf_dir), similarity._pair_bands(
+        spark, sf_dir
+    )
+    assert b1 is b2
+    c1 = similarity._train_pq_codebooks(spark, sf_dir)
+    c2 = similarity._train_pq_codebooks(spark, sf_dir)
+    assert c1 is c2  # cached dict, not a retrained equal copy
