@@ -104,6 +104,7 @@ EXTENDED = [
     "dedup_minhash_est_quality",
     "sim_topk_pq",
     "sim_pq_recall_eval",
+    "sim_topk_ivfpq",
 ]
 
 

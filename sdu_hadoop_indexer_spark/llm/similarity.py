@@ -1719,14 +1719,18 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     return cents
 
 
-def _pq_train_parts() -> tuple[list[str], str]:
+def _pq_train_parts(p: str = "") -> tuple[list[str], str]:
     """Shared CTE prefix of the PQ oracles: quantize + subspace-tag →
     PQ_ITERS unrolled Lloyd rounds keyed by (sub, cell), empty (cell, sub)
     pairs carrying forward — the `_ivf_train_parts` pattern with the
-    subspace key threaded through."""
+    subspace key threaded through. ``p`` prefixes every CTE name so the
+    IVFPQ composite can embed these rounds next to the IVF trainer's
+    without alias collisions (empty prefix = the standalone PQ oracles,
+    and the leading WITH, byte-identical to before)."""
+    lead = "WITH " if not p else ""
     parts = [
         f"""
-    WITH qv AS MATERIALIZED (
+    {lead}{p}qv AS MATERIALIZED (
         SELECT vec_id, CAST(dim AS INTEGER) AS dim,
                CAST(floor(CAST(dim * {PQ_M} AS DOUBLE) / n) AS INTEGER)
                    AS sub,
@@ -1736,39 +1740,40 @@ def _pq_train_parts() -> tuple[list[str], str]:
                      unnest(embedding) AS v
               FROM embeddings)
     ),
-    c0 AS (SELECT vec_id AS cell, dim, sub, q AS m
-           FROM qv WHERE vec_id < {PQ_K})"""
+    {p}c0 AS (SELECT vec_id AS cell, dim, sub, q AS m
+           FROM {p}qv WHERE vec_id < {PQ_K})"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for k in range(1, PQ_ITERS + 1):
         parts.append(
             f""",
-    a{k} AS MATERIALIZED (
+    {p}a{k} AS MATERIALIZED (
         SELECT vec_id, sub, cell FROM (
             SELECT qv.vec_id, qv.sub, c.cell,
                    row_number() OVER (PARTITION BY qv.vec_id, qv.sub
                        ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
                        AS rk
-            FROM qv JOIN {prev} c USING (dim)
+            FROM {p}qv qv JOIN {prev} c USING (dim)
             GROUP BY qv.vec_id, qv.sub, c.cell
         ) WHERE rk = 1
     ),
-    cm{k} AS MATERIALIZED (
+    {p}cm{k} AS MATERIALIZED (
         SELECT a.cell, qv.dim, qv.sub,
                CAST(round(CAST(sum(qv.q) AS DOUBLE) / count(*)) AS BIGINT)
                    AS m
-        FROM a{k} a JOIN qv ON qv.vec_id = a.vec_id AND qv.sub = a.sub
+        FROM {p}a{k} a JOIN {p}qv qv
+          ON qv.vec_id = a.vec_id AND qv.sub = a.sub
         GROUP BY a.cell, qv.dim, qv.sub
     ),
-    c{k} AS MATERIALIZED (
-        SELECT * FROM cm{k}
+    {p}c{k} AS MATERIALIZED (
+        SELECT * FROM {p}cm{k}
         UNION ALL
-        SELECT p.cell, p.dim, p.sub, p.m FROM {prev} p
-        WHERE NOT EXISTS (SELECT 1 FROM cm{k} x
-                          WHERE x.cell = p.cell AND x.sub = p.sub)
+        SELECT pp.cell, pp.dim, pp.sub, pp.m FROM {prev} pp
+        WHERE NOT EXISTS (SELECT 1 FROM {p}cm{k} x
+                          WHERE x.cell = pp.cell AND x.sub = pp.sub)
     )"""
         )
-        prev = f"c{k}"
+        prev = f"{p}c{k}"
     return parts, prev
 
 
@@ -1937,4 +1942,146 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_hit"),
             ratio(F.count("hit"), F.count("*")).alias("recall"),
         )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of the full IVFPQ index: the IVF trainer's unrolled
+    Lloyd rounds (coarse cells) + the PQ trainer's (prefixed `z`) in ONE
+    WITH chain, then probe→candidate pruning from IVF and ADC scoring
+    from PQ — candidates outside the probed cells are never scored,
+    exactly like the Spark side."""
+    iparts, iprev = _ivf_train_parts()
+    pparts, pprev = _pq_train_parts("z")
+    tail = f""",
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
+                       AS rk
+            FROM qv JOIN {iprev} c USING (dim)
+            WHERE qv.vec_id < {N_QUERIES}
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk <= {N_PROBE}
+    ),
+    icand AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
+                       AS rk
+            FROM qv JOIN {iprev} c USING (dim)
+            WHERE qv.vec_id >= {N_QUERIES}
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    ),
+    pcodes AS (
+        SELECT vec_id, sub, cell FROM (
+            SELECT qv.vec_id, qv.sub, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id, qv.sub
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
+                       AS rk
+            FROM zqv qv JOIN {pprev} c USING (dim)
+            WHERE qv.vec_id >= {N_QUERIES}
+            GROUP BY qv.vec_id, qv.sub, c.cell
+        ) WHERE rk = 1
+    ),
+    plut AS (
+        SELECT qv.vec_id AS query_id, qv.sub, c.cell,
+               sum((qv.q - c.m) * (qv.q - c.m)) AS d2
+        FROM zqv qv JOIN {pprev} c USING (dim)
+        WHERE qv.vec_id < {N_QUERIES}
+        GROUP BY qv.vec_id, qv.sub, c.cell
+    ),
+    ppairs AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probes p JOIN icand a USING (cell)
+    ),
+    adc AS (
+        SELECT pr.query_id, pr.neighbor_id,
+               CAST(sum(l.d2) AS BIGINT) AS adc_d2
+        FROM ppairs pr
+        JOIN pcodes k ON k.vec_id = pr.neighbor_id
+        JOIN plut l ON l.query_id = pr.query_id
+                   AND l.sub = k.sub AND l.cell = k.cell
+        GROUP BY pr.query_id, pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, rn FROM (
+        SELECT query_id, neighbor_id, adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {TOP_K}"""
+    return "".join(iparts) + "," + "".join(pparts) + tail
+
+
+@register("sim_topk_ivfpq", oracle=_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN index — the architecture billion-scale
+    deployments actually serve (FAISS `IVFxx,PQyy`): the IVF coarse
+    quantizer prunes each query to its N_PROBE nearest inverted lists,
+    and candidates in those lists are scored by the PQ ADC lookup instead
+    of a full-width distance — so query cost is (lists probed) ×
+    (PQ_M table lookups per candidate), independent of both corpus size
+    and embedding width.
+
+    Pure composition of the two registered trainers (`sim_topk_ivf`'s
+    lattice k-means and `sim_topk_pq`'s per-subspace codebooks, both
+    cached per (app, sf)); the oracle chains both trainers' unrolled CTE
+    rounds in one WITH (PQ's prefixed `z`) and prunes before scoring
+    exactly as the engine does. All-integer arithmetic end to end —
+    EXACT. Scale shape: probe/assign are map-side against broadcast
+    literals; the only joins are cell-keyed candidate pruning and the
+    broadcast LUT — the corpus is never read at full width at query
+    time."""
+    icents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    qvec = _ivf_qvec("embedding")
+    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _ivf_assign(qvec, icents).alias("cell"),
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(_ivf_dist2_arr(qvec, icents)).alias("cell", "d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+    pairs = F.broadcast(probes).join(cand, "cell").select(
+        "query_id", "neighbor_id"
+    )
+    pqc = _train_pq_codebooks(spark, sf_dir)
+    d2 = _pq_d2(_pq_qe(spark, sf_dir), _pq_centroid_df(spark, pqc))
+    codes = _pq_argmin(d2.where(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "sub",
+        F.col("cell").alias("pcell"),
+    )
+    lut = d2.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cell").alias("pcell"),
+        "d2",
+    )
+    adc = (
+        pairs.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "pcell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rn")
     )

@@ -752,6 +752,39 @@ def test_pq_topk_ranking_invariants(spark, sf_dir):
         assert len({r.neighbor_id for r in rs}) == len(rs)
 
 
+def test_ivfpq_ranking_and_adc_consistency(spark, sf_dir):
+    """`sim_topk_ivfpq`: per-query rn dense from 1 with ≤ TOP_K rows (IVF
+    pruning may leave fewer candidates), ADC distances non-decreasing,
+    neighbors disjoint from the query set and unique; and for any
+    (query, neighbor) pair the composite shares with pure `sim_topk_pq`,
+    the ADC distance must be bit-identical — the composite changes WHICH
+    candidates are scored (IVF pruning), never HOW they are scored."""
+    rows = similarity.sim_topk_ivfpq(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id >= similarity.N_QUERIES
+        assert r.adc_d2 >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == similarity.N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        assert 1 <= len(rs) <= similarity.TOP_K
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo.adc_d2 <= hi.adc_d2
+        assert len({r.neighbor_id for r in rs}) == len(rs)
+    pq_adc = {
+        (r.query_id, r.neighbor_id): r.adc_d2
+        for r in similarity.sim_topk_pq(spark, sf_dir).collect()
+    }
+    shared = [
+        r for r in rows if (r.query_id, r.neighbor_id) in pq_adc
+    ]
+    assert shared, "composite and pure PQ should overlap on some pairs"
+    for r in shared:
+        assert r.adc_d2 == pq_adc[(r.query_id, r.neighbor_id)]
+
+
 def test_pq_codebooks_deterministic_and_on_lattice(spark):
     """The PQ trainer must be a pure function of the corpus: two training
     runs return identical integer codebooks covering every (cell, dim)."""
