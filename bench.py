@@ -105,6 +105,7 @@ EXTENDED = [
     "sim_topk_pq",
     "sim_pq_recall_eval",
     "sim_topk_ivfpq",
+    "sim_ivfpq_recall_eval",
 ]
 
 

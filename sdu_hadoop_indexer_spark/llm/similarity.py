@@ -2085,3 +2085,91 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", "rn")
     )
+
+
+def _ivfpq_recall_oracle() -> str:
+    """Exact integer-L2 ground truth on the lattice vs the registered
+    IVFPQ oracle embedded verbatim as a WITH-subquery — recall@k here
+    bounds the COMBINED loss (coarse-probe pruning + PQ coding), the
+    end-to-end number an `IVFx,PQy` deployment actually serves under."""
+    from ..operators.parity import sql_ratio
+
+    return f"""
+    WITH qx AS MATERIALIZED (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(round(CAST(v AS DOUBLE) * {IVF_SCALE}) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings)
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY sum((a.q - b.q) * (a.q - b.q)), b.vec_id)
+                       AS rn
+            FROM qx a JOIN qx b USING (dim)
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+            GROUP BY a.vec_id, b.vec_id
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_ratio("count(a.neighbor_id)", "count(*)")} AS recall
+    FROM exact e
+    LEFT JOIN ({_ivfpq_oracle()}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("sim_ivfpq_recall_eval", oracle=_ivfpq_recall_oracle())
+def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ acceptance gate: per-query recall@k of the composite index
+    against the EXACT integer-L2 top-k over the same lattice — the
+    end-to-end serving-quality number, bounding coarse-probe loss (a
+    true neighbor living in an unprobed cell) PLUS coding loss (ADC
+    misranking inside probed cells) together. Same composition
+    discipline as `sim_pq_recall_eval`: the approximate side IS the
+    registered `sim_topk_ivfpq`; the exact side is the brute-force
+    integer-L2 ranking that exists only to grade it at validation scale.
+
+    Scale shape: identical to the PQ gate — ground truth is an integer
+    hash-agg over queries×corpus (validation-sized by construction);
+    everything downstream is a broadcast of the k-bounded approximate
+    result."""
+    qe = _pq_qe(spark, sf_dir)
+    a = qe.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qa")
+    )
+    b = qe.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "dim", F.col("q").alias("qb")
+    )
+    d2 = (
+        b.join(F.broadcast(a), "dim")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = sim_topk_ivfpq(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.count("hit").alias("n_hit"),
+            ratio(F.count("hit"), F.count("*")).alias("recall"),
+        )
+    )

@@ -829,6 +829,14 @@ def test_pq_recall_high_on_clustered_corpus(spark, tmp_path):
     rows = similarity.sim_pq_recall_eval(spark, d).collect()
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.8, f"clustered-corpus PQ recall {mean_recall}"
+    # the composite must ALSO clear the bar here: planted copies sit on
+    # top of their query, so the coarse quantizer puts them in the probed
+    # cell and ADC ranks them far below random — end-to-end recall holds
+    ivfpq = similarity.sim_ivfpq_recall_eval(spark, d).collect()
+    assert all(r.k_exact == similarity.TOP_K for r in ivfpq)
+    assert all(0.0 <= r.recall <= 1.0 for r in ivfpq)
+    mean_ivfpq = sum(r.recall for r in ivfpq) / len(ivfpq)
+    assert mean_ivfpq >= 0.8, f"clustered-corpus IVFPQ recall {mean_ivfpq}"
 
 
 def test_normalized_dedup_catches_case_punct_variants(spark, tmp_path):
