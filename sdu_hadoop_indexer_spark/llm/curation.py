@@ -1353,3 +1353,160 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# The 8 required stopwords of the Gopher/MassiveText quality filter
+# (Rae et al. 2021, §A1.1 — also adopted verbatim by RefinedWeb and Dolma):
+# a document must contain at least 2 of them to pass the "stop word" rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_oracle() -> str:
+    stop_hits = " + ".join(
+        f"(CASE WHEN contains(norm, ' {w} ') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   AS words,
+               list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+                   AS lines,
+               ' ' || trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) || ' '
+                   AS norm,
+               (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3
+                   AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(greatest(1, len(lines)) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(trim(x), '^[-*•]')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines,
+                    x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                    AS BIGINT) AS n_ellipsis,
+               CAST(n_symbols AS BIGINT) AS n_symbols,
+               CAST({stop_hits} AS BIGINT) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_words, n_stop,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AS ok_word_count,
+           (sum_len BETWEEN 3 * n_words AND 10 * n_words)
+               AS ok_mean_word_len,
+           (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+           (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+           (10 * n_ellipsis <= 3 * n_lines) AS ok_ellipsis,
+           (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (sum_len BETWEEN 3 * n_words AND 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ellipsis <= 3 * n_lines)
+            AND (5 * n_alpha >= 4 * n_words)
+            AND (n_stop >= 2)) AS ok_gopher
+    FROM m
+    """
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@register("llm_gopher_rules", oracle=_gopher_oracle())
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules (Rae et al. 2021 §A1.1 — the
+    published heuristic battery RefinedWeb and Dolma reuse): word count
+    in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (\"#\" and \"...\") <= 0.1, <=90% of lines bullet-started, <=30%
+    ellipsis-ended, >=80% of words containing an alphabetic character,
+    and >=2 of the 8 required stopwords present.
+
+    Every rule is an INTEGER comparison (e.g. mean-word-length in [3,10]
+    becomes `3*n <= sum_len <= 10*n`), so the op is EXACT with no ratio
+    quantization anywhere. One narrow map over `documents` — no shuffle,
+    no UDF; at 100 TB this is the same map-side-only shape as
+    `text_quality_stats` and composes with `llm_curation_pipeline` as a
+    pre-filter."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(
+        F.split("text", "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                r"\s+",
+                " ",
+            )
+        ),
+        F.lit(" "),
+    )
+    n_symbols = (
+        F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    ) + (
+        F.length("text")
+        - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(F.contains(norm, F.lit(f" {w} ")), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    m = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(words, lambda x: x.rlike("[a-zA-Z]"))
+        ).cast("long").alias("n_alpha"),
+        F.greatest(F.lit(1), F.size(lines)).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda x: F.trim(x).rlike("^[-*•]"))
+        ).cast("long").alias("n_bullet"),
+        F.size(
+            F.filter(
+                lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")
+            )
+        ).cast("long").alias("n_ellipsis"),
+        n_symbols.cast("long").alias("n_symbols"),
+        stop_hits.cast("long").alias("n_stop"),
+    )
+    ok_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = F.col("sum_len").between(
+        3 * F.col("n_words"), 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    ok_bul = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    ok_ell = 10 * F.col("n_ellipsis") <= 3 * F.col("n_lines")
+    ok_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_stop",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bul.alias("ok_bullets"),
+        ok_ell.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
+        ).alias("ok_gopher"),
+    )

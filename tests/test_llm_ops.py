@@ -921,3 +921,64 @@ def test_round6_artifacts_memoized_per_sf(spark, sf_dir):
     c1 = similarity._train_pq_codebooks(spark, sf_dir)
     c2 = similarity._train_pq_codebooks(spark, sf_dir)
     assert c1 is c2  # cached dict, not a retrained equal copy
+
+
+def test_gopher_rules_trip_each_heuristic(spark, tmp_path):
+    """Craft one document per Gopher rule violation and one clean passer;
+    each crafted doc must fail exactly its targeted rule (the clean doc
+    passing all seven proves the thresholds compose)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and that pattern "
+        "repeats with more words to have enough of them here now. "
+    ) * 3
+    docs = {
+        # 0: clean passer
+        0: good,
+        # 1: too few words
+        1: "The cat sat with the dog and that was of it to be.",
+        # 2: mean word length out of range (all 1-char words)
+        2: "a " * 60 + "the be to of and that have with",
+        # 3: symbol-heavy (many #)
+        3: good + " " + "# " * 40,
+        # 4: bullet lines dominate
+        4: "\n".join(f"- item {i} of the list to be" for i in range(20)),
+        # 5: ellipsis-ended lines dominate
+        5: "\n".join(
+            f"the line {i} of text that trails off..." for i in range(10)
+        ),
+        # 6: words without alphabetic characters dominate
+        6: good + " " + "123 456 789 " * 30,
+        # 7: stopword-free (but otherwise plausible prose)
+        7: "zebra quokka lemur " * 30,
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(docs[k]) for k in sorted(docs)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in curation.llm_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].ok_gopher
+    assert not rows[1].ok_word_count
+    assert not rows[2].ok_mean_word_len
+    assert not rows[3].ok_symbol_ratio
+    assert not rows[4].ok_bullets
+    assert not rows[5].ok_ellipsis
+    assert not rows[6].ok_alpha_words
+    assert not rows[7].ok_stopwords
+    for k in range(1, 8):
+        assert not rows[k].ok_gopher
