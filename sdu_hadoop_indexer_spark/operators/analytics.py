@@ -2245,3 +2245,117 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("credit"),
     )
+
+
+KS_TYPE_A = "purchase"
+KS_TYPE_B = "click"
+KS_PARTS = 8
+
+
+@register(
+    "agg_ks_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia
+        FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ),
+    g AS (
+        SELECT v, CAST(sum(ia) AS BIGINT) AS c1,
+               CAST(sum(1 - ia) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT sum(c1) OVER (ORDER BY v) AS i,
+               sum(c2) OVER (ORDER BY v) AS j
+        FROM g
+    ),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+                 CAST(sum(c2) AS BIGINT) AS m FROM g)
+    SELECT t.n, t.m,
+           CAST(max(abs(c.i * t.m - c.j * t.n)) AS BIGINT) AS d_num,
+           {sql_ratio("max(abs(c.i * t.m - c.j * t.n))", "t.n * t.m", 6)}
+               AS d_stat
+    FROM c, t
+    GROUP BY t.n, t.m
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the `{A}` and `{B}` value
+    distributions — the standard distribution-drift test a pipeline runs
+    before accepting a new data source against a reference sample.
+
+    EXACT by integer arithmetic: at every merged-sample point,
+    |F1(x) − F2(x)| = |i·m − j·n| / (n·m) with i, j the cumulative counts
+    — so D's numerator is a pure int64 max and only the final report
+    quantizes (6 dp).
+
+    Scale shape: per-value partial counts (one hash agg) → range-bucketed
+    cumulative sums (the `llm_global_sort_index` two-phase form: pivots
+    from a deterministic percentile sketch, per-bucket window cumsum +
+    driver prefix offsets of ≤ KS_PARTS longs) → one global max agg. The
+    oracle's `sum() OVER (ORDER BY v)` total order would serialize into
+    one task; every exchange here is bucket-parallel at any scale."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    g = (
+        e.select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == KS_TYPE_A, 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ia").cast("long").alias("c1"),
+            F.sum(1 - F.col("ia")).cast("long").alias("c2"),
+        )
+    )
+    pcts = [i / KS_PARTS for i in range(1, KS_PARTS)]
+    pivots = g.agg(
+        F.percentile_approx("v", pcts, 10_000).alias("p")
+    ).first()["p"]
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(F.col("v") > F.lit(pv), 1).otherwise(0)
+    b = g.withColumn("_b", bexpr)
+    offs = sorted(
+        b.groupBy("_b")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect()
+    )
+    off1, off2, a1, a2 = {}, {}, 0, 0
+    for r in offs:
+        off1[r._b], off2[r._b] = a1, a2
+        a1 += r.s1
+        a2 += r.s2
+    n, m = a1, a2  # sample sizes, known exactly from the offset pass
+    def _off(d: dict) -> F.Column:
+        return F.coalesce(
+            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in d.items()],
+            F.lit(0),
+        ) if d else F.lit(0)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        (_off(off1) + F.sum("c1").over(w)).alias("i"),
+        (_off(off2) + F.sum("c2").over(w)).alias("j"),
+    )
+    d_num = F.max(
+        F.abs(F.col("i") * F.lit(m) - F.col("j") * F.lit(n))
+    )
+    return c.agg(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(m).cast("long").alias("m"),
+        d_num.cast("long").alias("d_num"),
+        ratio(d_num, F.lit(n * m), 6).alias("d_stat"),
+    )
+
+
+agg_ks_test.__doc__ = agg_ks_test.__doc__.replace("{A}", KS_TYPE_A).replace(
+    "{B}", KS_TYPE_B
+)

@@ -298,3 +298,53 @@ def test_attribution_position_credit_conserves(spark, sf_dir):
     n_conv_lower = max(r.n_conversions for r in rows)
     assert total_credit <= n_touches  # sanity: credit never exceeds touches
     assert total_credit >= n_conv_lower - n_touches * 1e-6 - 0.01
+
+
+def test_ks_test_zero_on_identical_one_on_disjoint(spark, tmp_path):
+    """KS D must be exactly 0 for identical sample multisets and exactly
+    1 (d_num = n·m) for completely separated ranges — the two closed-form
+    endpoints of the statistic, checked on crafted events fixtures."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+        agg_ks_test,
+    )
+
+    def write(dirname, vals_a, vals_b):
+        n = len(vals_a) + len(vals_b)
+        t0 = dt.datetime(2024, 1, 1)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(seconds=i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(
+                    [KS_TYPE_A] * len(vals_a) + [KS_TYPE_B] * len(vals_b),
+                    pa.string(),
+                ),
+                "value": pa.array(vals_a + vals_b, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    base = [float(x) for x in (1, 2, 2, 3, 5, 8, 13)]
+    same = write("same", base, list(base))
+    r = agg_ks_test(spark, same).collect()[0]
+    assert (r.n, r.m) == (7, 7)
+    assert r.d_num == 0 and r.d_stat == 0.0
+
+    apart = write("apart", base, [x + 100.0 for x in base])
+    r = agg_ks_test(spark, apart).collect()[0]
+    assert r.d_num == r.n * r.m and r.d_stat == 1.0
