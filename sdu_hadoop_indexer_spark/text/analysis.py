@@ -591,3 +591,150 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentences",
         (F.round(cli, 4) + F.lit(0.0)).alias("cli"),
     )
+
+
+WINNOW_K = 5  # char k-gram width
+WINNOW_W = 4  # winnowing window (consecutive gram hashes)
+
+
+def _winnow_oracle() -> str:
+    from ..operators.parity import sql_ratio
+    from ..xhash import XH_P, xh1_sql
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(length(norm) - {k - 1} AS BIGINT) AS n_grams,
+               CAST(p AS BIGINT) AS p,
+               {xh1_sql(f"substr(norm, p + 1, {k})")} AS h
+        FROM (SELECT doc_id, norm,
+                     unnest(range(length(norm) - {k - 1})) AS p
+              FROM d WHERE length(norm) >= {k + w - 1})
+    ),
+    wins AS (
+        SELECT doc_id, n_grams, i,
+               min(h * 8 + ({w - 1} - (p - i))) AS mk
+        FROM (SELECT doc_id, n_grams, p, h,
+                     unnest(range(greatest(0, p - {w - 1}),
+                                  least(p, n_grams - {w}) + 1)) AS i
+              FROM g)
+        GROUP BY doc_id, n_grams, i
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, n_grams,
+               i + ({w - 1} - (mk % 8)) AS pos, mk // 8 AS h
+        FROM wins
+    )
+    SELECT doc_id, n_grams,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum((pos + 1) * h) % {XH_P} AS BIGINT) AS fp_check,
+           {sql_ratio("count(*)", f"n_grams - {w - 1}")} AS density
+    FROM sel
+    GROUP BY doc_id, n_grams
+    """
+
+
+@register("text_winnowing", oracle=_winnow_oracle())
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char {k}-gram of the
+    normalized text, slide a window of {w} consecutive hashes, record the
+    window minimum (rightmost on ties); the guarantee is that any match
+    of length ≥ w + k − 1 shares a fingerprint, at ~2/(w+1) the density
+    of full k-gram hashing.
+
+    The rightmost-min-per-window selection is relational: each gram row
+    fans out to the ≤{w} windows containing it carrying an encoded key
+    `h·8 + (w−1−offset)` whose per-window MIN simultaneously picks the
+    smallest hash AND the rightmost position (smaller offset complement =
+    larger offset); decode, distinct, and reduce to a per-doc profile
+    (count, order-free checksum, density). Portable char-fold hashes
+    (`xhash.xh1`) keep both engines bit-identical.
+
+    Scale shape: map-side fan-out of factor {w} (explode, no join), ONE
+    (doc, window)-keyed hash agg, one distinct, one doc-keyed agg — all
+    shuffles are doc-local keys; no all-pairs stage anywhere. The full
+    (doc, pos, hash) selection relation — what a plagiarism index would
+    sink — exists as the `sel` stage; the registered output is its
+    compact per-doc reduction."""
+    from ..xhash import XH_P
+
+    sel = winnow_selection(spark, sf_dir)
+    w = WINNOW_W
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        (F.sum((F.col("pos") + 1) * F.col("h")) % XH_P)
+        .cast("long")
+        .alias("fp_check"),
+        ratio(F.count("*"), F.first("n_grams") - (w - 1)).alias("density"),
+    )
+
+
+def winnow_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full winnowed (doc_id, pos, h) selection relation — what a
+    plagiarism/overlap index sinks; `text_winnowing` reduces it to the
+    per-doc profile. Kept public so tests can pin the containment
+    guarantee (any ≥ w+k−1 char match shares a fingerprint)."""
+    from ..xhash import xh1
+
+    k, w = WINNOW_K, WINNOW_W
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                r"\s+",
+                " ",
+            )
+        ).alias("norm"),
+    ).where(F.length("norm") >= k + w - 1)
+    g = d.select(
+        "doc_id",
+        (F.length("norm") - (k - 1)).cast("long").alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(0), F.length("norm") - k)
+        ).alias("p"),
+        "norm",
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("p").cast("long").alias("p"),
+        xh1(F.substring("norm", F.col("p") + 1, k)).alias("h"),
+    )
+    wins = (
+        g.select(
+            "doc_id",
+            "n_grams",
+            "p",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("p") - (w - 1)),
+                    F.least(F.col("p"), F.col("n_grams") - w),
+                )
+            ).alias("i"),
+        )
+        .groupBy("doc_id", "n_grams", "i")
+        .agg(
+            F.min(
+                F.col("h") * 8 + ((w - 1) - (F.col("p") - F.col("i")))
+            ).alias("mk")
+        )
+    )
+    return wins.select(
+        "doc_id",
+        "n_grams",
+        (F.col("i") + ((w - 1) - F.col("mk") % 8)).alias("pos"),
+        F.expr("mk div 8").alias("h"),
+    ).distinct()
+
+
+text_winnowing.__doc__ = text_winnowing.__doc__.replace(
+    "{k}", str(WINNOW_K)
+).replace("{w}", str(WINNOW_W))

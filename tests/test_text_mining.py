@@ -49,3 +49,47 @@ def test_countmin_never_underestimates_and_bounded(spark, sf_dir):
     for term, e in est.items():
         assert e >= truth[term], (term, e, truth[term])
         assert e - truth[term] <= 4 * total / mining.CMS_WIDTH, (term, e, truth[term])
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The MOSS guarantee: two documents sharing a substring of length
+    ≥ w + k − 1 normalized chars MUST share at least one selected
+    fingerprint hash; and selection density on prose sits near the
+    published 2/(w+1) expectation (loosely bounded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.text.analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnowing,
+        winnow_selection,
+    )
+
+    shared = "the winnowing guarantee holds for every long enough match"
+    texts = [
+        "completely unrelated preamble material here " + shared,
+        shared + " followed by a different unrelated trailing section",
+        "nothing in common with either of the other two documents at all",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    d = str(tmp_path)
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    sel: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in winnow_selection(spark, d).collect():
+        sel[r.doc_id].add(r.h)
+    assert sel[0] & sel[1], "docs sharing a long run must share a fingerprint"
+    prof = {r.doc_id: r for r in text_winnowing(spark, d).collect()}
+    for r in prof.values():
+        assert r.n_fp >= 1
+        expected = 2.0 / (WINNOW_W + 1)
+        assert 0.5 * expected <= r.density <= 3.0 * expected
