@@ -304,3 +304,44 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+def _q14_sql() -> str:
+    from .operators.parity import sql_ratio
+
+    return f"""
+    WITH l AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev4 ELSE 0 END)
+                AS BIGINT) AS promo_rev4,
+           CAST(sum(rev4) AS BIGINT) AS total_rev4,
+           {sql_ratio(
+               "sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev4 ELSE 0 END)",
+               "sum(rev4)",
+           )} AS promo_share
+    FROM l
+    """
+
+
+@register("sql_promo_revenue", oracle=_q14_sql())
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion-revenue share) as pure SQL text, made
+    EXACT by integer money: `price·(1−disc)` becomes
+    `cents(price) · (100 − pct(disc))` — an int64 in 10⁻⁴-dollar units —
+    so both engines sum integers and only the final share quantizes
+    through the shared boundary-proof ratio (no float-sum ordering
+    divergence, unlike the literal TPC-H text).
+
+    Plan lifecycle: the one-month predicate pushes into the lineitem
+    scan, `part` broadcasts under AQE (dimension-sized), and the whole
+    query reduces map-side to one 2-long partial per task — the classic
+    star-join probe at any scale. Identical SQL text runs on both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q14_sql())

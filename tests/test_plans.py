@@ -710,3 +710,14 @@ def test_minhash_incremental_no_distinct_no_cartesian(spark, sf_dir):
     import re
 
     assert not re.search(r"HashAggregate\(keys=\[new_doc[^\]]*dup_of", plan)
+
+
+def test_q14_pushdown_and_broadcast(spark, sf_dir):
+    """Q14's month window must reach the lineitem parquet scan as a pushed
+    filter and the part dimension must broadcast — the star-join probe
+    shape that keeps the query map-side at any corpus size."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_promo_revenue
+
+    plan = _formatted(sql_promo_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[-1][:500]
