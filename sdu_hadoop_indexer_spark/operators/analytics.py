@@ -2359,3 +2359,94 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_ks_test.__doc__ = agg_ks_test.__doc__.replace("{A}", KS_TYPE_A).replace(
     "{B}", KS_TYPE_B
 )
+
+
+@register(
+    "win_pattern_vshape",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    s AS (
+        SELECT user_id, value,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_vshapes,
+           min(v1) AS deepest_dip
+    FROM s
+    WHERE v1 < value AND v1 < v2
+    GROUP BY user_id
+    """,
+)
+def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection, the
+    drop-then-recover "V": three consecutive events per user (ordered by
+    ts, event_id) where the middle value is a strict local minimum —
+    the SQL:2016 `PATTERN (A B C)` row-pattern shape expressed with the
+    primitives Spark has (two `lead`s + a filter), since Spark lacks
+    MATCH_RECOGNIZE.
+
+    EXACT: only comparisons and a min over raw parquet doubles — no
+    float arithmetic to diverge. Scale shape: one user-partitioned
+    window (co-partitioned with every other per-user analytic — the
+    sessionize/funnel shuffle reused), then a user-keyed hash agg;
+    pattern matching never leaves the user's partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            F.lead("value", 1).over(w).alias("v1"),
+            F.lead("value", 2).over(w).alias("v2"),
+        )
+        .where((F.col("v1") < F.col("value")) & (F.col("v1") < F.col("v2")))
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_vshapes"),
+        F.min("v1").alias("deepest_dip"),
+    )
+
+
+@register(
+    "events_concentration_hhi",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cu
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cu) AS BIGINT) AS n_events,
+           {sql_ratio("sum(cu * cu)", "sum(cu) * sum(cu)", 6)} AS hhi
+    FROM c
+    GROUP BY event_type
+    """,
+)
+def events_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman activity-concentration index per event type —
+    the standard "is this traffic a few whales or a broad base" KPI
+    (HHI = Σᵤ shareᵤ² ; 1/n_users for a uniform base, →1 for a single
+    dominant user). The same number a data pipeline reads as key-skew
+    risk before a user-keyed shuffle.
+
+    EXACT: HHI = Σcᵤ²/N² is a pure int64 quotient, quantized only in the
+    final 6-dp report. Scale shape: two stacked hash aggs — per
+    (type,user) partial counts, then a types-sized reduce; both
+    map-side-combinable, output bounded by the type vocabulary."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cu").cast("long").alias("n_events"),
+        ratio(
+            F.sum(F.col("cu") * F.col("cu")),
+            F.sum("cu") * F.sum("cu"),
+            6,
+        ).alias("hhi"),
+    )

@@ -348,3 +348,66 @@ def test_ks_test_zero_on_identical_one_on_disjoint(spark, tmp_path):
     apart = write("apart", base, [x + 100.0 for x in base])
     r = agg_ks_test(spark, apart).collect()[0]
     assert r.d_num == r.n * r.m and r.d_stat == 1.0
+
+
+def _write_events(tmp_path, dirname, rows):
+    """rows = list of (user_id, event_type, value); ts increments 1 s."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(seconds=i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / dirname
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_vshape_pattern_counts_local_minima(spark, tmp_path):
+    """Crafted per-user sequences with known strict-local-minimum counts:
+    user 0 traces 5→1→4→2→6 (two Vs), user 1 is monotone (none), user 2
+    has a flat middle 3→3→5 (strictness excludes it)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        win_pattern_vshape,
+    )
+
+    rows = (
+        [(0, "view", v) for v in (5.0, 1.0, 4.0, 2.0, 6.0)]
+        + [(1, "view", v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [(2, "view", v) for v in (3.0, 3.0, 5.0)]
+    )
+    d = _write_events(tmp_path, "vshape", rows)
+    got = {r.user_id: r for r in win_pattern_vshape(spark, d).collect()}
+    assert set(got) == {0}
+    assert got[0].n_vshapes == 2
+    assert got[0].deepest_dip == 1.0
+
+
+def test_hhi_closed_form_endpoints(spark, tmp_path):
+    """HHI = 1.0 when one user owns all events of a type; 1/n for a
+    perfectly uniform base of n users."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_concentration_hhi,
+    )
+
+    rows = [(7, "whale", float(i)) for i in range(10)] + [
+        (u, "uniform", float(u)) for u in range(4)
+    ]
+    d = _write_events(tmp_path, "hhi", rows)
+    got = {r.event_type: r for r in events_concentration_hhi(spark, d).collect()}
+    assert got["whale"].hhi == 1.0 and got["whale"].n_users == 1
+    assert got["uniform"].hhi == 0.25 and got["uniform"].n_users == 4
