@@ -1727,3 +1727,42 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("docs_kept"), F.col("docs_in")).alias("doc_keep_rate"),
         ratio(F.col("chars_kept"), F.col("chars_in")).alias("char_keep_rate"),
     )
+
+
+@register(
+    "graph_component_sizes",
+    oracle=f"""
+    WITH {_cluster_labels_sql()},
+    sizes AS (
+        SELECT cluster_rep, CAST(count(*) AS BIGINT) AS sz
+        FROM labels GROUP BY cluster_rep
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution of the near-dup graph — the
+    dedup audit's headline histogram ("how big do duplicate clusters
+    get"): for each component size, how many clusters have it and how
+    many documents they absorb. Σ n_docs = corpus size is the
+    conservation check; a heavy tail here is what motivates
+    `dedup_cluster_keep_best`'s per-cluster ranking.
+
+    Pure composition: consumes the registered `dedup_minhash_cluster`
+    assignment (memoized per (app, sf) — the iterative CC never re-runs
+    when both ops execute in one session) and reduces it with two
+    stacked hash aggs, each output-bounded (clusters, then distinct
+    sizes). The oracle reuses the cluster oracle's unrolled min-label
+    CTE chain verbatim."""
+    labels = dedup_minhash_cluster(spark, sf_dir)
+    sizes = labels.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return sizes.groupBy("sz").agg(
+        F.col("sz").alias("cluster_size"),
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
+    ).select("cluster_size", "n_clusters", "n_docs")

@@ -982,3 +982,14 @@ def test_gopher_rules_trip_each_heuristic(spark, tmp_path):
     assert not rows[7].ok_stopwords
     for k in range(1, 8):
         assert not rows[k].ok_gopher
+
+
+def test_component_sizes_conserve_corpus(spark, sf_dir):
+    """Σ n_docs over the size distribution must equal the corpus size, and
+    each row must satisfy n_docs = cluster_size · n_clusters."""
+    rows = dedup.graph_component_sizes(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
