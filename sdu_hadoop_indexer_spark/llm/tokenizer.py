@@ -227,3 +227,81 @@ def _bpe_encode_oracle() -> str:
 @register("llm_bpe_encode", oracle=_bpe_encode_oracle())
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(spark, sf_dir)
+
+
+def _fertility_oracle() -> str:
+    from ..operators.parity import sql_ratio
+
+    chain, final = _bpe_chain_sql()
+    return f"""
+    WITH {chain},
+    enc AS (
+        SELECT word,
+               CAST(len(string_split(trim(ss, '|'), '||')) AS BIGINT)
+                   AS n_symbols,
+               CAST(length(word) AS BIGINT) AS n_chars
+        FROM {final}
+    ),
+    wl AS (
+        SELECT d.lang, t.term AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM tok t JOIN documents d USING (doc_id)
+        WHERE NOT contains(t.term, '|')
+        GROUP BY d.lang, t.term
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(sum(freq * n_symbols) AS BIGINT) AS n_bpe,
+           {sql_ratio("sum(freq * n_symbols)", "sum(freq)")} AS fertility,
+           {sql_ratio("sum(freq * n_chars)", "sum(freq * n_symbols)")}
+               AS chars_per_symbol
+    FROM wl JOIN enc USING (word)
+    GROUP BY lang
+    """
+
+
+@register("llm_tokenizer_fertility", oracle=_fertility_oracle())
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE symbols emitted per word
+    occurrence (and chars per symbol, its compression dual): THE number a
+    multilingual pretraining run budgets by, since a language with 2×
+    fertility pays 2× the sequence length for the same text. Computed
+    against this repo's own trained `llm_bpe_train` merges, so the
+    metric moves when the training corpus mix does.
+
+    Pure composition: the encoded vocab (`bpe_encode`, vocab-sized,
+    merge fold replayed over symbols never the corpus) broadcast-joins
+    per-(lang, word) occurrence counts; output is languages-sized. The
+    corpus is scanned once for the counts — never re-folded."""
+    from ..catalog import table
+    from ..operators.parity import ratio
+
+    enc = bpe_encode(spark, sf_dir).select(
+        "word",
+        F.col("n_symbols").cast("long").alias("n_symbols"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wl = (
+        tokenize(spark, sf_dir)
+        .where(~F.col("term").contains("|"))
+        .join(langs, "doc_id")
+        .groupBy("lang", F.col("term").alias("word"))
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        wl.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("n_symbols"))
+            .cast("long")
+            .alias("n_bpe"),
+            ratio(
+                F.sum(F.col("freq") * F.col("n_symbols")), F.sum("freq")
+            ).alias("fertility"),
+            ratio(
+                F.sum(F.col("freq") * F.col("n_chars")),
+                F.sum(F.col("freq") * F.col("n_symbols")),
+            ).alias("chars_per_symbol"),
+        )
+    )

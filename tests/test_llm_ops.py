@@ -993,3 +993,26 @@ def test_component_sizes_conserve_corpus(spark, sf_dir):
         assert r.n_docs == r.cluster_size * r.n_clusters
     total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == total
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    """Fertility ≥ 1 (a word is at least one symbol) and chars/symbol ≥ 1
+    (a symbol never exceeds its word); token totals must reconcile with
+    the corpus token count."""
+    from sdu_hadoop_indexer_spark.llm.tokenizer import (
+        llm_tokenizer_fertility,
+    )
+    from sdu_hadoop_indexer_spark.text.indexer import tokenize
+
+    rows = llm_tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.chars_per_symbol >= 1.0
+        assert r.n_bpe >= r.n_tokens
+    total = (
+        tokenize(spark, sf_dir)
+        .where(~F.col("term").contains("|"))
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == total
