@@ -1766,3 +1766,68 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         (F.col("sz") * F.count("*")).cast("long").alias("n_docs"),
     ).select("cluster_size", "n_clusters", "n_docs")
+
+
+@register(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    nj AS (
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) + 0.0
+                   AS jaccard
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           (da.source <> db.source) AS cross_source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(nj.jaccard) AS max_jaccard
+    FROM nj
+    JOIN documents da ON nj.doc_a = da.doc_id
+    JOIN documents db ON nj.doc_b = db.doc_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit — the leakage matrix a corpus owner
+    reads before mixing sources (and the shape of a train/eval
+    contamination report): for every unordered source pair, how many
+    verified τ=0.9 near-dup pairs span it and the worst similarity.
+    Within-source rows (cross_source = false) are the baseline the
+    cross-source counts are judged against.
+
+    Pure composition: consumes the registered `dedup_near_jaccard` edge
+    relation (memoize-persisted per (app, sf) — the 11 M-pair verify
+    never re-runs in-session) and joins the slim (doc_id, source)
+    projection twice; output is bounded by source-vocabulary², the
+    aggregate order-free (count + max, no float sums)."""
+    nj = dedup_near_jaccard(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        nj.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") != F.col("sb")).alias("cross_source"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

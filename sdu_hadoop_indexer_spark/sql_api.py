@@ -345,3 +345,38 @@ def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     register_views(spark, sf_dir)
     return spark.sql(_q14_sql())
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_rev4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev4
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev4 = (SELECT max(total_rev4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("sql_top_supplier", oracle=_Q15_SQL)
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarter revenue, ALL ties kept
+    via the scalar-subquery max — the part of Q15 that trips naive
+    `LIMIT 1` rewrites) in exact integer money like `sql_promo_revenue`,
+    so revenue equality — the tie predicate itself — is well-defined
+    across engines, which a float sum cannot guarantee.
+
+    Plan lifecycle: the quarter predicate pushes into the lineitem scan;
+    the revenue CTE is one suppliers-sized hash agg; the scalar subquery
+    reduces it to ONE long broadcast back as a filter; the supplier join
+    broadcasts the surviving ≈1-row relation. Identical SQL text on both
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)

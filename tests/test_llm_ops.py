@@ -1016,3 +1016,16 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
         .count()
     )
     assert sum(r.n_tokens for r in rows) == total
+
+
+def test_cross_source_audit_reconciles_with_edge_relation(spark, sf_dir):
+    """Σ n_pairs over the leakage matrix must equal the verified τ=0.9
+    pair count, and every within-source row must carry cross_source=False
+    with source_a == source_b (and ≤, ordered, for cross rows)."""
+    total = dedup.dedup_near_jaccard(spark, sf_dir).count()
+    rows = dedup.dedup_cross_source(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.cross_source == (r.source_a != r.source_b)
+        assert r.max_jaccard >= dedup.JACCARD_TAU
