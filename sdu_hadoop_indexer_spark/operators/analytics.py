@@ -2450,3 +2450,113 @@ def events_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia
+        FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ),
+    g AS (
+        SELECT v, CAST(sum(ia) AS BIGINT) AS c1,
+               CAST(sum(1 - ia) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT c1, c2,
+               coalesce(sum(c1 + c2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM g
+    ),
+    t AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+                 CAST(sum(c2) AS BIGINT) AS m FROM g)
+    SELECT t.n, t.m,
+           CAST(sum(c.c1 * (2 * c.below + c.c1 + c.c2 + 1)) - t.n * (t.n + 1)
+                AS BIGINT) AS u_a_x2,
+           {sql_ratio(
+               "sum(c.c1 * (2 * c.below + c.c1 + c.c2 + 1)) - t.n * (t.n + 1)",
+               "2 * t.n * t.m", 6)} AS auc
+    FROM c, t
+    GROUP BY t.n, t.m
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between the same two samples as `agg_ks_test` —
+    the rank-sum drift test whose normalized U IS the AUC ("probability
+    a random A value exceeds a random B value"), the standard effect-size
+    companion to KS's max-gap.
+
+    EXACT with midrank ties entirely in int64: for a tied group of size
+    c = c1+c2 preceded by `below` smaller values, twice the A-rank-sum
+    contribution is c1·(2·below + c + 1), so 2U = Σ(...) − n(n+1) never
+    touches a fraction; only the final AUC quantizes (6 dp).
+
+    Scale shape: identical to `agg_ks_test` — per-value hash agg, then
+    range-bucketed EXCLUSIVE cumulative counts (per-bucket window +
+    driver prefix offsets), one global sum; no single-task total order
+    anywhere."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    g = (
+        e.select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == KS_TYPE_A, 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ia").cast("long").alias("c1"),
+            F.sum(1 - F.col("ia")).cast("long").alias("c2"),
+        )
+    )
+    pcts = [i / KS_PARTS for i in range(1, KS_PARTS)]
+    pivots = g.agg(
+        F.percentile_approx("v", pcts, 10_000).alias("p")
+    ).first()["p"]
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(F.col("v") > F.lit(pv), 1).otherwise(0)
+    b = g.withColumn("_b", bexpr)
+    offs = sorted(
+        b.groupBy("_b")
+        .agg(F.sum(F.col("c1") + F.col("c2")).alias("s"),
+             F.sum("c1").alias("s1"))
+        .collect()
+    )
+    off, a_tot, n = {}, 0, 0
+    for r in offs:
+        off[r._b] = a_tot
+        a_tot += r.s
+        n += r.s1
+    m = a_tot - n
+    offc = F.coalesce(
+        *[F.when(F.col("_b") == k, F.lit(v)) for k, v in off.items()],
+        F.lit(0),
+    ) if off else F.lit(0)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = b.select(
+        "c1",
+        "c2",
+        (offc + F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)))
+        .alias("below"),
+    )
+    two_r1 = F.sum(
+        F.col("c1") * (2 * F.col("below") + F.col("c1") + F.col("c2") + 1)
+    )
+    u_x2 = two_r1 - F.lit(n * (n + 1))
+    return c.agg(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(m).cast("long").alias("m"),
+        u_x2.cast("long").alias("u_a_x2"),
+        ratio(u_x2, F.lit(2 * n * m), 6).alias("auc"),
+    )

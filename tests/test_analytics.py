@@ -411,3 +411,31 @@ def test_hhi_closed_form_endpoints(spark, tmp_path):
     got = {r.event_type: r for r in events_concentration_hhi(spark, d).collect()}
     assert got["whale"].hhi == 1.0 and got["whale"].n_users == 1
     assert got["uniform"].hhi == 0.25 and got["uniform"].n_users == 4
+
+
+def test_mann_whitney_closed_form_endpoints(spark, tmp_path):
+    """AUC endpoints: 0.5 for identical multisets (all ties → midranks),
+    1.0 when every A value exceeds every B value, 0.0 reversed."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+        agg_mann_whitney,
+    )
+
+    base = [1.0, 2.0, 3.0, 5.0]
+
+    def run(dirname, va, vb):
+        d = _write_events(
+            tmp_path,
+            dirname,
+            [(0, KS_TYPE_A, v) for v in va] + [(1, KS_TYPE_B, v) for v in vb],
+        )
+        return agg_mann_whitney(spark, d).collect()[0]
+
+    r = run("ties", base, list(base))
+    assert r.u_a_x2 == r.n * r.m  # 2U = nm at AUC 0.5
+    assert r.auc == 0.5
+    r = run("above", [v + 100 for v in base], base)
+    assert r.auc == 1.0 and r.u_a_x2 == 2 * r.n * r.m
+    r = run("below", base, [v + 100 for v in base])
+    assert r.auc == 0.0 and r.u_a_x2 == 0
