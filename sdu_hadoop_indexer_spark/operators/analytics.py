@@ -2560,3 +2560,95 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_x2.cast("long").alias("u_a_x2"),
         ratio(u_x2, F.lit(2 * n * m), 6).alias("auc"),
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+    WITH o AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY source, lang
+    ),
+    r AS (SELECT source, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY source),
+    c AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY lang),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    grid AS (
+        -- the FULL marginal cross product: zero cells (a (source, lang)
+        -- combo never observed) still carry E = r·c/N into the statistic
+        SELECT r.source, c.lang, r.rt, c.ct,
+               coalesce(o.obs, 0) AS obs
+        FROM r CROSS JOIN c
+        LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
+    ),
+    cells AS (
+        SELECT CAST(floor((2000000.0 * CAST(
+                   (g.obs * t.n - g.rt * g.ct) * (g.obs * t.n - g.rt * g.ct)
+                   AS DOUBLE) + CAST(g.rt * g.ct * t.n AS DOUBLE))
+                   / (2.0 * CAST(g.rt * g.ct * t.n AS DOUBLE))) AS BIGINT)
+                   AS micro
+        FROM grid g CROSS JOIN t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM grid) AS n_cells,
+           (SELECT CAST((count(DISTINCT source) - 1) AS BIGINT) *
+                   (SELECT count(DISTINCT lang) - 1 FROM o) FROM o) AS dof,
+           CAST(sum(micro) AS BIGINT) AS chi2_micro,
+           CAST(sum(micro) AS DOUBLE) / 1000000.0 AS chi2
+    FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test of the source × lang contingency
+    table — the categorical-drift screen ("does language mix depend on
+    source?") run before trusting per-source quotas.
+
+    Cross-engine determinism without HUGEINT: each cell's contribution
+    (O·N − r·c)²/(r·c·N) is formed from EXACT int64 products cast to
+    double (≤ 2⁵³, lossless at these magnitudes), half-away-quantized to
+    integer micros by the same floor((2e6·A + B)/(2B)) both engines
+    evaluate with identical IEEE ops, then SUMMED AS INTEGERS — so the
+    total is order-free and hash-stable, unlike a float χ² sum.
+
+    Scale shape: one (source,lang) hash agg (vocab²-bounded), two
+    marginal reductions broadcast back, map-side cell math, one global
+    integer sum."""
+    o = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    r = o.groupBy("source").agg(F.sum("obs").cast("long").alias("rt"))
+    c = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("ct"))
+    t = o.agg(F.sum("obs").cast("long").alias("n"))
+    # the FULL marginal cross product: zero cells (a (source, lang) combo
+    # never observed) still carry E = r·c/N into the statistic
+    grid = (
+        r.crossJoin(c)
+        .join(F.broadcast(o), ["source", "lang"], "left")
+        .select(
+            "rt", "ct", F.coalesce(F.col("obs"), F.lit(0)).alias("obs")
+        )
+    )
+    cells = grid.crossJoin(F.broadcast(t))
+    a = (
+        (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
+        * (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
+    ).cast("double")
+    bden = (F.col("rt") * F.col("ct") * F.col("n")).cast("double")
+    micro = F.floor(
+        (F.lit(2000000.0) * a + bden) / (F.lit(2.0) * bden)
+    ).cast("long")
+    stats = o.agg(
+        (F.countDistinct("source") * F.countDistinct("lang"))
+        .cast("long")
+        .alias("n_cells"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).cast("long").alias("dof"),
+    )
+    total = cells.agg(F.sum(micro).cast("long").alias("chi2_micro"))
+    return stats.crossJoin(total).select(
+        "n_cells",
+        "dof",
+        "chi2_micro",
+        (F.col("chi2_micro").cast("double") / F.lit(1000000.0)).alias("chi2"),
+    )

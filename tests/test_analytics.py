@@ -439,3 +439,45 @@ def test_mann_whitney_closed_form_endpoints(spark, tmp_path):
     assert r.auc == 1.0 and r.u_a_x2 == 2 * r.n * r.m
     r = run("below", base, [v + 100 for v in base])
     assert r.auc == 0.0 and r.u_a_x2 == 0
+
+
+def test_chi_square_zero_on_independent_table(spark, tmp_path):
+    """A perfectly independent contingency table (every cell = r·c/N
+    exactly) must score χ² = 0; a fully dependent one (diagonal) must
+    score χ² = N·(k−1) in closed form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_chi_square
+
+    def write(dirname, pairs):
+        texts = [f"doc {i}" for i in range(len(pairs))]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(pairs)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([p[1] for p in pairs], pa.string()),
+                "source": pa.array([p[0] for p in pairs], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    # independent: every (source, lang) combo appears exactly twice
+    indep = write(
+        "indep",
+        [(s, l) for s in ("a", "b") for l in ("x", "y", "z")] * 2,
+    )
+    row = agg_chi_square(spark, indep).collect()[0]
+    assert row.chi2_micro == 0 and row.chi2 == 0.0
+    assert row.n_cells == 6 and row.dof == 2
+
+    # fully dependent: source determines lang, k=3 symmetric diagonal
+    dep = write("dep", [("a", "x"), ("b", "y"), ("c", "z")] * 4)
+    row = agg_chi_square(spark, dep).collect()[0]
+    assert row.dof == 4 and row.n_cells == 9
+    # closed form N·(k−1) up to per-cell micro quantization (≤ 0.5e-6 each)
+    assert abs(row.chi2 - 12 * (3 - 1)) <= row.n_cells * 0.5e-6
