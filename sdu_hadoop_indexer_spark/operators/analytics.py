@@ -2652,3 +2652,81 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_micro",
         (F.col("chi2_micro").cast("double") / F.lit(1000000.0)).alias("chi2"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    d AS (
+        SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(c) AS BIGINT) AS total FROM d),
+    s AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS pre
+        FROM d
+    )
+    SELECT t.nd AS n_days, t.total,
+           CAST(max(abs(t.nd * s.pre - s.i * t.total)) AS BIGINT)
+               AS cusum_peak,
+           CAST(min(s.day) FILTER (WHERE abs(t.nd * s.pre - s.i * t.total) =
+               (SELECT max(abs(t2.nd * s2.pre - s2.i * t2.total))
+                FROM s s2, t t2)) AS TIMESTAMP) AS cp_day
+    FROM s, t
+    GROUP BY t.nd, t.total
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series —
+    "did the level shift, and when": the peak of the cumulative deviation
+    from the global mean marks the most likely changepoint (Page 1954's
+    cumulative-sum chart in its retrospective form).
+
+    EXACT: deviations are scaled by n_days so the cumulative statistic
+    is the int64 `n_days·prefix_i − i·total` — no float mean anywhere;
+    the argmax ties break to the earliest day. Scale shape: one
+    day-keyed hash agg (map-side combinable) reduces the corpus to a
+    days-BOUNDED relation; the single-partition window over days is a
+    bounded post-reduction (same discipline as every other calendar
+    window in this file), and the peak is one TakeOrdered row."""
+    e = table(spark, sf_dir, "events")
+    d = (
+        e.select(F.date_trunc("day", "ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = d.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wi = Window.orderBy("day")
+    s = d.select(
+        "day",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.sum("c").over(w).cast("long").alias("pre"),
+    )
+    stat = s.crossJoin(F.broadcast(t)).select(
+        "day",
+        "nd",
+        "total",
+        F.abs(F.col("nd") * F.col("pre") - F.col("i") * F.col("total")).alias(
+            "dev"
+        ),
+    )
+    return (
+        stat.orderBy(F.desc("dev"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("nd").alias("n_days"),
+            "total",
+            F.col("dev").cast("long").alias("cusum_peak"),
+            F.col("day").alias("cp_day"),
+        )
+    )

@@ -481,3 +481,49 @@ def test_chi_square_zero_on_independent_table(spark, tmp_path):
     assert row.dof == 4 and row.n_cells == 9
     # closed form N·(k−1) up to per-cell micro quantization (≤ 0.5e-6 each)
     assert abs(row.chi2 - 12 * (3 - 1)) <= row.n_cells * 0.5e-6
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """Plant a clean level shift (5/day for 10 days, then 50/day for 10)
+    — the CUSUM peak must land exactly on the last low day, with the
+    closed-form peak value n_days·prefix − i·total at that point."""
+    import datetime as dt
+
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        ts_cusum_changepoint,
+    )
+
+    rows = []
+    for day in range(20):
+        per_day = 5 if day < 10 else 50
+        for k in range(per_day):
+            rows.append((k % 7, "view", float(k)))
+    # _write_events spaces events 1 s apart; respace to days here instead
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts, idx = [], 0
+    for day in range(20):
+        per_day = 5 if day < 10 else 50
+        for k in range(per_day):
+            ts.append(t0 + dt.timedelta(days=day, seconds=k))
+            idx += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "cusum"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    r = ts_cusum_changepoint(spark, str(d)).collect()[0]
+    assert r.n_days == 20 and r.total == 550
+    assert r.cp_day == dt.datetime(2024, 1, 10)  # last low day (day idx 9)
+    # closed form at i=10: |20·50 − 10·550| = 4500
+    assert r.cusum_peak == 4500
