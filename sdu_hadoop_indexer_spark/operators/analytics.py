@@ -2730,3 +2730,170 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("cp_day"),
         )
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT day, rev,
+               CAST(max(rev) OVER (ORDER BY day) AS BIGINT) AS runmax
+        FROM d
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           CAST(max(runmax - rev) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(day) FILTER (WHERE runmax - rev =
+               (SELECT max(s2.runmax - s2.rev) FROM s s2)) AS TIMESTAMP)
+               AS trough_day
+    FROM s
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the DAILY order-revenue series — the worst
+    drop from the best revenue day seen so far (runmax(rev) − rev, maxed
+    over days): the slump-severity summary a revenue monitor pages on.
+    Deliberately over the LEVEL series, not the cumulative curve — a
+    cumulative sum of positive revenue is nondecreasing, so its drawdown
+    is identically zero; the level series is where the signal lives.
+
+    EXACT: revenue is integer cents, so rev / runmax / drawdown are all
+    int64 and the argmax ties break to the earliest day — no float
+    anywhere. Scale shape: one day-keyed hash agg (map-side combinable)
+    reduces the corpus to a days-bounded relation; the ordered window
+    and the final max run over that bounded series (same post-reduction
+    discipline as the other calendar windows here)."""
+    o = table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = d.select(
+        "day", "rev", F.max("rev").over(wc).cast("long").alias("runmax")
+    )
+    n = d.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        s.select("day", (F.col("runmax") - F.col("rev")).alias("dd"))
+        .orderBy(F.desc("dd"), F.asc("day"))
+        .limit(1)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            F.col("dd").cast("long").alias("max_drawdown_cents"),
+            F.col("day").alias("trough_day"),
+        )
+    )
+
+
+KM_CHURN_HOURS = 24  # a user silent this long before corpus end has churned
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    m AS (SELECT max(ts) AS mt FROM ev),
+    u AS (SELECT user_id, min(ts) AS f, max(ts) AS l FROM ev GROUP BY user_id),
+    d AS (
+        SELECT date_diff('day', u.f, u.l) AS t,
+               CASE WHEN u.l < m.mt - INTERVAL {KM_CHURN_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS churn
+        FROM u, m
+    ),
+    s AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+               CAST(sum(churn) AS BIGINT) AS n_churn
+        FROM d GROUP BY t
+    ),
+    r AS (
+        SELECT t, n_churn,
+               CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        FROM s
+    ),
+    fl AS (
+        SELECT list(CAST(n_risk - n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    ORDER BY t) AS fs
+        FROM r
+    )
+    SELECT r.t AS t_day, r.n_risk, r.n_churn,
+           list_reduce(fl.fs[1:CAST(r.i AS INTEGER)], (x, y) -> x * y)
+               AS survival
+    FROM r, fl
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: lifetime = days
+    between a user's first and last event; a user silent for
+    {KM_CHURN_HOURS} h before the corpus's last timestamp counts as
+    churned (event), everyone else is right-censored at corpus end — the
+    product-limit estimator S(t) = Π_(t_i ≤ t) (1 − d_i/n_i) that
+    retention analytics is built on (Kaplan & Meier 1958).
+
+    Cross-engine determinism for the cumulative product: each step factor
+    is the EXACT double (n_risk − d)/n_risk (int64 operands ≪ 2⁵³), and
+    S(t_i) is a LEFT FOLD of the time-ordered factor prefix — Spark's
+    `aggregate(slice(...))` and DuckDB's `list_reduce(l[1:i])` multiply
+    the same doubles in the same order, so the result is bit-identical
+    with no rounding step. Scale shape: one user-keyed hash agg reduces
+    the corpus to users, one lifetime-day agg reduces users to ≤ span
+    days; the window/fold run on that bounded relation (the factor array
+    is days-sized, broadcast to days-sized rows)."""
+    e = table(spark, sf_dir, "events")
+    m = e.agg(F.max("ts").alias("mt"))
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    d = u.crossJoin(F.broadcast(m)).select(
+        F.datediff("l", "f").cast("long").alias("t"),
+        F.when(
+            F.col("l") < F.col("mt") - F.expr(f"INTERVAL {KM_CHURN_HOURS} HOURS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churn"),
+    )
+    s = d.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("churn").cast("long").alias("n_churn"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = s.select(
+        "t",
+        "n_churn",
+        F.sum("n_at").over(wdesc).cast("long").alias("n_risk"),
+        F.row_number().over(Window.orderBy("t")).cast("long").alias("i"),
+    )
+    fl = r.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("t", "n_risk", "n_churn"))
+            ),
+            lambda x: (x.n_risk - x.n_churn).cast("double")
+            / x.n_risk.cast("double"),
+        ).alias("fs")
+    )
+    return r.crossJoin(F.broadcast(fl)).select(
+        F.col("t").alias("t_day"),
+        "n_risk",
+        "n_churn",
+        F.aggregate(
+            F.slice("fs", F.lit(1), F.col("i").cast("int")),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("survival"),
+    )

@@ -380,3 +380,81 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q15_SQL)
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue4,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue4 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_shipping_priority", oracle=_Q3_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority: top-10 unshipped-revenue orders
+    for one market segment) in exact integer money; the ORDER BY carries
+    (o_orderdate, l_orderkey) tiebreaks so the LIMIT edge is
+    deterministic across engines — the fixture has no o_shippriority
+    column, so o_orderpriority rides along instead (same query shape:
+    a carried non-aggregated dimension).
+
+    Plan lifecycle: both date predicates push into their scans;
+    `customer` filtered to one segment broadcasts into `orders`
+    (dimension-sized), the orders→lineitem join shuffles on the orderkey
+    it aggregates by next — ONE exchange serves both join and group-by
+    (Catalyst reuses the child partitioning), then a 10-row TakeOrdered.
+    The probe side never re-shuffles: the classic pushdown-star-probe
+    shape at any SF. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+Q18_MIN_QTY = 300  # large-volume threshold (sum of line quantities per order)
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_MIN_QTY}
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("sql_large_volume_customer", oracle=_Q18_SQL)
+def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers: orders whose summed line
+    quantity clears {Q18_MIN_QTY}) — the canonical IN-subquery-on-an-
+    aggregate pattern. Quantities are whole numbers in the fixture, so
+    `round()·cast` makes both the HAVING threshold and the output sum
+    exact int64s; money is exact cents; the LIMIT edge tiebreaks on
+    o_orderkey.
+
+    Plan lifecycle: the IN-subquery plans as a left-semi join against a
+    lineitem self-aggregation whose survivors are FEW (heavy-hitter
+    orders) — Catalyst broadcasts that tiny relation into the
+    orders→lineitem join, so the corpus-sized side is scanned twice but
+    shuffled on orderkey only once for the outer group-by; AQE shrinks
+    the semi side at runtime. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

@@ -527,3 +527,82 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path):
     assert r.cp_day == dt.datetime(2024, 1, 10)  # last low day (day idx 9)
     # closed form at i=10: |20·50 − 10·550| = 4500
     assert r.cusum_peak == 4500
+
+
+def test_max_drawdown_planted_slump(spark, tmp_path):
+    """Plant daily revenues [1.00, 3.00, 0.50, 2.00] dollars: runmax is
+    [100, 300, 300, 300] cents so drawdowns are [0, 0, 250, 100] — peak
+    250 cents on day 3."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_max_drawdown
+
+    days = [1.00, 3.00, 0.50, 2.00]
+    t0 = dt.datetime(1995, 1, 1)
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(days)), pa.int64()),
+            "o_custkey": pa.array([1] * len(days), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(days), pa.string()),
+            "o_totalprice": pa.array(days, pa.float64()),
+            "o_orderdate": pa.array(
+                [t0 + dt.timedelta(days=i) for i in range(len(days))],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(days), pa.string()),
+        }
+    )
+    d = tmp_path / "dd"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "orders.parquet"))
+    r = ts_max_drawdown(spark, str(d)).collect()[0]
+    assert r.n_days == 4
+    assert r.max_drawdown_cents == 250
+    assert r.trough_day == t0 + dt.timedelta(days=2)
+
+
+def test_survival_km_planted_lifetimes(spark, tmp_path):
+    """Four users: two churn at lifetime 2 days, two censored (active at
+    corpus end) with lifetimes 5 and 10. KM: at t=2 risk set is all 4,
+    2 churn → S = 0.5; no further events, so S stays 0.5 at t=5, t=10."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_survival_km,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, day):
+        return (uid, t0 + dt.timedelta(days=day))
+
+    # (user, event day): u1 0→2 churned, u2 0→10 censored (corpus max),
+    # u3 1→3 churned, u4 5→10 censored
+    pts = [ev(1, 0), ev(1, 2), ev(2, 0), ev(2, 10), ev(3, 1), ev(3, 3), ev(4, 5), ev(4, 10)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(pts)), pa.int64()),
+            "ts": pa.array([p[1] for p in pts], pa.timestamp("us")),
+            "user_id": pa.array([p[0] for p in pts], pa.int64()),
+            "event_type": pa.array(["view"] * len(pts), pa.string()),
+            "value": pa.array([1.0] * len(pts), pa.float64()),
+            "props": pa.array(["{}"] * len(pts), pa.string()),
+        }
+    )
+    d = tmp_path / "km"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    rows = {r.t_day: r for r in events_survival_km(spark, str(d)).collect()}
+    assert set(rows) == {2, 5, 10}
+    assert rows[2].n_risk == 4 and rows[2].n_churn == 2
+    assert rows[2].survival == 0.5
+    assert rows[5].n_risk == 2 and rows[5].n_churn == 0
+    assert rows[5].survival == 0.5
+    assert rows[10].n_risk == 1 and rows[10].n_churn == 0
+    assert rows[10].survival == 0.5

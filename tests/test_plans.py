@@ -721,3 +721,27 @@ def test_q14_pushdown_and_broadcast(spark, sf_dir):
     plan = _formatted(sql_promo_revenue(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "l_shipdate" in plan.split("PushedFilters", 1)[-1][:500]
+
+
+def test_q3_pushdown_and_broadcast(spark, sf_dir):
+    """Q3's date predicates must reach the parquet scans as pushed
+    filters and the one-segment customer dimension must broadcast — the
+    pushdown-star-probe shape that keeps the big side single-shuffle."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_shipping_priority
+
+    plan = _formatted(sql_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 10 never global-sorts
+
+
+def test_q18_semi_join_shape(spark, sf_dir):
+    """Q18's IN-subquery on an aggregate must plan as a (left-semi or
+    broadcast) join against the lineitem self-aggregation, not a
+    cartesian or a driver-side collect."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_large_volume_customer
+
+    plan = _formatted(sql_large_volume_customer(spark, sf_dir))
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
