@@ -1510,3 +1510,95 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ok_wc & ok_mwl & ok_sym & ok_bul & ok_ell & ok_alpha & ok_stop
         ).alias("ok_gopher"),
     )
+
+
+APPORTION_BUDGET = 100_000  # sequences to apportion across sources
+
+
+@register(
+    "llm_token_apportion",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM t GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM s),
+    q AS (
+        SELECT source, tokens,
+               ({APPORTION_BUDGET} * tokens) // tt AS fl,
+               ({APPORTION_BUDGET} * tokens) % tt AS rem
+        FROM s, tot
+    ),
+    l AS (
+        SELECT CAST({APPORTION_BUDGET} - sum(fl) AS BIGINT) AS leftover
+        FROM q
+    ),
+    r AS (
+        SELECT source, tokens, fl, rem,
+               CAST(row_number() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rk
+        FROM q
+    )
+    SELECT r.source, r.tokens,
+           CAST(r.fl AS BIGINT) AS floor_alloc,
+           CAST(CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           CAST(r.fl + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r, l
+    """,
+)
+def token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sequence
+    budget across sources, proportional to token mass — the integer
+    allocation a mixing/writer stage actually needs: floats like
+    `llm_mixing_weights`' keep-probabilities say HOW MUCH of each source
+    to take, this says exactly HOW MANY, summing to the budget with no
+    rounding drift (Σ alloc = {APPORTION_BUDGET} by construction, each
+    source within 1 of its exact proportional share — the quota rule).
+
+    EXACT integer end to end: floor share = (B·tokens) div T and its
+    remainder are int64 (B·tokens ≤ 1e5·~1e7 ≪ 2⁶³); the leftover seats
+    go to the largest remainders, source-name tiebreak. Scale shape: one
+    token-count scan reduces the corpus to a sources-sized relation; the
+    1-row total and leftover broadcast back; the rank window runs over
+    sources, not docs."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    s = t.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("tokens"))
+    tot = s.agg(F.sum("tokens").cast("long").alias("tt"))
+    q = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({APPORTION_BUDGET} * tokens) div tt").alias("fl"),
+        (F.lit(APPORTION_BUDGET) * F.col("tokens") % F.col("tt")).alias("rem"),
+    )
+    lo = q.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("fl")).cast("long").alias("leftover")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        q.withColumn("rk", rk.cast("long"))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "tokens",
+            F.col("fl").cast("long").alias("floor_alloc"),
+            extra.cast("long").alias("extra"),
+            (F.col("fl") + extra).cast("long").alias("alloc"),
+        )
+    )

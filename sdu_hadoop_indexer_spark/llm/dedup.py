@@ -1831,3 +1831,63 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    nj AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    ends AS (
+        SELECT doc_a AS doc_id FROM nj
+        UNION ALL SELECT doc_b AS doc_id FROM nj
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM ends GROUP BY doc_id
+    )
+    SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+    GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the τ=0.9 near-dup graph — the skew audit
+    read next to `graph_component_sizes`: component sizes say how big
+    clusters GET, degrees say how they're WIRED (a hub-heavy histogram
+    means mega-templates; near-uniform small degrees mean chains/pairs),
+    and the max degree bounds the wedge fan-out `graph_triangle_count`'s
+    orientation relies on. Degree-0 docs are kept (left join against the
+    corpus) so Σ n_docs = corpus size is the conservation check.
+
+    Pure composition: consumes the registered `dedup_near_jaccard` edge
+    relation (memoize-persisted per (app, sf) — the verify pipeline never
+    re-runs in-session), unions the two endpoint columns (edges stored
+    once as doc_a < doc_b, so degree = appearances on either side), and
+    reduces with two output-bounded hash aggs. All-integer."""
+    edges = dedup_near_jaccard(spark, sf_dir)
+    ends = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

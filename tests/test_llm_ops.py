@@ -1029,3 +1029,55 @@ def test_cross_source_audit_reconciles_with_edge_relation(spark, sf_dir):
         assert r.source_a <= r.source_b
         assert r.cross_source == (r.source_a != r.source_b)
         assert r.max_jaccard >= dedup.JACCARD_TAU
+
+
+def test_token_apportion_planted_tie(spark, tmp_path):
+    """Three sources with token masses 4/4/3 and the module budget:
+    exact shares are B·t/11; the two leftover seats go to the largest
+    remainders with the source-name tiebreak. With B=100000: floors are
+    36363/36363/27272 (sum 99998), remainders 7/7/8 → the seats go to c
+    (rem 8) and then to a over the tied b (name tiebreak, the part a
+    float rewrite gets nondeterministic). Σ alloc = B exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.llm.curation import (
+        APPORTION_BUDGET,
+        token_apportion,
+    )
+
+    texts = {"a": "w " * 4, "b": "w " * 4, "c": "w " * 3}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([texts[s].strip() for s in ("a", "b", "c")]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["a", "b", "c"]),
+            "n_chars": pa.array([1] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in token_apportion(spark, str(tmp_path)).collect()}
+    assert rows["a"].tokens == 4 and rows["c"].tokens == 3
+    assert sum(r.alloc for r in rows.values()) == APPORTION_BUDGET
+    # quota rule: every source within 1 of its exact proportional share
+    total = sum(r.tokens for r in rows.values())
+    for r in rows.values():
+        exact = APPORTION_BUDGET * r.tokens / total
+        assert abs(r.alloc - exact) < 1
+    assert rows["a"].floor_alloc == rows["b"].floor_alloc == 36363
+    assert rows["c"].alloc == 27273 and rows["c"].extra == 1
+    assert rows["a"].extra == 1 and rows["b"].extra == 0  # name tiebreak
+
+
+def test_degree_distribution_conservation(spark, sf_dir):
+    """Σ n_docs over the histogram must equal the corpus size (degree-0
+    docs included), and Σ degree·n_docs must be exactly twice the edge
+    count of the near-dup graph (every edge contributes to two docs)."""
+    from sdu_hadoop_indexer_spark.llm import dedup
+
+    hist = dedup.graph_degree_distribution(spark, sf_dir).collect()
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in hist) == n_docs_total
+    n_edges = dedup.dedup_near_jaccard(spark, sf_dir).count()
+    assert sum(r.degree * r.n_docs for r in hist) == 2 * n_edges
