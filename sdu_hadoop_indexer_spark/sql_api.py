@@ -458,3 +458,65 @@ def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semi side at runtime. Identical SQL text on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("sql_customer_distribution", oracle=_Q13_SQL)
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N orders, INCLUDING the zero-order
+    customers the left outer join + `count(o_orderkey)` (null-skipping)
+    preserves — the part an inner-join rewrite silently drops. The
+    fixture has no o_comment column, so Q13's NOT LIKE filter is
+    omitted; the double-aggregation-over-outer-join shape is the point.
+
+    Plan lifecycle: one shuffle on custkey serves both the join and the
+    first group-by (co-partitioned), the second agg is histogram-sized;
+    all-integer counts. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue4,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_returned_items", oracle=_Q10_SQL)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting: top-20 customers by
+    revenue lost to returns in one quarter) in exact integer money with
+    a c_custkey tiebreak on the LIMIT edge.
+
+    Plan lifecycle: the quarter predicate pushes into the orders scan
+    and `l_returnflag = 'R'` into the lineitem scan; nation (25 rows)
+    and the filtered orders relation broadcast under AQE; the one real
+    shuffle is the custkey group-by; 20-row TakeOrdered, never a global
+    sort. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)

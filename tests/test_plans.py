@@ -745,3 +745,27 @@ def test_q18_semi_join_shape(spark, sf_dir):
     assert "LeftSemi" in plan or "ExistenceJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_outer_join_preserves_zero_order_customers(spark, sf_dir):
+    """Q13 must keep customers with no orders (count 0 bucket present
+    when the fixture has any) and its join must stay LeftOuter."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_customer_distribution
+
+    df = sql_customer_distribution(spark, sf_dir)
+    plan = _formatted(df)
+    assert "LeftOuter" in plan
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    total_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(rows.values()) == total_cust  # every customer in exactly one bucket
+
+
+def test_q10_pushdown_and_takeordered(spark, sf_dir):
+    """Q10's returnflag and quarter predicates must push into their scans
+    and the LIMIT must plan as TakeOrdered, not a global sort."""
+    from sdu_hadoop_indexer_spark.sql_api import sql_returned_items
+
+    plan = _formatted(sql_returned_items(spark, sf_dir))
+    assert "l_returnflag" in plan and "o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
