@@ -107,6 +107,10 @@ EXTENDED = [
     "sim_pq_recall_eval",
     "sim_topk_ivfpq",
     "sim_ivfpq_recall_eval",
+    # composer of the staged containment edges: runs right after
+    # dedup_containment's cold samples, so its number shows the staged-
+    # artifact reuse the pin exists for (cf. dedup_lsh_quality_eval).
+    "llm_contamination_matrix",
 ]
 
 
