@@ -285,3 +285,56 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("k", F.col("v").alias("last_value"), F.col("seq").alias("last_seq"))
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    c AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS rk
+        FROM c
+    ) WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+)
+def windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-K leaderboard: the {TOPK_PER_WINDOW} busiest event
+    types in every tumbling 1 h event-time window (count desc,
+    event_type tiebreak) — the trending-now / hot-keys panel every
+    event-stream dashboard serves.
+
+    Same event-time-window discipline as `stream_tumbling` (this is its
+    rank-gated reduction): in a live pipeline the windowed counts stream
+    with a watermark and the rank gate runs in `foreachBatch` over the
+    upserted window rows (ranking needs the window's FINAL counts, so it
+    belongs in the sink batch, not the incremental state — the
+    `stream_foreachbatch_upsert` pattern). Scale shape: one (window,
+    type) hash agg (map-side combinable), then a window-keyed rank over
+    the types-bounded reduction; all-integer, deterministic tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return c.withColumn("rk", rk.cast("long")).where(
+        F.col("rk") <= TOPK_PER_WINDOW
+    )

@@ -287,3 +287,109 @@ def test_state_store_scan_holds_unfinalized_windows(spark, sf_dir):
         assert r.n > 0
         # retained window ends after the watermark (not yet finalized)
         assert r.window_start_s + 3600 > wm
+
+
+def test_windowed_topk_stream_matches_batch_rank(spark, tmp_path):
+    """`stream_windowed_topk` declared pattern: windowed counts stream with
+    a watermark and the rank gate runs sink-side in foreachBatch over the
+    final window rows. Drive a real readStream (availableNow) through that
+    exact pipeline and require the emitted leaderboard to match the
+    registered batch op on the same data — including the count-desc,
+    event_type-asc tiebreak."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sdu_hadoop_indexer_spark.streaming.event_windows import (
+        TOPK_PER_WINDOW,
+        windowed_topk,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    d = dt.datetime(2024, 1, 1)
+    # hour 1: a×3, b×2, c×2, d×1 → top3 = a, b, c (b before c by name)
+    # hour 2: d×2, c×1 → top3 = d, c (only two types present)
+    evs = (
+        [("a", 5), ("a", 10), ("a", 15), ("b", 20), ("b", 25),
+         ("c", 30), ("c", 35), ("d", 40)],
+        [("d", 5), ("d", 10), ("c", 15)],
+    )
+    rows_ts, rows_ty, rows_id, rows_val, rows_props = [], [], [], [], []
+    i = 0
+    for hour, batch in enumerate(evs, start=1):
+        for ty, minute in batch:
+            rows_ts.append(d.replace(hour=hour, minute=minute))
+            rows_ty.append(ty)
+            rows_id.append(i)
+            rows_val.append(1.0)
+            rows_props.append("{}")
+            i += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows_id, pa.int64()),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+            "user_id": pa.array(rows_id, pa.int64()),
+            "event_type": pa.array(rows_ty, pa.string()),
+            "value": pa.array(rows_val, pa.float64()),
+            "props": pa.array(rows_props, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(src / "events.parquet"))
+
+    batch_rows = {
+        (r.window_start, r.event_type, r.n_events, r.rk)
+        for r in windowed_topk(spark, str(src)).collect()
+    }
+    assert (d.replace(hour=1, minute=0), "a", 3, 1) in batch_rows
+    assert (d.replace(hour=1, minute=0), "b", 2, 2) in batch_rows  # name tiebreak
+    assert (d.replace(hour=1, minute=0), "c", 2, 3) in batch_rows
+    assert (d.replace(hour=2, minute=0), "d", 2, 1) in batch_rows
+    per_window: dict = {}
+    for w, *_ in batch_rows:
+        per_window[w] = per_window.get(w, 0) + 1
+    assert all(v <= TOPK_PER_WINDOW for v in per_window.values())
+
+    got: list = []
+
+    def rank_gate(df, epoch_id):
+        rk = F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.desc("n_events"), F.asc("event_type")
+            )
+        )
+        got.extend(
+            df.withColumn("rk", rk.cast("long"))
+            .where(F.col("rk") <= TOPK_PER_WINDOW)
+            .collect()
+        )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).parquet(str(src))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.foreachBatch(rank_gate)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    stream_rows = {
+        (r.window_start, r.event_type, r.n_events, r.rk) for r in got
+    }
+    assert stream_rows == batch_rows
