@@ -1602,3 +1602,61 @@ def token_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("fl") + extra).cast("long").alias("alloc"),
         )
     )
+
+
+_TRUNC_SHARE = __import__(
+    "sdu_hadoop_indexer_spark.operators.parity", fromlist=["sql_ratio"]
+).sql_ratio(f"sum(greatest(n_tokens - {PACK_BUDGET}, 0))", "sum(n_tokens)")
+
+
+@register(
+    "llm_truncation_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(greatest(n_tokens - {PACK_BUDGET}, 0)) AS BIGINT)
+               AS tokens_truncated,
+           {_TRUNC_SHARE} AS truncated_share
+    FROM t GROUP BY source
+    """,
+)
+def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source truncation audit at the packing context length: if every
+    document were clipped to {PACK_BUDGET} tokens (the truncate-don't-pack
+    regime, the alternative to `llm_pack_sequences`' concatenation), how
+    many docs lose text and what fraction of each source's token mass is
+    cut — the number that decides between packing and truncation for a
+    training run, and a per-source length-skew screen (a source with high
+    truncated_share is long-form and underrepresented after clipping).
+
+    EXACT: counts and token sums are int64 (`greatest(n−L, 0)` per doc),
+    only the final share quantizes through the boundary-proof ratio.
+    Scale shape: one token-count scan, one sources-sized hash agg —
+    map-side combinable, no joins."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    over = F.when(F.col("n_tokens") > PACK_BUDGET, 1).otherwise(0)
+    cut = F.greatest(F.col("n_tokens") - PACK_BUDGET, F.lit(0))
+    return t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(over).cast("long").alias("n_over"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(cut).cast("long").alias("tokens_truncated"),
+        ratio(F.sum(cut), F.sum("n_tokens")).alias("truncated_share"),
+    )

@@ -1099,3 +1099,36 @@ def test_contamination_matrix_reconciles_with_edges(spark, sf_dir):
         assert r.n_docs_contained <= r.n_pairs
         assert r.max_containment >= tau
         assert r.cross_source == (r.source_contained != r.source_container)
+
+
+def test_truncation_stats_reconcile(spark, sf_dir):
+    """tokens_truncated ≤ tokens_total per source, n_over counts exactly
+    the docs whose token count exceeds the packing budget, and totals
+    reconcile against a direct recount."""
+    from sdu_hadoop_indexer_spark.llm.curation import (
+        PACK_BUDGET,
+        truncation_stats,
+    )
+
+    rows = {r.source: r for r in truncation_stats(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("n"),
+    )
+    direct = {
+        r.source: (r.nd, r.no)
+        for r in t.groupBy("source")
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum(F.when(F.col("n") > PACK_BUDGET, 1).otherwise(0)).alias("no"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for s, r in rows.items():
+        assert (r.n_docs, r.n_over) == direct[s]
+        assert 0 <= r.tokens_truncated <= r.tokens_total
+        assert 0.0 <= r.truncated_share <= 1.0
