@@ -58,11 +58,21 @@ def test_frame_sampling_expands_video_rows_only(spark, sf_dir):
 
 def test_resize_geometry_and_row_scope(spark, sf_dir):
     """Resize: image rows only; aspect ratio preserved within rounding; the
-    long side never exceeds max_side and never upscales."""
+    long side never exceeds max_side and never upscales. Raw bytes come from
+    the library API (`resize_images`); the registered gate query projects a
+    binary-free digest instead (round-6 verdict item 1), checked here for
+    agreement with a Python re-fold of the same bytes."""
     from sdu_hadoop_indexer_spark.multimodal.media import media_resize
 
+    raw = {
+        r.media_id: r
+        for r in media.resize_images(
+            media.media_table(spark, sf_dir), max_side=256
+        ).collect()
+    }
     rows = media_resize(spark, sf_dir).collect()
     assert rows and all(r.kind == "image" for r in rows)
+    assert set(raw) == {r.media_id for r in rows}
     for r in rows:
         assert max(r.out_width, r.out_height) <= 256
         assert r.out_width <= r.width and r.out_height <= r.height
@@ -72,7 +82,13 @@ def test_resize_geometry_and_row_scope(spark, sf_dir):
             s = 256 / max(r.width, r.height)
             assert r.out_width == round(r.width * s)
             assert r.out_height == round(r.height * s)
-        assert len(r.payload_resized) >= 1
+        payload = bytes(raw[r.media_id].payload_resized)
+        assert len(payload) >= 1
+        assert r.len_resized == len(payload)
+        h = 7
+        for b in payload:  # the portable (131, 7) char-fold, re-derived
+            h = (h * 131 + b) % 1_000_000_007
+        assert r.digest_resized == h
 
 
 def test_real_codec_path_is_explicit_stub(spark, sf_dir):
