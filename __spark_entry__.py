@@ -44,24 +44,32 @@ def _coverage_order(names) -> list[str]:
     red in the cumulative record for multiple rounds after being fixed).
     Never-sampled names come next (deterministic name sort inside each
     class); sampled-green names rotate to the back, so successive rounds
-    sweep the registry. Coverage engineering only: every name passes the
+    sweep the registry. One carve-out (VERDICT r6 item 2 / ADVICE r5): a
+    fixed RE-VERIFY slice of the OLDEST-green names rides directly behind
+    the reds, ahead of the never-sampled class — without it, a regression
+    in a name green since round 1 stays invisible to the driver until the
+    full sweep wraps. Greens are aged by the round of their most recent
+    sample, oldest first. Coverage engineering only: every name passes the
     stricter local mirror (tools/check_oracle.py) before it ever gets here.
     """
     import glob
     import json
 
+    REVERIFY_SLOTS = 5  # oldest-green names re-checked every window
+
     repo = os.path.dirname(os.path.abspath(__file__))
-    # latest[name] = True if the most recent driver sample of `name` was green.
-    latest: dict[str, bool] = {}
+    # latest[name] = (round, green) for the most recent driver sample.
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 round_results = json.load(f)
+            rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         except (OSError, ValueError):
             continue  # an unreadable gate file must never break the contract
         for name, res in round_results.items():
             if not isinstance(res, dict):
-                latest[name] = True  # name-list-only file: counts as sampled
+                latest[name] = (rnd, True)  # name-list-only: counts as sampled
                 continue
             err = res.get("err")
             green = bool(
@@ -69,16 +77,25 @@ def _coverage_order(names) -> list[str]:
                 and res.get("schema_match") is not False
                 and res.get("hash_match") is not False
             ) or err == "no_oracle"  # declared rows-only ops record err=no_oracle
-            latest[name] = green
+            latest[name] = (rnd, green)
+
+    greens_oldest_first = sorted(
+        (n for n in names if n in latest and latest[n][1]),
+        key=lambda n: (latest[n][0], n),
+    )
+    reverify = set(greens_oldest_first[:REVERIFY_SLOTS])
 
     def key(n: str):
-        if n in latest and not latest[n]:
+        if n in latest and not latest[n][1]:
             cls = 0  # last sample red: re-verify first
+        elif n in reverify:
+            cls = 1  # oldest-green re-verify slice: regression canaries
         elif n not in latest:
-            cls = 1  # never driver-sampled: fresh coverage next
+            cls = 2  # never driver-sampled: fresh coverage next
         else:
-            cls = 2  # sampled green: rotate to the back
-        return (cls, n)
+            cls = 3  # sampled green: rotate to the back, oldest first
+        age = latest[n][0] if n in latest else 0
+        return (cls, age, n)
 
     return sorted(names, key=key)
 

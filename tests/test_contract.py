@@ -53,15 +53,17 @@ def test_entry_runs(spark):
     assert [f.name for f in df.schema.fields] == ["term", "postings", "df"]
 
 
-def test_coverage_order_red_then_fresh_then_green():
+def test_coverage_order_red_then_reverify_then_fresh_then_green():
     """queries()/oracle_sql() must enumerate (1) names whose LATEST driver
-    sample was red, then (2) names the gate has never verified, then (3)
-    sampled-green names (the gate samples a ~50-name window in enumeration
-    order, so this makes fixed regressions re-verify next round — VERDICT
-    r5 item 1), keep the two dicts' relative order consistent, and
+    sample was red, then (2) a 5-name re-verify slice of the OLDEST-green
+    names (VERDICT r6 item 2: a regression in a long-green name must not
+    stay invisible until the sweep wraps), then (3) names the gate has
+    never verified, then (4) the remaining sampled-green names oldest
+    first, keep the two dicts' relative order consistent, and
     lose/duplicate nothing relative to the registry."""
     import glob
     import json
+    import os
 
     import __spark_entry__ as e
     from sdu_hadoop_indexer_spark.registry import all_oracles, all_queries
@@ -69,24 +71,41 @@ def test_coverage_order_red_then_fresh_then_green():
     q, o = e.queries(), e.oracle_sql()
     assert set(q) == set(all_queries())
     assert set(o) == set(all_oracles())
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         with open(path) as fh:
-            latest.update(json.load(fh))
+            for name, res in json.load(fh).items():
+                latest[name] = (rnd, res)
 
-    def cls(n: str) -> int:
-        if n not in latest:
-            return 1
-        res = latest[n]
-        green = bool(
+    def green(n: str) -> bool:
+        res = latest[n][1]
+        return bool(
             res.get("rows_match")
             and res.get("schema_match") is not False
             and res.get("hash_match") is not False
         ) or res.get("err") == "no_oracle"
-        return 2 if green else 0
+
+    greens_oldest = sorted(
+        (n for n in q if n in latest and green(n)),
+        key=lambda n: (latest[n][0], n),
+    )
+    reverify = set(greens_oldest[:5])
+
+    def cls(n: str) -> int:
+        if n in latest and not green(n):
+            return 0
+        if n in reverify:
+            return 1
+        if n not in latest:
+            return 2
+        return 3
 
     classes = [cls(n) for n in q]
-    # monotone: red-retests, then never-sampled, then sampled-green
-    assert classes == sorted(classes), "class order must be red, fresh, green"
+    # monotone: red-retests, re-verify canaries, never-sampled, green
+    assert classes == sorted(classes), "class order must be red, canary, fresh, green"
+    # the trailing green class is aged oldest-sample-first
+    tail = [n for n in q if cls(n) == 3]
+    assert tail == sorted(tail, key=lambda n: (latest[n][0], n))
     # oracle enumeration follows the same order (restricted to oracle names)
     assert [n for n in q if n in o] == list(o)

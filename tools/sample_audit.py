@@ -29,6 +29,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repo", default="/root/repo")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=0,
+        metavar="N",
+        help="preview the first N names of the next driver sample window",
+    )
     args = ap.parse_args()
 
     # resolve the registry against the SAME checkout whose CORRECTNESS
@@ -60,6 +67,23 @@ def main() -> int:
         f"== registry {len(registry)} | driver-sampled {len(seen & registry)} "
         f"| never-sampled {len(never)} | stale {len(stale)} =="
     )
+
+    if args.window:
+        # preview the driver's next sample window in queries() enumeration
+        # order, labeled by rotation class (red retest / oldest-green
+        # re-verify canary / never-sampled / rotated green) so the slice
+        # reserved by __spark_entry__._coverage_order is auditable.
+        import __spark_entry__ as e
+
+        order = e._coverage_order(sorted(registry))
+        for i, name in enumerate(order[: args.window]):
+            if name not in sampled:
+                cls = "fresh"
+            elif i < args.window and name in never:
+                cls = "fresh"
+            else:
+                cls = "sampled(" + ",".join(sampled[name]) + ")"
+            print(f"WINDOW {i:3d} {cls:20s} {name}")
     return 0
 
 
