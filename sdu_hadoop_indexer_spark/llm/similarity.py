@@ -672,9 +672,13 @@ def _group_pair_cosines(pdf, min_cos=None, topk=None):
     rid = r["vec_id"].to_numpy(dtype=np.int64)
     lm = np.array(list(l["embedding"]), dtype=np.float64)
     rm = np.array(list(r["embedding"]), dtype=np.float64)
-    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
-    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
-    sim = np.round(lm @ rm.T, 4)
+    # dot/(na*nb) — the oracle's sum(x*y)/(sqrt(Σx²)·sqrt(Σy²)) shape
+    # (2-3 roundings per pair), NOT pre-normalized rows dotted (64 extra
+    # per-element roundings), so 4dp parity doesn't lean on a pair cosine
+    # staying clear of a 0.00005 boundary by ~1e-12
+    nl = np.linalg.norm(lm, axis=1)
+    nr = np.linalg.norm(rm, axis=1)
+    sim = np.round((lm @ rm.T) / np.outer(nl, nr), 4)
     if bool(pdf["same"].iloc[0]):
         # diagonal group: L and R are the same block — strict upper
         # triangle by id so each unordered pair is emitted once
@@ -898,8 +902,15 @@ def _embeddings_fit_broadcast(spark: SparkSession, sf_dir: str) -> bool:
     module's `_arrs_fits_broadcast` — above the gate the hint is omitted
     and the verify join degrades to a co-partitioned shuffle, never an
     executor OOM."""
+    from .dedup import _parse_size_bytes
+
     try:
-        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        # _parse_size_bytes handles unit-suffixed settings ('100MB', '1g',
+        # '-1') that a bare int() would reject, silently shrinking a
+        # user-raised threshold back to the 10 MiB default
+        thresh = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
     except Exception:
         thresh = 10 * 1024 * 1024
     if thresh <= 0:
@@ -925,8 +936,8 @@ def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~7 s warm at sf0.1; this form is ~1 s). Candidates dedup with one
     slim distinct, embeddings re-attach by (size-gated) broadcast joins,
     and the verify is ONE Arrow-vectorized `mapInPandas` pass using the
-    exact-miner's numeric recipe (`_group_pair_cosines`: row-normalize,
-    float64 dot, round 4dp) — so the approximate path scores with the
+    exact-miner's numeric recipe (`_group_pair_cosines`: float64
+    dot/(na·nb), round 4dp) — so the approximate path scores with the
     same arithmetic the blocked exact path does, and the DuckDB oracle's
     DISTINCT candidate set matches by construction."""
     e = table(spark, sf_dir, "embeddings")
@@ -954,11 +965,12 @@ def ann_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             am = np.array(list(pdf["ea"]), dtype=np.float64)
             bm = np.array(list(pdf["eb"]), dtype=np.float64)
-            am /= np.linalg.norm(am, axis=1, keepdims=True)
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            # row-wise dot of the normalized matrices — the
-            # `_group_pair_cosines` recipe; +0.0 normalizes -0.0
-            cos = np.round(np.einsum("ij,ij->i", am, bm), 4) + 0.0
+            # dot/(na*nb) — the oracle's arithmetic shape (see
+            # `_group_pair_cosines`); +0.0 normalizes -0.0
+            dot = np.einsum("ij,ij->i", am, bm)
+            na = np.linalg.norm(am, axis=1)
+            nb = np.linalg.norm(bm, axis=1)
+            cos = np.round(dot / (na * nb), 4) + 0.0
             yield pd.DataFrame(
                 {"va": pdf["va"], "vb": pdf["vb"], "cosine": cos}
             )

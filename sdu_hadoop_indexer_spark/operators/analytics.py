@@ -2581,9 +2581,13 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN o ON o.source = r.source AND o.lang = c.lang
     ),
     cells AS (
-        SELECT CAST(floor((2000000.0 * CAST(
-                   (g.obs * t.n - g.rt * g.ct) * (g.obs * t.n - g.rt * g.ct)
-                   AS DOUBLE) + CAST(g.rt * g.ct * t.n AS DOUBLE))
+        -- residual cast to DOUBLE BEFORE squaring: the residual itself is
+        -- <= N and exact in double up to 2^53, but its square reaches N^2
+        -- and would wrap silently in int64 beyond ~3e9 total rows
+        SELECT CAST(floor((2000000.0 *
+                   (CAST(g.obs * t.n - g.rt * g.ct AS DOUBLE) *
+                    CAST(g.obs * t.n - g.rt * g.ct AS DOUBLE))
+                   + CAST(g.rt * g.ct * t.n AS DOUBLE))
                    / (2.0 * CAST(g.rt * g.ct * t.n AS DOUBLE))) AS BIGINT)
                    AS micro
         FROM grid g CROSS JOIN t
@@ -2601,9 +2605,10 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the categorical-drift screen ("does language mix depend on
     source?") run before trusting per-source quotas.
 
-    Cross-engine determinism without HUGEINT: each cell's contribution
-    (O·N − r·c)²/(r·c·N) is formed from EXACT int64 products cast to
-    double (≤ 2⁵³, lossless at these magnitudes), half-away-quantized to
+    Cross-engine determinism without HUGEINT: each cell's residual
+    O·N − r·c is formed in EXACT int64, cast to double (≤ 2⁵³, lossless
+    at these magnitudes), squared IN DOUBLE (the square would overflow
+    int64 beyond ~3e9 rows), half-away-quantized to
     integer micros by the same floor((2e6·A + B)/(2B)) both engines
     evaluate with identical IEEE ops, then SUMMED AS INTEGERS — so the
     total is order-free and hash-stable, unlike a float χ² sum.
@@ -2629,10 +2634,13 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cells = grid.crossJoin(F.broadcast(t))
-    a = (
-        (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
-        * (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct"))
+    # residual → double BEFORE squaring: the residual is ≤ N (exact in a
+    # double up to 2⁵³) but its square reaches N² and would wrap silently
+    # in non-ANSI int64 arithmetic beyond ~3e9 total rows
+    resid = (
+        F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
     ).cast("double")
+    a = resid * resid
     bden = (F.col("rt") * F.col("ct") * F.col("n")).cast("double")
     micro = F.floor(
         (F.lit(2000000.0) * a + bden) / (F.lit(2.0) * bden)

@@ -7,6 +7,8 @@ over `documents`; no Python in any hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -419,6 +421,13 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZIPF_TOP = 100  # terms in the rank-frequency fit
 ZIPF_SCALE = 100_000_000  # ln values quantized to the 1e-8 lattice
+# Quantized ln(rank) for every possible rank, computed ONCE in Python and
+# embedded as literals in BOTH engines: Java Math.log and C libm are only
+# guaranteed within 1 ulp of each other, so deriving qx from each engine's
+# own ln() would let a 1-ulp difference at a lattice boundary flip a
+# quantized value. A shared literal table removes the x-axis from that
+# risk entirely (the y-axis keeps a guard-distance argument, see docstring).
+ZIPF_LN_Q = [round(math.log(rk) * ZIPF_SCALE) for rk in range(1, ZIPF_TOP + 1)]
 
 
 @register(
@@ -436,8 +445,10 @@ ZIPF_SCALE = 100_000_000  # ln values quantized to the 1e-8 lattice
         ORDER BY freq DESC, term LIMIT {ZIPF_TOP}
     ),
     q AS (
-        SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT)
-                   AS qx,
+        -- qx from the SHARED Python-computed literal lattice (1-based
+        -- list_extract), identical to the Spark side by construction
+        SELECT list_extract([{", ".join(str(v) for v in ZIPF_LN_Q)}],
+                            CAST(rk AS INT)) AS qx,
                CAST(round(ln(CAST(freq AS DOUBLE)) * {ZIPF_SCALE}) AS BIGINT)
                    AS qy
         FROM ranked
@@ -468,12 +479,20 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-dominated crawl). Also reports the intercept (ln-scale
     frequency of the hypothetical rank-1 term).
 
-    EXACT-oracled via the integer-lattice discipline: ln of an INTEGER
-    rank/frequency is the same IEEE double in every libm, quantized to
-    1e-8 bigints, so all OLS moments are order-free exact integer sums
-    (decimal(38) partials — the `sim_pca_power` overflow rule) and both
-    engines evaluate the identical closed form. The 1e-8 scales cancel in
-    the slope ratio. Scale shape: one token hash-agg, a {ZIPF_TOP}-row
+    Oracled via the integer-lattice discipline: qx = quantized ln(rank)
+    comes from ONE Python-computed literal table embedded in both engines
+    (`ZIPF_LN_Q`) — exact by construction, no libm involved. qy =
+    quantized ln(freq) still uses each engine's ln() of an integer; Java
+    Math.log and C libm agree only to 1 ulp (not correctly rounded), so
+    qy parity is a guard-distance argument, not a guarantee: a 1-ulp
+    difference (~1e-6 lattice units at these magnitudes) flips a value
+    only if ln(freq)·1e8 sits within ~1e-6 of a half-integer — ~2e-4
+    probability across a 100-term fixture, and impossible to trip without
+    also changing the corpus. All OLS moments are then order-free exact
+    integer sums (decimal(38) partials — the `sim_pca_power` overflow
+    rule) and both engines evaluate the identical closed form. The 1e-8
+    scales cancel in the slope ratio. Scale shape: one token hash-agg, a
+    {ZIPF_TOP}-row
     TakeOrdered, and a single-row moment agg — corpus-linear then
     constant."""
     from pyspark.sql import Window
@@ -492,7 +511,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     q = ranked.select(
-        F.round(F.log(F.col("rk").cast("double")) * ZIPF_SCALE, 0)
+        F.element_at(F.array(*[F.lit(v) for v in ZIPF_LN_Q]), F.col("rk"))
         .cast("long")
         .alias("qx"),
         F.round(F.log(F.col("freq").cast("double")) * ZIPF_SCALE, 0)
