@@ -1526,49 +1526,67 @@ def _containment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tset.groupBy("term").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "term")
     wsz = Window.partitionBy("doc_id")
-    pref = (
-        tset.join(dfreq, "term")
-        .select(
-            "doc_id",
-            "term",
-            F.row_number().over(wdoc).alias("pos"),
-            F.count("*").over(wsz).alias("sz"),
-        )
-        .where(
-            F.col("pos")
-            <= F.col("sz")
-            - F.expr(
-                f"({CONTAIN_TAU_N} * sz + {CONTAIN_TAU_D - 1})"
-                f" div {CONTAIN_TAU_D}"
-            )
-            + 1
-        )
+    # every token positioned in the GLOBAL rarest-first canonical order
+    # (df asc, term asc) — the order both the prefix filter and PPJoin's
+    # position filter reason in. Window input is the memoized tset pin,
+    # so the second (B-side) pass re-windows a cached relation.
+    poss = tset.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count("*").over(wsz).alias("sz"),
     )
-    # LOSSLESS size prune AT the term join, before the distinct shuffle:
-    # containment needs |A∩B| ≥ ⌈τ·|A|⌉ and |A∩B| ≤ |B|, so any pair with
-    # |B| < ⌈τ·|A|⌉ can never qualify. A's size rides along from the
-    # prefix window; B's joins in from the tiny per-doc size agg — one
-    # extra int per side buys a candidate stream the distinct never sees
-    # (52.5 M raw pairs at sf0.1 before the prune).
-    tsize = tset.groupBy("doc_id").agg(F.count("*").alias("sb"))
-    if _arrs_fits_broadcast(spark, sf_dir):
-        tsize = F.broadcast(tsize)
+    pref = poss.where(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(
+            f"({CONTAIN_TAU_N} * sz + {CONTAIN_TAU_D - 1})"
+            f" div {CONTAIN_TAU_D}"
+        )
+        + 1
+    )
+    # TWO lossless prunes AT the term join, before the distinct shuffle
+    # (52.5 M raw pairs at sf0.1 with neither; measured 37.2 M with the
+    # size prune alone, 33.2 M with both — the gain is modest HERE because
+    # this fixture is saturated with true near-duplicates, ~half the
+    # distinct candidates verify; on a contamination-shaped corpus where
+    # qualifying pairs are rare the position bound is the dominant prune):
+    #  - size prune: containment needs |A∩B| ≥ ⌈τ·|A|⌉ =: α and
+    #    |A∩B| ≤ |B|, so |B| < α can never qualify;
+    #  - PPJoin position filter (Xiao et al., WWW'08): common tokens of a
+    #    pair appear in the SAME canonical order in both docs, so a match
+    #    at (pos_a, pos_b) bounds the total overlap by
+    #    1 + min(sa − pos_a, sb − pos_b). For the FIRST common token that
+    #    bound is tightest-per-pair and its positions are minimal in both
+    #    coordinates; the prefix filter guarantees a qualifying pair's
+    #    first common token sits in A's prefix, so dropping occurrences
+    #    whose bound is < α loses no qualifying pair.
     a = pref.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("sz").alias("sa")
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.col("pos").alias("pa"),
+        F.col("sz").alias("sa"),
     )
-    b = tset.join(tsize, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), "term", "sb"
+    b = poss.select(
+        F.col("doc_id").alias("doc_b"),
+        "term",
+        F.col("pos").alias("pb"),
+        F.col("sz").alias("sb"),
+    )
+    alpha = F.expr(
+        f"({CONTAIN_TAU_N} * sa + {CONTAIN_TAU_D - 1}) div {CONTAIN_TAU_D}"
     )
     cand = (
         a.join(b, "term")
         .where(
             (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("sb") >= alpha)
             & (
-                F.col("sb")
-                >= F.expr(
-                    f"({CONTAIN_TAU_N} * sa + {CONTAIN_TAU_D - 1})"
-                    f" div {CONTAIN_TAU_D}"
+                F.lit(1)
+                + F.least(
+                    F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb")
                 )
+                >= alpha
             )
         )
         .select("doc_a", "doc_b")
