@@ -257,6 +257,44 @@ N_CELLS = 8  # IVF coarse-quantizer cells
 N_PROBE = 2  # cells probed per query
 KMEANS_ITERS = 2
 IVF_SCALE = 10_000  # embedding dims quantized to integer ten-thousandths
+# Deterministic BOUNDED training sample for the IVF/PQ Lloyd loops: the
+# TRAIN_CAP vectors with the lowest salted-md5 digests (vec_id tiebreak) —
+# a uniform fixed-SIZE random sample that is a pure function of the id set,
+# so both engines materialize the identical sample at any corpus size. At
+# 100× nobody Lloyd-iterates the full corpus: the faiss discipline is to
+# train the coarse quantizer / codebooks on a capped sample at the driver
+# and ship the k×dim integer table as the staged model artifact. A capped
+# sample (unlike a fraction) keeps the driver collect BOUNDED at any scale,
+# and ORDER BY digest LIMIT k is replayable in the oracle where a row-count
+# LIMIT without the digest order would not be. Assignment/probing of the
+# FULL corpus is unchanged.
+TRAIN_SALT = "ivf-train-v1|"
+TRAIN_CAP = 512
+
+
+def _train_sample_ids_sql() -> str:
+    """Oracle-side id set of the training sample (DuckDB md5 emits the
+    same lowercase hex Spark's does, so the digest order is identical)."""
+    return (
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY md5('{TRAIN_SALT}' || CAST(vec_id AS VARCHAR)), vec_id "
+        f"LIMIT {TRAIN_CAP}"
+    )
+
+
+def _train_digest() -> Column:
+    """Spark twin of the sample's salted digest sort key."""
+    return F.md5(
+        F.concat(F.lit(TRAIN_SALT), F.col("vec_id").cast("string"))
+    )
+
+
+def _round_half_away(mean):
+    """Round-half-away-from-zero on a float64 array — the rule Spark's
+    round() and DuckDB's round() share (numpy's own round is banker's)."""
+    import numpy as np
+
+    return (np.sign(mean) * np.floor(np.abs(mean) + 0.5)).astype(np.int64)
 
 
 def _ivf_qvec(col: str | Column) -> Column:
@@ -300,86 +338,65 @@ def _ivf_assign(qv_col: Column, cents: list[list[int]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+_IVF_CENT_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+
+
 def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """Lattice k-means, KMEANS_ITERS Lloyd rounds, fully deterministic:
     init = the first N_CELLS quantized vectors; assignment = integer-L2
-    argmin; the new centroid is RE-QUANTIZED to the integer grid
-    (round(Σq/n) — double division of exact integers, same rounding rule
-    both engines). Keeping centroids ON the lattice is what removes every
-    float-accumulation-order hazard that forced the previous spherical
-    version to stay ROWS-ONLY — the DuckDB oracle replays the identical
-    rounds as unrolled MATERIALIZED CTEs (the BPE/CC pattern).
-    Assignment is distributed; each round collects only the k×dim integer
-    centroid table (tiny, bounded)."""
+    argmin (ties → lowest cell); the new centroid is RE-QUANTIZED to the
+    integer grid (round-half-away of Σq/n — double division of exact
+    integers, same rounding rule both engines). Keeping centroids ON the
+    lattice is what removes every float-accumulation-order hazard — the
+    DuckDB oracle replays the identical rounds as unrolled MATERIALIZED
+    CTEs (the BPE/CC pattern), restricted to the same sample (`qs` CTE).
+
+    SAMPLE-TRAINED AT THE DRIVER (round 7): the Lloyd rounds run in numpy
+    over the deterministic TRAIN_CAP-vector sample — the faiss discipline
+    (train the coarse quantizer on a bounded sample, ship the k×dim
+    integer table as the staged model artifact). Two bounded collects
+    (N_CELLS init rows + TRAIN_CAP sample rows, each ≤ a few hundred KB at
+    ANY corpus size) replace KMEANS_ITERS× (join + two hash-aggs +
+    collect) distributed rounds whose cost was per-round JOB LATENCY, not
+    data. numpy arithmetic is exactly the engines': int64 d2 via
+    |x|²+|m|²−2x·m (products ≤ 4e8, 64-dim sums ≤ 2.6e10 — exact),
+    np.argmin = first-min = the oracle's ORDER BY d2, cell rank-1,
+    float64 mean division = the same IEEE op, `_round_half_away` = both
+    engines' round(). Cached per (app, sf_dir) like the PQ codebooks."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_CENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in list(_IVF_CENT_CACHE):
+        if k[0] != key[0]:
+            del _IVF_CENT_CACHE[k]
     e = table(spark, sf_dir, "embeddings")
-    # persist the exploded (vec_id, dim, q) relation for the training loop:
-    # every Lloyd round re-reads it (assignment + moment agg), and without
-    # the persist each round re-runs the parquet scan + quantization
-    # lineage — the staged-input rule every iterative operator here
-    # follows (dedup_minhash_cluster, llm_bpe_train). Values are identical
-    # either way; released before returning.
-    #
-    # The per-round ASSIGNMENT is the relational join form — centroids as
-    # a broadcast (cell, dim, m) relation, d2 = hash-agg of per-dim
-    # squares, argmin via min_by over the (d2, cell) struct (== the
-    # oracle's ORDER BY dist2, cell rank-1) — NOT the `_ivf_assign`
-    # lambda-fold expression: per-round Janino codegen of that 8×64
-    # nested-lambda tree cost ~8 s of an ~9 s round at sf0.1 on 2 000
-    # vectors (the work is milliseconds; the generated-class compile
-    # isn't). Integer addition is order-independent, so the hash-agg d2
-    # equals the fold d2 bit-for-bit and the oracle is untouched.
-    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv")).persist()
-    qe = qv.select("vec_id", F.posexplode("qv").alias("dim", "q")).persist()
-    try:
-        init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
-        cents = [list(r.qv) for r in init]
-        dims = len(cents[0])
-        for _ in range(KMEANS_ITERS):
-            crows = [
-                (c, d, int(m))
-                for c, ms in enumerate(cents)
-                for d, m in enumerate(ms)
-            ]
-            cdf = spark.createDataFrame(crows, "cell int, dim int, m long")
-            d2 = (
-                qe.join(F.broadcast(cdf), "dim")
-                .groupBy("vec_id", "cell")
-                .agg(
-                    F.sum(
-                        (F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))
-                    ).alias("d2")
+    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv"))
+    init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    cents = np.array([list(r.qv) for r in init], dtype=np.int64)
+    sample = qv.orderBy(_train_digest(), "vec_id").limit(TRAIN_CAP).collect()
+    x = np.array([list(r.qv) for r in sample], dtype=np.int64)
+    for _ in range(KMEANS_ITERS):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2 * (x @ cents.T)
+        )
+        a = d2.argmin(axis=1)
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = x[a == c]
+            if len(members):
+                mean = members.sum(axis=0, dtype=np.int64) / np.float64(
+                    len(members)
                 )
-            )
-            assign = (
-                d2.groupBy("vec_id")
-                .agg(
-                    F.min_by(
-                        F.struct("cell"), F.struct("d2", "cell")
-                    ).alias("s")
-                )
-                .select("vec_id", F.col("s.cell").alias("cell"))
-            )
-            rows = (
-                assign.join(qe, "vec_id")
-                .groupBy("cell", "dim")
-                .agg(
-                    F.round(F.sum("q").cast("double") / F.count("*"), 0)
-                    .cast("long")
-                    .alias("m")
-                )
-                .collect()
-            )
-            new: dict[int, dict[int, int]] = {}
-            for r in rows:
-                new.setdefault(r.cell, {})[r.dim] = r.m
-            cents = [
-                [new[i][d] for d in range(dims)] if i in new else cents[i]
-                for i in range(N_CELLS)
-            ]
-    finally:
-        qe.unpersist()
-        qv.unpersist()
-    return cents
+                new[c] = _round_half_away(mean)
+        cents = new
+    result = [[int(v) for v in row] for row in cents]
+    _IVF_CENT_CACHE[key] = result
+    return result
 
 
 def _ivf_train_parts() -> tuple[list[str], str]:
@@ -396,7 +413,12 @@ def _ivf_train_parts() -> tuple[list[str], str]:
                      unnest(embedding) AS v
               FROM embeddings)
     ),
-    c0 AS (SELECT vec_id AS cell, dim, q AS m FROM qv WHERE vec_id < {N_CELLS})"""
+    c0 AS (SELECT vec_id AS cell, dim, q AS m FROM qv WHERE vec_id < {N_CELLS}),
+    -- the deterministic TRAIN_CAP-vector training sample (lowest salted
+    -- digests — the Spark trainer's exact twin): Lloyd rounds iterate qs,
+    -- final assignment/probing still scans qv
+    qs AS MATERIALIZED (
+        SELECT * FROM qv WHERE vec_id IN ({_train_sample_ids_sql()}))"""
     ]
     prev = "c0"
     for k in range(1, KMEANS_ITERS + 1):
@@ -407,14 +429,14 @@ def _ivf_train_parts() -> tuple[list[str], str]:
             SELECT qv.vec_id, c.cell,
                    row_number() OVER (PARTITION BY qv.vec_id
                        ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
-            FROM qv JOIN {prev} c USING (dim)
+            FROM qs qv JOIN {prev} c USING (dim)
             GROUP BY qv.vec_id, c.cell
         ) WHERE rk = 1
     ),
     cm{k} AS MATERIALIZED (
         SELECT a.cell, qv.dim,
                CAST(round(CAST(sum(qv.q) AS DOUBLE) / count(*)) AS BIGINT) AS m
-        FROM a{k} a JOIN qv USING (vec_id)
+        FROM a{k} a JOIN qs qv USING (vec_id)
         GROUP BY a.cell, qv.dim
     ),
     c{k} AS MATERIALIZED (
@@ -1677,19 +1699,26 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     """Per-subspace lattice k-means, PQ_ITERS Lloyd rounds, fully
     deterministic (the `_train_ivf_centroids` recipe applied per subspace):
     init = subvectors of the first PQ_K vectors; assignment = integer-L2
-    argmin within each subspace; new centroids re-rounded to the lattice
-    (round(Σq/n), double division of exact integers — same rule both
-    engines); an (cell, sub) pair that attracts no vectors carries its
-    previous coordinates forward. All PQ_M codebooks train in ONE
-    relational loop keyed by (sub, cell) — M× fewer passes than training
-    subspaces separately, and each round collects only the
-    PQ_K×dim integer codebook table.
+    argmin within each subspace (ties → lowest cell); new centroids
+    re-rounded to the lattice (round-half-away of Σq/n — same rule both
+    engines); a (cell, sub) pair that attracts no vectors carries its
+    previous coordinates forward (matches the oracle's NOT EXISTS clause).
+
+    SAMPLE-TRAINED AT THE DRIVER (round 7, same move as
+    `_train_ivf_centroids`): two bounded collects (PQ_K init vectors +
+    the TRAIN_CAP digest-capped sample) and numpy Lloyd rounds per
+    subspace replace the distributed per-round join/agg/collect cycle
+    whose cost was job latency, not data. The numpy arithmetic is
+    bit-identical to both engines (int64 d2, first-min argmin, float64
+    mean division, `_round_half_away`); the oracle replays the same
+    sample via its `qs` CTE.
 
     The trained codebook (PQ_K×dim plain ints — kilobytes) is cached per
     (app, sf_dir): it is the staged model artifact a deployment trains
-    once and ships to every encoder, and without the cache each consumer
-    (`sim_topk_pq`, its recall gate, every bench rep) replays the Lloyd
-    rounds. Driver-side dict, bounded, evicted with the session."""
+    once and ships to every encoder. Driver-side dict, bounded, evicted
+    with the session."""
+    import numpy as np
+
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PQ_CODEBOOK_CACHE.get(key)
     if cached is not None:
@@ -1697,38 +1726,44 @@ def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     for k in list(_PQ_CODEBOOK_CACHE):
         if k[0] != key[0]:
             del _PQ_CODEBOOK_CACHE[k]
-    qe = _pq_qe(spark, sf_dir).persist()
-    try:
-        init = (
-            qe.where(F.col("vec_id") < PQ_K)
-            .select("vec_id", "dim", "q")
-            .collect()
-        )
-        if not init:
-            raise ValueError("sim_topk_pq: embeddings table is empty")
-        cents = {(r.vec_id, r.dim): int(r.q) for r in init}
-        for _ in range(PQ_ITERS):
-            cdf = _pq_centroid_df(spark, cents)
-            assign = _pq_argmin(_pq_d2(qe, cdf))
-            rows = (
-                assign.join(qe, ["vec_id", "sub"])
-                .groupBy("cell", "dim")
-                .agg(
-                    F.round(F.sum("q").cast("double") / F.count("*"), 0)
-                    .cast("long")
-                    .alias("m")
-                )
-                .collect()
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv"))
+    init = qv.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    if not init:
+        raise ValueError("sim_topk_pq: embeddings table is empty")
+    cents = np.array([list(r.qv) for r in init], dtype=np.int64)
+    sample = qv.orderBy(_train_digest(), "vec_id").limit(TRAIN_CAP).collect()
+    x = np.array([list(r.qv) for r in sample], dtype=np.int64)
+    n_dims = cents.shape[1]
+    # sub = floor(dim * PQ_M / n_dims) — the same pure-position rule
+    # `_pq_qe` and the oracle tag dims with
+    sub_of = (np.arange(n_dims) * PQ_M) // n_dims
+    for _ in range(PQ_ITERS):
+        new = cents.copy()
+        for s in range(PQ_M):
+            dims = np.where(sub_of == s)[0]
+            xs, cs = x[:, dims], cents[:, dims]
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                + (cs * cs).sum(axis=1)[None, :]
+                - 2 * (xs @ cs.T)
             )
-            # a refreshed (cell, sub) pair emits ALL its dims in `rows`, so
-            # falling back to the previous coordinate per-key IS the
-            # empty-pair carry-forward the oracle's NOT EXISTS clause does
-            new = {(r.cell, r.dim): int(r.m) for r in rows}
-            cents = {k2: new.get(k2, m) for k2, m in cents.items()}
-    finally:
-        qe.unpersist()
-    _PQ_CODEBOOK_CACHE[key] = cents
-    return cents
+            a = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[a == c]
+                if len(members):
+                    mean = members.sum(
+                        axis=0, dtype=np.int64
+                    ) / np.float64(len(members))
+                    new[c, dims] = _round_half_away(mean)
+        cents = new
+    out = {
+        (c, d): int(cents[c, d])
+        for c in range(cents.shape[0])
+        for d in range(n_dims)
+    }
+    _PQ_CODEBOOK_CACHE[key] = out
+    return out
 
 
 def _pq_train_parts(p: str = "") -> tuple[list[str], str]:
@@ -1753,7 +1788,11 @@ def _pq_train_parts(p: str = "") -> tuple[list[str], str]:
               FROM embeddings)
     ),
     {p}c0 AS (SELECT vec_id AS cell, dim, sub, q AS m
-           FROM {p}qv WHERE vec_id < {PQ_K})"""
+           FROM {p}qv WHERE vec_id < {PQ_K}),
+    -- the deterministic TRAIN_CAP-vector training sample (the Spark
+    -- trainer's twin): Lloyd rounds iterate {p}qs, encoding scans {p}qv
+    {p}qs AS MATERIALIZED (
+        SELECT * FROM {p}qv WHERE vec_id IN ({_train_sample_ids_sql()}))"""
     ]
     prev = f"{p}c0"
     for k in range(1, PQ_ITERS + 1):
@@ -1765,7 +1804,7 @@ def _pq_train_parts(p: str = "") -> tuple[list[str], str]:
                    row_number() OVER (PARTITION BY qv.vec_id, qv.sub
                        ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
                        AS rk
-            FROM {p}qv qv JOIN {prev} c USING (dim)
+            FROM {p}qs qv JOIN {prev} c USING (dim)
             GROUP BY qv.vec_id, qv.sub, c.cell
         ) WHERE rk = 1
     ),
@@ -1773,7 +1812,7 @@ def _pq_train_parts(p: str = "") -> tuple[list[str], str]:
         SELECT a.cell, qv.dim, qv.sub,
                CAST(round(CAST(sum(qv.q) AS DOUBLE) / count(*)) AS BIGINT)
                    AS m
-        FROM {p}a{k} a JOIN {p}qv qv
+        FROM {p}a{k} a JOIN {p}qs qv
           ON qv.vec_id = a.vec_id AND qv.sub = a.sub
         GROUP BY a.cell, qv.dim, qv.sub
     ),
