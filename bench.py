@@ -230,15 +230,25 @@ def main() -> int:
         canary.append(round(canary_spin_ms(), 1))
         print(f"# ext {name}: {extended[name]}s {times}", file=sys.stderr)
 
+    # Canary-deflated totals (round-7, VERDICT r6 item 6): round-over-round
+    # comparisons kept needing manual deflation when the host was
+    # contended. factor = calibration/canary_median normalizes the totals
+    # to the 40 ms reference box in BOTH directions (a contended run
+    # deflates, an unusually fast box inflates) — `value` stays the raw
+    # measurement; `value_deflated` is the cross-round comparable one.
+    canary_median = statistics.median(canary)
+    deflate = CANARY_CALIBRATION_MS / canary_median if canary_median else 1.0
     out = {
         "metric": "headline suite wall-clock (median of %d warm runs/query)" % reps,
         "value": round(sum(per_query.values()), 3),
+        "value_deflated": round(sum(per_query.values()) * deflate, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
         "samples": samples,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
+        "extended_total_deflated": round(sum(extended.values()) * deflate, 3),
         "extended_samples": ext_samples,
         "canary": {
             "spin_ms": canary,
@@ -261,10 +271,12 @@ def main() -> int:
     compact = {
         "metric": out["metric"],
         "value": out["value"],
+        "value_deflated": out["value_deflated"],
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
         "extended_total": out["extended_total"],
+        "extended_total_deflated": out["extended_total_deflated"],
         "canary_median_ms": out["canary"]["median_ms"],
         "detail": "bench_out.json",
     }

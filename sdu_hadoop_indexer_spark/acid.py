@@ -6,6 +6,13 @@ Stores", VLDB 2020 — public protocol) re-implemented from first
 principles on plain parquet + JSON, because this environment cannot load
 the Delta/Iceberg jars (round-2 verdict, "What's missing" item 2).
 
+**Compatibility note**: the commit-log format here is BESPOKE — it
+implements Delta's *semantics* (snapshot isolation, optimistic
+concurrency, time travel, VACUUM) but is NOT Delta-readable and not
+readable by any Delta/Iceberg client; tables written by this module can
+only be read back through this module. On a cluster with the real jars,
+swap the sinks for `format("delta")` and keep the operator surface.
+
 Layout::
 
     <table>/part-<uuid>.parquet        immutable data files

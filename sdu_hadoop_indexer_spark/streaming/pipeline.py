@@ -363,8 +363,9 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, which still import `google.protobuf` at runtime. Nothing to
     vendor exists locally and package installs are out of scope for this
     environment, so the fallback remains the container path by
-    necessity, not laziness. Re-probed round 6 (2026-08-14): still
-    absent (`google.protobuf`, `PIL` both ModuleNotFoundError)."""
+    necessity, not laziness. Re-probed round 7 (2026-08-15): still
+    absent (`google.protobuf`, `PIL`, `soundfile` all
+    ModuleNotFoundError)."""
     import pandas as pd
 
     try:
