@@ -1006,6 +1006,180 @@ def dedup_embedding_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_ivf_acell(prev: str) -> str:
+    """Shared oracle CTE: rank-1 IVF cell per vector over the trained
+    centroid table `prev` — the `sim_topk_ivf` assignment applied to ALL
+    vectors (queries and candidates alike)."""
+    return f"""
+    acell AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell)
+                       AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    )"""
+
+
+def _semantic_ivf_oracle() -> str:
+    from .similarity import _ivf_train_parts
+
+    parts, prev = _ivf_train_parts()
+    return "".join(parts) + f""",
+    {_semantic_ivf_acell(prev)},
+    cpair AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM acell a JOIN acell b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    cos AS (
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   + 0.0 AS cosine
+        FROM (
+            SELECT p.va, p.vb,
+                   CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+                   CAST(unnest(eb.embedding) AS DOUBLE) AS y
+            FROM cpair p
+            JOIN embeddings ea ON ea.vec_id = p.va
+            JOIN embeddings eb ON eb.vec_id = p.vb
+        )
+        GROUP BY va, vb
+    ),
+    dropped AS (
+        SELECT DISTINCT vb AS vec_id FROM cos WHERE cosine >= {COSINE_DUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NOT NULL) AS dropped
+    FROM acell a LEFT JOIN dropped d USING (vec_id)
+    """
+
+
+@register("dedup_semantic_ivf", oracle=_semantic_ivf_oracle())
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication" —
+    public method): cluster embeddings with the trained IVF coarse
+    quantizer, then examine cosine pairs ONLY within each cluster and drop
+    every vector that has a LOWER-id cluster-mate with cosine ≥ τ (the
+    paper keeps one representative per ε-ball; min-id survivorship is this
+    repo's deterministic tie rule, same as `dedup_exact`'s keeper). Output
+    is a per-vector verdict (vec_id, cell, dropped) — the keep-list a
+    curation pipeline feeds downstream.
+
+    Scale shape: assignment is map-side (broadcast k×dim centroid
+    literal); the pair stage is per-cell, so candidate volume is Σ|cell|²
+    — SemDeDup's own answer at web scale is k ∝ N (the paper uses 50k
+    clusters for LAION), which bounds cells and keeps the stage linear;
+    N_CELLS is small here only because the fixture is. The co-cell recall
+    that blocking sacrifices is measured honestly by
+    `dedup_semantic_ivf_eval`.
+
+    EXACT oracle: assignment replays the `sim_topk_ivf` trained-centroid
+    CTEs; cosine is the family's rounded dot/(na·nb) form; the drop rule
+    is a relational EXISTS, not an iterative sweep."""
+    from .similarity import (
+        _cosine_prenormed,
+        _ivf_assign,
+        _ivf_qvec,
+        _norm,
+        _train_ivf_centroids,
+    )
+
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    asg = e.select(
+        "vec_id",
+        _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell"),
+        F.col("embedding").alias("emb"),
+        _norm("embedding").alias("nm"),
+    )
+    a = asg.select(
+        F.col("vec_id").alias("va"),
+        "cell",
+        F.col("emb").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"),
+        "cell",
+        F.col("emb").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
+    cos = F.round(
+        _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+        4,
+    ) + F.lit(0.0)
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .where(cos >= COSINE_DUP_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dropped", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+def _semantic_ivf_eval_oracle() -> str:
+    from ..registry import ORACLES
+    from .similarity import _ivf_train_parts
+
+    parts, prev = _ivf_train_parts()
+    return "".join(parts) + f""",
+    {_semantic_ivf_acell(prev)}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(CASE WHEN ca.cell = cb.cell THEN 1 END) AS BIGINT)
+               AS n_cocell,
+           {sql_ratio("count(CASE WHEN ca.cell = cb.cell THEN 1 END)",
+                      "count(*)")} AS cocell_recall
+    FROM ({ORACLES["dedup_embedding_cosine"]}) e
+    JOIN acell ca ON ca.vec_id = e.va
+    JOIN acell cb ON cb.vec_id = e.vb
+    """
+
+
+@register("dedup_semantic_ivf_eval", oracle=_semantic_ivf_eval_oracle())
+def dedup_semantic_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the semantic dedup's cluster blocking: the
+    fraction of exact τ-duplicate pairs (`dedup_embedding_cosine`, the
+    all-pairs oracle) that land in the SAME IVF cell — i.e. the dup mass
+    `dedup_semantic_ivf` can see at all. The honest-recall discipline of
+    `dedup_embedding_ann_eval` applied to cluster blocking instead of LSH
+    banding: a low number on a given corpus says "increase k or probe
+    neighboring cells before trusting the pruned corpus"."""
+    from .similarity import _ivf_assign, _ivf_qvec, _train_ivf_centroids
+
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    asg = e.select(
+        "vec_id", _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell")
+    )
+    exact = dedup_embedding_cosine(spark, sf_dir).select("va", "vb")
+    ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+    cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+    hit = F.count(F.when(F.col("cell_a") == F.col("cell_b"), 1))
+    return (
+        exact.join(F.broadcast(ca), "va")
+        .join(F.broadcast(cb), "vb")
+        .agg(
+            F.count("*").alias("n_exact"),
+            hit.alias("n_cocell"),
+            ratio(hit, F.count("*")).alias("cocell_recall"),
+        )
+    )
+
+
 K_GRAM = 8  # window length (tokens) for exact-substring duplication
 
 

@@ -520,3 +520,75 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. Identical SQL text on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q10_SQL)
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(vol4) AS BIGINT) AS revenue4
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol4
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_volume_shipping", oracle=_Q7_SQL)
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, by supplier
+    nation x customer nation x ship year) in exact integer money — the
+    largest join tree in the SQL surface (lineitem x orders x supplier x
+    customer x nation x nation), the query class TPC-H uses to exercise
+    join ORDER optimization.
+
+    Plan lifecycle: the nation-pair disjunction prunes both 25-row
+    nation branches before their joins; nation (twice), supplier and the
+    filtered customer side all broadcast under AQE, so the only real
+    shuffle is lineitem->orders; the outer agg is a handful of
+    (nation, nation, year) groups reduced map-side. year() over a
+    parquet TIMESTAMP evaluates identically in both engines. Identical
+    SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+@register("sql_forecast_revenue", oracle=_Q6_SQL)
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change: what a discount band was
+    worth over one shipping year) in exact integer money. The discount
+    band compares the INTEGER percent `round(l_discount*100)` — the
+    literal TPC-H `BETWEEN 0.05 AND 0.07` over raw doubles is exactly the
+    boundary-comparison class the parity rules exist to avoid.
+
+    Plan lifecycle: every predicate pushes into the lineitem scan (the
+    date range prunes row groups via parquet min/max stats), and the
+    whole query is ONE map-side partial + 1-row final agg — zero
+    shuffle beyond the 2-long exchange; the canonical full-scan
+    filter-agg a 100 TB fact table is laid out for. Identical SQL text
+    on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)

@@ -1132,3 +1132,57 @@ def test_truncation_stats_reconcile(spark, sf_dir):
         assert (r.n_docs, r.n_over) == direct[s]
         assert 0 <= r.tokens_truncated <= r.tokens_total
         assert 0.0 <= r.truncated_share <= 1.0
+
+
+def test_semantic_ivf_drop_rule_consistency(spark, sf_dir):
+    """Every dropped vector must have a LOWER-id co-cell mate with cosine
+    >= tau, and every kept vector must not — checked against the exact
+    all-pairs dup set restricted to co-celled pairs."""
+    verdicts = {
+        r.vec_id: (r.cell, r.dropped)
+        for r in dedup.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    exact = dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    cocell_vb = {
+        r.vb
+        for r in exact
+        if verdicts[r.va][0] == verdicts[r.vb][0]
+    }
+    dropped = {v for v, (_, d) in verdicts.items() if d}
+    assert dropped == cocell_vb
+
+
+def test_semantic_ivf_high_cocell_recall_on_clustered_corpus(spark, tmp_path):
+    """On a genuinely clustered corpus (tight planted dup pairs among
+    random vectors) the cluster blocking must see most of the exact dup
+    mass — the eval gate's number is the evidence the pruned corpus can
+    be trusted there, unlike on the near-random fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 256))
+    dups = base[:100] + 0.1 * rng.standard_normal((100, 256))
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+    row = dedup.dedup_semantic_ivf_eval(spark, d).collect()[0]
+    assert row.n_exact >= 90
+    assert row.cocell_recall >= 0.8, (
+        f"co-cell recall {row.cocell_recall} < 0.8 on a clustered corpus"
+    )
+    # and the dedup actually drops the planted clones it can see
+    n_dropped = (
+        dedup.dedup_semantic_ivf(spark, d).where("dropped").count()
+    )
+    assert n_dropped >= 0.8 * row.n_cocell / 1.0 or n_dropped >= 60
