@@ -18,6 +18,8 @@ brute force in tests.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -26,7 +28,7 @@ from ..operators.parity import ratio
 from ..registry import register
 from ..xhash import A as XH_A
 from ..xhash import B as XH_B
-from ..xhash import XH_P
+from ..xhash import XH_P, extended_planes
 
 N_QUERIES = 5  # query set = vec_id < 5
 TOP_K = 5
@@ -772,6 +774,34 @@ PAIR_BAND_PLANES = 6  # planes 0..59 of the 64-member xhash family
 PAIR_SCALE = 100_000_000  # 1e-8 lattice (the sim_random_projection grid)
 
 
+def _pair_band_params() -> tuple[int, int]:
+    """(bands, planes-per-band) operating point for the sign-LSH pair
+    miner — read at BAND-BUILD time, like the `SPARK_GRAFT_XXHASH`
+    production swap, so gate runs (env unset) keep the registered
+    constants and EXACT oracle parity.
+
+    Why it exists (round-7 slope study): candidate volume is
+    N²·Σ_bands 2^-planes — at the default 10×6 point random pairs collide
+    at ~15.7% (measured exactly at 5k AND predicted by the formula), so
+    the default is a CONSTANT-FACTOR cut of all-pairs, chosen low/wide
+    only because the driver fixture's τ=0.35 / 64-dim regime (θ≈69°,
+    per-plane p≈0.617) has no selective operating point at all. A real
+    near-dup corpus (duplicate cosine ≥0.9, p≥0.86) runs
+    ``SPARK_GRAFT_PAIR_BANDS=20x16``: random collision 2^-16 → candidate
+    fraction ~3e-4 (≈500× fewer than the default at 50k vectors) at
+    recall 1-(1-p^16)^20 ≥ 0.97 — the test suite pins both numbers on a
+    clustered corpus."""
+    raw = os.environ.get("SPARK_GRAFT_PAIR_BANDS", "")
+    if not raw:
+        return PAIR_BANDS, PAIR_BAND_PLANES
+    b, r = (int(x) for x in raw.lower().split("x", 1))
+    if b < 1 or not 1 <= r <= 30:
+        raise ValueError(
+            f"SPARK_GRAFT_PAIR_BANDS={raw!r}: need BANDSxPLANES, planes 1..30"
+        )
+    return b, r
+
+
 def _pair_band_sql() -> str:
     """DuckDB CTE chain → pbands(vec_id, band_idx, bucket), one row per
     vector per band. INTEGER-LATTICE form (round-6 rework): dims quantize
@@ -816,15 +846,23 @@ _PAIR_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slim (vec_id, band_idx, bucket) band relation, memoize-persisted per
-    (app, sf_dir) — the staged ANN signature table (the `_lsh_bands`
-    discipline): both pair-mining consumers and every eval/bench rerun
-    read the same pinned copy instead of re-hashing the corpus."""
+    (app, sf_dir, operating point) — the staged ANN signature table (the
+    `_lsh_bands` discipline): both pair-mining consumers and every
+    eval/bench rerun read the same pinned copy instead of re-hashing the
+    corpus. The operating point joins the memo key so flipping
+    SPARK_GRAFT_PAIR_BANDS mid-session can never serve stale buckets."""
     from ..caching import memoized_persist
 
+    b, r = _pair_band_params()
+    keydir = (
+        sf_dir
+        if (b, r) == (PAIR_BANDS, PAIR_BAND_PLANES)
+        else f"{sf_dir}#pair_bands={b}x{r}"
+    )
     return memoized_persist(
         _PAIR_BANDS_CACHE,
         spark,
-        sf_dir,
+        keydir,
         lambda: _build_pair_bands(spark, sf_dir),
     )
 
@@ -844,7 +882,16 @@ def _build_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * PAIR_SCALE, 0).cast("long"),
         ).alias("qv"),
     )
-    n_planes = PAIR_BANDS * PAIR_BAND_PLANES
+    n_bands, n_pl = _pair_band_params()
+    n_planes = n_bands * n_pl
+    # same LCG plane streams as the module-level XH_A/XH_B (identical
+    # prefix ≤ 64), continued when the production operating point needs
+    # more planes than the default family carries
+    xa, xb = (
+        (XH_A, XH_B)
+        if n_planes <= len(XH_A)
+        else extended_planes(n_planes)
+    )
 
     def buckets(batches):
         import numpy as np
@@ -861,7 +908,7 @@ def _build_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [
                         [
                             1
-                            if (XH_A[i] * (d + 1) + XH_B[i]) % XH_P % 2 == 1
+                            if (xa[i] * (d + 1) + xb[i]) % XH_P % 2 == 1
                             else -1
                             for d in range(dims)
                         ]
@@ -872,15 +919,15 @@ def _build_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             proj = q @ w.T  # (n, planes) exact int64
             bits = (proj > 0).astype(np.int64)
             n = len(pdf)
-            weights = (1 << np.arange(PAIR_BAND_PLANES)).astype(np.int64)
-            buck = bits.reshape(n, PAIR_BANDS, PAIR_BAND_PLANES) @ weights
+            weights = (1 << np.arange(n_pl)).astype(np.int64)
+            buck = bits.reshape(n, n_bands, n_pl) @ weights
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(np.int64), PAIR_BANDS
+                        pdf["vec_id"].to_numpy(np.int64), n_bands
                     ),
                     "band_idx": np.tile(
-                        np.arange(PAIR_BANDS, dtype=np.int32), n
+                        np.arange(n_bands, dtype=np.int32), n
                     ),
                     "bucket": buck.reshape(-1).astype(np.int32),
                 }

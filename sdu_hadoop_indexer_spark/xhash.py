@@ -76,6 +76,15 @@ B = _lcg_consts(2, _N_FAM)
 C = _lcg_consts(3, _N_FAM)
 
 
+def extended_planes(n: int) -> tuple[list[int], list[int]]:
+    """(A, B) constants for n family members — the SAME LCG streams as the
+    module-level A/B (identical prefix for n ≤ 64), continued past 64 for
+    consumers that need more planes than the default family carries (the
+    production sign-LSH band operating point: bands × planes can exceed
+    64 there). Pure function of n; no runtime RNG."""
+    return _lcg_consts(1, n), _lcg_consts(2, n)
+
+
 def xh1(col: str | Column) -> Column:
     """First string hash: portable char-fold, or xxhash64 in production."""
     if production_hashing():

@@ -1186,3 +1186,63 @@ def test_semantic_ivf_high_cocell_recall_on_clustered_corpus(spark, tmp_path):
         dedup.dedup_semantic_ivf(spark, d).where("dropped").count()
     )
     assert n_dropped >= 0.8 * row.n_cocell / 1.0 or n_dropped >= 60
+
+
+def test_pair_bands_production_operating_point(spark, tmp_path, monkeypatch):
+    """The round-7 slope study measured the DEFAULT 10x6 banding colliding
+    random pairs at ~15.7% of all-pairs (= a constant-factor cut of N^2,
+    the fixture-regime operating point). The production point
+    SPARK_GRAFT_PAIR_BANDS=20x16 must cut random collisions by orders of
+    magnitude while keeping recall on true near-dups (cosine ~0.96)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((400, 256))
+    dups = base[:100] + 0.3 * rng.standard_normal((100, 256))
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+
+    def n_candidates() -> int:
+        bands = similarity._pair_bands(spark, d)
+        a = bands.select(
+            F.col("vec_id").alias("va"), "band_idx", "bucket"
+        )
+        b = bands.select(
+            F.col("vec_id").alias("vb"), "band_idx", "bucket"
+        )
+        return (
+            a.join(b, ["band_idx", "bucket"])
+            .where(F.col("va") < F.col("vb"))
+            .select("va", "vb")
+            .distinct()
+            .count()
+        )
+
+    exact = {
+        (r.va, r.vb) for r in dedup.dedup_embedding_cosine(spark, d).collect()
+    }
+    assert len(exact) >= 90
+    cand_default = n_candidates()
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_BANDS", "20x16")
+    cand_prod = n_candidates()
+    ann = {(r.va, r.vb) for r in dedup.dedup_embedding_ann(spark, d).collect()}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"production-point recall {recall:.3f} < 0.9"
+    # the default point admits ~15% of all 500*499/2 pairs; the production
+    # point must collapse the random collision mass by >= 20x
+    assert cand_prod * 20 <= cand_default, (
+        f"candidates {cand_prod} vs default {cand_default}"
+    )

@@ -104,6 +104,48 @@ def generate(
     return path
 
 
+EMB_DUP_RATE = 0.05  # fraction of vectors that are near-clones (cos ≥ ~0.99)
+EMB_DIM = 64
+EMB_LABELS = 8
+
+
+def generate_embeddings(n_vecs: int, out: str, seed: int = 43) -> str:
+    """Synthesize an `embeddings.parquet` matching the driver fixture's
+    schema (vec_id int64, embedding list<float>, label int32) for the
+    ANN/embedding-dedup slope rows: base vectors are unit-normalized
+    Gaussians (the fixture's near-random regime), plus an injected
+    EMB_DUP_RATE of near-clones (tiny perturbation, cosine ≥ ~0.99) so the
+    ANN dedup family has a true duplicate set whose size scales linearly —
+    the candidate/edge growth the banding-linearity claim is about."""
+    rng = np.random.default_rng(seed)
+    n_base = int(n_vecs * (1 - EMB_DUP_RATE))
+    base = rng.standard_normal((n_base, EMB_DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = rng.integers(0, n_base, size=n_vecs - n_base)
+    clones = base[src] + 0.02 * rng.standard_normal(
+        (n_vecs - n_base, EMB_DIM)
+    )
+    clones /= np.linalg.norm(clones, axis=1, keepdims=True)
+    vecs = np.vstack([base, clones])[rng.permutation(n_vecs)].astype(
+        np.float32
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.integers(0, EMB_LABELS, size=n_vecs).tolist(), pa.int32()
+            ),
+        }
+    )
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "embeddings.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, required=True)

@@ -1,10 +1,13 @@
-"""Scale-slope study for the exact-join dedup family (round 6).
+"""Scale-slope study for the exact-join dedup family (round 6) and the
+ANN/embedding family (round 7).
 
 Measures wall-clock of `dedup_near_jaccard`, `dedup_containment`,
-`text_paragraph_dedup`, and `graph_triangle_count` on matched synthetic
-corpora at two sizes (default 5 000 vs 50 000 docs, an OPEN 20 000-term
-vocabulary via ``gen_scale_fixture --synth-vocab``) so the prefix-filter
-"linear at scale" claim is empirical, not theory + one SF step.
+`text_paragraph_dedup`, `graph_triangle_count`, `llm_contamination_matrix`
+(over synthetic documents) and `dedup_embedding_ann` (over synthetic
+embeddings) on matched corpora at two sizes (default 5 000 vs 50 000 docs/
+vectors, an OPEN 20 000-term vocabulary via ``gen_scale_fixture
+--synth-vocab``) so the prefix-filter and sign-LSH-banding "linear at
+scale" claims are empirical, not theory + one SF step.
 
 Protocol (matches the round-5 study in BASELINE.md):
 - corpora come from the SAME generator at both sizes — never generated
@@ -42,31 +45,56 @@ def _evict_near_jaccard_memo() -> None:
         del dedup._NEAR_JACCARD_CACHE[k]
 
 
+def _evict_pair_bands_memo() -> None:
+    """Evict the sign-LSH band table so each dedup_embedding_ann rep
+    measures the full band-build + bucket-join + verify, not a pin read."""
+    from sdu_hadoop_indexer_spark.llm import similarity
+
+    for k, df in list(similarity._PAIR_BANDS_CACHE.items()):
+        df.unpersist(blocking=True)
+        del similarity._PAIR_BANDS_CACHE[k]
+
+
 def run(small: int, large: int, vocab: int, out_root: str) -> dict:
-    from gen_scale_fixture import generate
+    from gen_scale_fixture import generate, generate_embeddings
 
     from sdu_hadoop_indexer_spark.llm import dedup
     from sdu_hadoop_indexer_spark.session import get_spark
 
     spark = get_spark("slope_study")
     ops = [
-        ("dedup_near_jaccard", dedup.dedup_near_jaccard, True),
-        ("dedup_containment", dedup.dedup_containment, False),
-        ("text_paragraph_dedup", dedup.text_paragraph_dedup, False),
+        ("dedup_near_jaccard", dedup.dedup_near_jaccard),
+        ("dedup_containment", dedup.dedup_containment),
+        ("text_paragraph_dedup", dedup.text_paragraph_dedup),
         # AFTER near_jaccard so the memoized edge relation is warm: the
         # number isolates the degree-cap + wedge join itself.
-        ("graph_triangle_count", dedup.graph_triangle_count, False),
+        ("graph_triangle_count", dedup.graph_triangle_count),
+        # AFTER containment, same logic: the composer row measures the
+        # per-source-pair rollup over the warm staged edge relation —
+        # exactly its production position in a contamination audit.
+        ("llm_contamination_matrix", dedup.llm_contamination_matrix),
+        # banded sign-LSH pair dedup over the synthetic embeddings: the
+        # band-table memo is evicted per rep so the number is the full
+        # band-build + slim bucket self-join + Arrow verify.
+        ("dedup_embedding_ann", dedup.dedup_embedding_ann),
     ]
-    results: dict[str, dict[int, dict]] = {name: {} for name, _, _ in ops}
+    evictors = {
+        "dedup_near_jaccard": _evict_near_jaccard_memo,
+        "dedup_embedding_ann": _evict_pair_bands_memo,
+    }
+    results: dict[str, dict[int, dict]] = {name: {} for name, _ in ops}
     for n_docs in (small, large):
         d = os.path.join(out_root, f"docs{n_docs}")
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             generate(n_docs, d, "/root/testdata/sf0.1", vocab_terms=vocab)
-        for name, fn, evict in ops:
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            generate_embeddings(n_docs, d)
+        for name, fn in ops:
             walls, rows = [], 0
             for _rep in range(2):
+                evict = evictors.get(name)
                 if evict:
-                    _evict_near_jaccard_memo()
+                    evict()
                 t0 = time.monotonic()
                 rows = fn(spark, d).count()
                 walls.append(time.monotonic() - t0)
@@ -77,7 +105,7 @@ def run(small: int, large: int, vocab: int, out_root: str) -> dict:
     print(f"\n| operator | {small} docs | {large} docs | slope | rows "
           f"{small}->{large} |")
     print("|---|---|---|---|---|")
-    for name, _, _ in ops:
+    for name, _ in ops:
         s, l = results[name][small], results[name][large]
         slope = l["warm_s"] / max(s["warm_s"], 1e-9)
         print(f"| `{name}` | {s['warm_s']} s | {l['warm_s']} s | "
