@@ -1660,3 +1660,180 @@ def truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cut).cast("long").alias("tokens_truncated"),
         ratio(F.sum(cut), F.sum("n_tokens")).alias("truncated_share"),
     )
+
+
+DSIR_B = 1024  # hashed n-gram feature buckets (DSIR §3: hashing trick)
+DSIR_SCALE = 100_000_000  # per-bucket log-ratios quantized to the 1e-8 lattice
+DSIR_TARGET_LANG = "en"  # the "target domain" proxy on this fixture
+
+
+def _dsir_oracle() -> str:
+    from ..text.indexer import TOK_SQL
+    from ..xhash import xh1_sql
+
+    return f"""
+    WITH {TOK_SQL},
+    feats AS (
+        SELECT doc_id, term AS feat FROM tok
+        UNION ALL
+        SELECT doc_id, feat FROM (
+            SELECT doc_id,
+                   term || ' ' || lead(term) OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS feat
+            FROM tok
+        ) WHERE feat IS NOT NULL
+    ),
+    fmap AS (
+        SELECT feat, CAST({xh1_sql("feat")} % {DSIR_B} AS INTEGER) AS b
+        FROM (SELECT DISTINCT feat FROM feats)
+    ),
+    fb AS (SELECT f.doc_id, m.b FROM feats f JOIN fmap m USING (feat)),
+    tgt_docs AS (SELECT doc_id FROM documents
+                 WHERE lang = '{DSIR_TARGET_LANG}'),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+    tgt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS ct
+        FROM fb JOIN tgt_docs USING (doc_id) GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM fb) AS nr,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM fb JOIN tgt_docs USING (doc_id)) AS nt
+    ),
+    lam AS (
+        SELECT r.b,
+               CAST(round(ln(
+                   CAST((coalesce(t.ct, 0) + 1) * (tot.nr + {DSIR_B})
+                        AS DOUBLE)
+                   / CAST((r.cr + 1) * (tot.nt + {DSIR_B}) AS DOUBLE))
+                   * {DSIR_SCALE}) AS BIGINT) AS lam_q
+        FROM raw r CROSS JOIN tot LEFT JOIN tgt t ON t.b = r.b
+    ),
+    dw AS (
+        SELECT fb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               sum(CAST(lam_q AS HUGEINT)) AS wq
+        FROM fb JOIN lam USING (b)
+        GROUP BY fb.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_feats, wq,
+               row_number() OVER (ORDER BY wq DESC, doc_id) AS rn,
+               (SELECT count(*) FROM dw) AS nd
+        FROM dw
+    )
+    SELECT doc_id, n_feats,
+           round(CAST(wq AS DOUBLE) / {DSIR_SCALE}, 4) + 0.0 AS dsir_weight,
+           (rn <= (nd + 3) // 4) AS selected
+    FROM ranked
+    """
+
+
+@register("llm_dsir_weights", oracle=_dsir_oracle())
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling" — public method): per-document
+    importance weight log(p_target/p_raw) under hashed-n-gram bag models,
+    plus the top-quartile selection flag. Features are unigrams + bigrams
+    hashed into {DSIR_B} buckets (the paper's hashing trick) via the
+    cross-engine xh fold — which also means the SPARK_GRAFT_XXHASH
+    production swap applies to the feature hash for free. The target
+    "domain" on this fixture is lang='{DSIR_TARGET_LANG}' documents; a
+    deployment passes its high-quality slice.
+
+    Parity discipline: per-bucket λ = ln of a RATIO OF EXACT INT64
+    PRODUCTS cast to double (Laplace-smoothed counts; exact while <2⁵³ —
+    the chi² regime), quantized ONCE to the 1e-8 lattice (per-engine libm
+    ln, the zipf qy 1-ulp guard-distance argument: ~{DSIR_B} boundary
+    draws/corpus), then per-doc weights are ORDER-FREE exact integer sums
+    of lattice values (HUGEINT/decimal(38) partials). Selection ranks by
+    the INTEGER weight (deterministic doc_id tiebreak), never the rounded
+    double.
+
+    Scale shape: distinct-feature hash (vocab-sized, not corpus-sized) →
+    broadcast bucket map → two bucket hash-aggs ({DSIR_B} rows) → λ
+    broadcast back → one doc hash-agg. The global top-quartile rank is the
+    one ordered stage — at 100 TB it becomes the two-phase distributed
+    sort-index (`llm_global_sort_index`'s shape) or a quantile cutoff."""
+    from ..text.indexer import tokenize
+    from ..xhash import xh1
+
+    toks = tokenize(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = toks.select("doc_id", F.col("term").alias("feat"))
+    bi = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "term", F.lead("term").over(w)
+            ).alias("feat"),
+            F.lead("term").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "feat")
+    )
+    feats = uni.unionAll(bi)
+    fmap = (
+        feats.select("feat")
+        .distinct()
+        .select(
+            "feat", F.pmod(xh1("feat"), F.lit(DSIR_B)).cast("int").alias("b")
+        )
+    )
+    fb = feats.join(fmap, "feat").select("doc_id", "b")
+    tgt_docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("lang") == DSIR_TARGET_LANG)
+        .select("doc_id")
+    )
+    fbt = fb.join(F.broadcast(tgt_docs), "doc_id")
+    raw = fb.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    tgt = fbt.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    tot = fb.agg(F.count("*").cast("long").alias("nr")).crossJoin(
+        fbt.agg(F.count("*").cast("long").alias("nt"))
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        * (F.col("nr") + DSIR_B)
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("nt") + DSIR_B)).cast(
+                        "double"
+                    )
+                )
+                * DSIR_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lam_q"),
+        )
+    )
+    dw = (
+        fb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum(F.col("lam_q").cast("decimal(38,0)")).alias("wq"),
+        )
+    )
+    nd = dw.agg(F.count("*").cast("long").alias("nd"))
+    rn = F.row_number().over(Window.orderBy(F.desc("wq"), "doc_id"))
+    return (
+        dw.withColumn("rn", rn)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "n_feats",
+            (
+                F.round(F.col("wq").cast("double") / DSIR_SCALE, 4)
+                + F.lit(0.0)
+            ).alias("dsir_weight"),
+            (F.col("rn") <= (F.col("nd") + 3) / 4).alias("selected"),
+        )
+    )

@@ -2171,3 +2171,46 @@ def llm_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("containment").alias("max_containment"),
         )
     )
+
+
+def _soft_dedup_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH cl AS ({ORACLES["dedup_minhash_cluster"]}),
+    sz AS (
+        SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cl GROUP BY cluster_rep
+    )
+    SELECT cl.doc_id, cl.cluster_rep, sz.cluster_size,
+           {sql_ratio("1", "sz.cluster_size")} AS soft_weight
+    FROM cl JOIN sz USING (cluster_rep)
+    """
+
+
+@register("llm_soft_dedup_weights", oracle=_soft_dedup_oracle())
+def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (He et al. 2024, "SoftDedup: an Efficient Data
+    Reweighting Method for Speeding Up Language Model Pretraining" —
+    public method): instead of DELETING near-duplicates (the
+    `dedup_cluster_keep_best` path), down-weight every member of a
+    duplicate cluster to 1/cluster_size so the cluster contributes one
+    document's worth of gradient mass while keeping its sample diversity.
+    Composes the registered CC clustering verbatim: (doc_id, cluster_rep)
+    → cluster sizes → boundary-proof 1/size ratio. Unique docs keep
+    weight 1.0; a 50-copy boilerplate cluster drops to 0.02 each.
+
+    Feeds `llm_repeat_upsample`/`llm_mixing_weights`-style samplers as the
+    per-doc multiplier. Scale shape: reuses the staged label relation, one
+    clusters-sized hash agg, one broadcast-back join — strictly cheaper
+    than the quadratic pair relation."""
+    cl = dedup_minhash_cluster(spark, sf_dir)
+    sz = cl.groupBy("cluster_rep").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return cl.join(F.broadcast(sz), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        ratio(F.lit(1), F.col("cluster_size")).alias("soft_weight"),
+    )

@@ -1246,3 +1246,42 @@ def test_pair_bands_production_operating_point(spark, tmp_path, monkeypatch):
     assert cand_prod * 20 <= cand_default, (
         f"candidates {cand_prod} vs default {cand_default}"
     )
+
+
+def test_dsir_weights_separate_target_language(spark, sf_dir):
+    """DSIR's point: target-domain (en) docs must score higher under
+    log(p_target/p_raw) than non-target docs; plus structural invariants
+    (n_feats = 2*tokens - 1, top-quartile selection count)."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = curation.llm_dsir_weights(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.lang
+        for r in table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    en = [r.dsir_weight for r in rows if docs[r.doc_id] == "en"]
+    other = [r.dsir_weight for r in rows if docs[r.doc_id] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+    n_sel = sum(1 for r in rows if r.selected)
+    assert n_sel == (len(rows) + 3) // 4
+    # en should dominate the selected quartile
+    sel_en = sum(1 for r in rows if r.selected and docs[r.doc_id] == "en")
+    assert sel_en / n_sel > len(en) / len(rows)
+
+
+def test_soft_dedup_weights_mass_conservation(spark, sf_dir):
+    """Every cluster's weights sum to ~1 (one doc's worth of mass), unique
+    docs keep exactly 1.0, and weights agree with cluster sizes."""
+    from sdu_hadoop_indexer_spark.llm import curation  # noqa: F401
+
+    rows = dedup.llm_soft_dedup_weights(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_rep, []).append(r)
+    for rep, members in by_cluster.items():
+        sz = members[0].cluster_size
+        assert len(members) == sz
+        for m in members:
+            assert abs(m.soft_weight - round(1.0 / sz, 4)) < 5e-5
+        if sz == 1:
+            assert members[0].soft_weight == 1.0
