@@ -592,3 +592,54 @@ def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q6_SQL)
+
+
+def _q8_sql() -> str:
+    from .operators.parity import sql_ratio
+
+    share = sql_ratio(
+        "sum(CASE WHEN nation = 'NATION_19' THEN vol4 ELSE 0 END)",
+        "sum(vol4)",
+    )
+    return f"""
+SELECT o_year, CAST(sum(vol4) AS BIGINT) AS volume4, {share} AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol4,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND p_type = 'PROMO'
+) all_sales
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("sql_market_share", oracle=_q8_sql())
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share: one supplier nation's share
+    of PROMO-part volume sold into one region, by order year) — the
+    8-relation star join (part, lineitem, supplier, orders, customer,
+    nation ×2, region) that exercises join-order planning hardest.
+    Exact integer money; the share itself goes through the boundary-proof
+    integer ratio instead of the float division the literal benchmark
+    text uses.
+
+    Plan lifecycle: p_type and the region/date predicates all push into
+    their scans; part, supplier, customer, both nation branches and
+    region broadcast under AQE (dimension-sized), so the single real
+    shuffle is the year group-by; the CASE-sum share needs no second
+    pass. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q8_sql())
