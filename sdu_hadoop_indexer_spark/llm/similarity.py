@@ -2271,3 +2271,132 @@ def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.count("hit"), F.count("*")).alias("recall"),
         )
     )
+
+
+MRL_CAND = 20  # truncated-stage candidates per query before full rescoring
+
+
+def _matryoshka_topk_oracle() -> str:
+    trunc_cos = f"""
+        SELECT va, vb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   + 0.0 AS cosine
+        FROM (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(unnest(a.embedding[1:{TRUNC_DIM}]) AS DOUBLE) AS x,
+                   CAST(unnest(b.embedding[1:{TRUNC_DIM}]) AS DOUBLE) AS y
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+        )
+        GROUP BY va, vb
+    """
+    return f"""
+    WITH tcos AS ({trunc_cos}),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT va AS query_id, vb AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY va ORDER BY cosine DESC, vb
+                   ) AS rn
+            FROM tcos
+        ) WHERE rn <= {MRL_CAND}
+    ),
+    full_cos AS (
+        SELECT query_id, neighbor_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                   + 0.0 AS cosine
+        FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(unnest(qa.embedding) AS DOUBLE) AS x,
+                   CAST(unnest(qb.embedding) AS DOUBLE) AS y
+            FROM cand c
+            JOIN embeddings qa ON qa.vec_id = c.query_id
+            JOIN embeddings qb ON qb.vec_id = c.neighbor_id
+        )
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM full_cos
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_topk_matryoshka", oracle=_matryoshka_topk_oracle())
+def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022 MRL — the
+    coarse-to-fine pattern production vector stores run): stage 1 ranks
+    candidates with the FIRST {TRUNC_DIM} dims only (4× fewer vector
+    bytes scanned — at deployment the truncated index is the one that
+    fits in memory), keeping {MRL_CAND} per query; stage 2 rescores only
+    those with the full {TRUNC_DIM}×4-dim exact cosine and emits top-k.
+    The operator `sim_matryoshka_eval` gates is the search path itself:
+    its measured truncation recall bounds this operator's recall, since
+    stage 2 never resurrects a candidate stage 1 dropped.
+
+    Scale shape: stage 1 is the broadcast-queries × truncated-scan shape
+    of `sim_topk_search`; stage 2 touches MRL_CAND×queries rows — the
+    full-dim relation is probed, never scanned. Both stages rank on the
+    ROUNDED cosine with neighbor_id tiebreaks (cross-engine rank safety).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    te = F.slice("embedding", 1, TRUNC_DIM)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        te.alias("qe"),
+        _norm(te).alias("qn"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        te.alias("ce"),
+        _norm(te).alias("cn"),
+    )
+    tcos = _cosine_prenormed(
+        F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("tcosine"), "neighbor_id"
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(tcos, 4) + F.lit(0.0)).alias("tcosine"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= MRL_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    qf = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    cf = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    rescored = (
+        cand.join(F.broadcast(qf), "query_id")
+        .join(cf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

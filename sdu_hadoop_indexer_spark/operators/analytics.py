@@ -2905,3 +2905,113 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x,
         ).alias("survival"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS ia,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ),
+    s AS (
+        SELECT CAST(sum(ia) AS BIGINT) AS n1,
+               CAST(count(*) - sum(ia) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN ia = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN ia = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN ia = 1 THEN c * c ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(sum(CASE WHEN ia = 0 THEN c * c ELSE 0 END) AS BIGINT)
+                   AS q2
+        FROM g
+    ),
+    m AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(q1 AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / n1) * CAST(s1 AS DOUBLE)) / (n1 - 1)
+                   AS v1,
+               (CAST(q2 AS DOUBLE)
+                - (CAST(s2 AS DOUBLE) / n2) * CAST(s2 AS DOUBLE)) / (n2 - 1)
+                   AS v2
+        FROM s
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           round(m1 / 100.0, 4) + 0.0 AS mean_a,
+           round(m2 / 100.0, 4) + 0.0 AS mean_b,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) + 0.0 AS t_stat,
+           round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) + 0.0 AS dof
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the same two event samples
+    as `agg_ks_test`/`agg_mann_whitney` — the parametric mean-shift
+    companion to their distribution/rank tests, with the
+    Welch–Satterthwaite degrees of freedom.
+
+    EXACT cross-engine: values carry exactly 2 decimals (fixture
+    invariant the parity module's `ravg` already leans on), so cents are
+    exact int64 and Σc, Σc² are order-free integer sums; every following
+    op (divisions, subtraction, multiply, sqrt — all IEEE
+    correctly-rounded) runs in the IDENTICAL order on both engines, and
+    cents cancel in t and dof (scale-invariant statistics). Σc² stays
+    exact in a double while < 2⁵³ ≈ 9e15 — holds past 1e9 rows at these
+    magnitudes (the chi² docstring regime).
+
+    Scale shape: ONE map-side partial + 1-row final agg over a pushed
+    two-type scan filter — no shuffle beyond the 6-long exchange."""
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    ia = F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    g = e.select(ia.alias("ia"), c.alias("c"))
+    s = g.agg(
+        F.sum("ia").cast("long").alias("n1"),
+        (F.count("*") - F.sum("ia")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("ia") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("ia") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("ia") == 1, F.col("c") * F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(F.col("ia") == 0, F.col("c") * F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("q1").cast("double")
+        - (F.col("s1").cast("double") / F.col("n1"))
+        * F.col("s1").cast("double")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("q2").cast("double")
+        - (F.col("s2").cast("double") / F.col("n2"))
+        * F.col("s2").cast("double")
+    ) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    dof = (se2 * se2) / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return s.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        (F.round(m1 / 100.0, 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(m2 / 100.0, 4) + F.lit(0.0)).alias("mean_b"),
+        (F.round((m1 - m2) / F.sqrt(se2), 4) + F.lit(0.0)).alias("t_stat"),
+        (F.round(dof, 4) + F.lit(0.0)).alias("dof"),
+    )

@@ -1285,3 +1285,56 @@ def test_soft_dedup_weights_mass_conservation(spark, sf_dir):
             assert abs(m.soft_weight - round(1.0 / sz, 4)) < 5e-5
         if sz == 1:
             assert members[0].soft_weight == 1.0
+
+
+def test_matryoshka_two_stage_dominates_direct_truncated_topk(spark, sf_dir):
+    """Stage-1 keeps MRL_CAND=20 truncated candidates, so any ground-truth
+    neighbor the eval's direct truncated top-5 finds is also available to
+    the rescorer: two-stage recall must be >= sim_matryoshka_eval's, and
+    emitted cosines must equal the exact full-dim scores."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk_search(spark, sf_dir).collect()
+    }
+    two = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk_matryoshka(spark, sf_dir).collect()
+    }
+    hits = set(two) & set(exact)
+    for k in hits:
+        assert two[k] == exact[k]
+    recall_two = len(hits) / len(exact)
+    ev = similarity.sim_matryoshka_eval(spark, sf_dir).collect()
+    recall_direct = sum(r.n_hit for r in ev) / sum(r.k_full for r in ev)
+    assert recall_two >= recall_direct
+
+
+def test_welch_ttest_matches_pure_python(spark, sf_dir):
+    """The one-row statistic must equal the textbook Welch formula
+    computed driver-side from the same filtered values."""
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    row = analytics.agg_welch_ttest(spark, sf_dir).collect()[0]
+    vals = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+        .collect()
+    )
+    import math
+
+    a = [round(v.value * 100) for v in vals if v.event_type == "purchase"]
+    b = [round(v.value * 100) for v in vals if v.event_type == "click"]
+    n1, n2 = len(a), len(b)
+    m1, m2 = sum(a) / n1, sum(b) / n2
+    v1 = (sum(x * x for x in a) - m1 * sum(a)) / (n1 - 1)
+    v2 = (sum(x * x for x in b) - m2 * sum(b)) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert (row.n_a, row.n_b) == (n1, n2)
+    assert abs(row.t_stat - t) < 1e-3
+    assert abs(row.dof - dof) < 1e-2
+    assert row.dof <= n1 + n2 - 2 + 1e-9  # Welch dof never exceeds pooled
