@@ -111,6 +111,14 @@ EXTENDED = [
     # dedup_containment's cold samples, so its number shows the staged-
     # artifact reuse the pin exists for (cf. dedup_lsh_quality_eval).
     "llm_contamination_matrix",
+    # round-7 additions: the semantic dedup (per-cell pair stage), DSIR
+    # (distinct-feature hash + bucket aggs), soft-dedup (CC composer),
+    # the two-stage MRL retrieval, and the largest SQL join tree.
+    "dedup_semantic_ivf",
+    "llm_dsir_weights",
+    "llm_soft_dedup_weights",
+    "sim_topk_matryoshka",
+    "sql_volume_shipping",
 ]
 
 

@@ -2214,3 +2214,92 @@ def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         ratio(F.lit(1), F.col("cluster_size")).alias("soft_weight"),
     )
+
+
+HAM_K = 3  # simhash near-dup threshold (Manku et al.'s web-dedup setting)
+HAM_BLOCKS = 4  # 4 x 16-bit blocks: pigeonhole guarantees ham<=3 pairs share one
+
+
+def _simhash_hamming_oracle() -> str:
+    from ..registry import ORACLES
+
+    blocks = ", ".join(
+        f"((simhash >> {16 * b}) & 65535)" for b in range(HAM_BLOCKS)
+    )
+    return f"""
+    WITH fp AS ({ORACLES["dedup_simhash"]}),
+    blk AS (
+        SELECT doc_id, i AS blk, [{blocks}][i + 1] AS key
+        FROM fp CROSS JOIN (SELECT unnest(range({HAM_BLOCKS})) AS i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blk a JOIN blk b
+          ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {HAM_K}
+    """
+
+
+@register("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via hamming-block banding (Manku, Jain &
+    Sarma, WWW 2007, "Detecting near-duplicates for web crawling" — the
+    published Google web-dedup algorithm, public): split each 64-bit
+    fingerprint into {HAM_BLOCKS}×16-bit blocks; by pigeonhole, any pair
+    within hamming distance ≤ {HAM_K} agrees EXACTLY on at least one
+    block, so the block-bucket self-join is a LOSSLESS candidate
+    generator; verify with one popcount(xor) per candidate. Completes the
+    simhash path the same way `dedup_minhash_lsh` completes MinHash —
+    fingerprint op → banded pair miner.
+
+    Scale shape: the block relation is 4 rows/doc of (blk, 16-bit key);
+    random fingerprints collide per block at 2^-16, so candidates are
+    ~4·N²/2^16 ONLY for truly random corpora and collapse onto the real
+    near-dup mass otherwise — the same candidate math as the banded
+    sign-LSH miner but with the lossless pigeonhole guarantee instead of
+    probabilistic recall (no recall gate needed: recall is 1 by
+    construction at ≤ {HAM_K}).
+
+    EXACT oracle: both engines agree on bit_count/xor/shift-mask over
+    two's-complement int64 (including the sign block — the & 65535 mask
+    discards sign-extension bits)."""
+    fp = dedup_simhash(spark, sf_dir)
+    blk = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for b in range(HAM_BLOCKS)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.blk").alias("blk"), F.col("s.key").alias("key"))
+    a = blk.select(F.col("doc_id").alias("doc_a"), "blk", "key")
+    b = blk.select(F.col("doc_id").alias("doc_b"), "blk", "key")
+    cand = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .where(ham <= HAM_K)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )

@@ -1338,3 +1338,24 @@ def test_welch_ttest_matches_pure_python(spark, sf_dir):
     assert abs(row.t_stat - t) < 1e-3
     assert abs(row.dof - dof) < 1e-2
     assert row.dof <= n1 + n2 - 2 + 1e-9  # Welch dof never exceeds pooled
+
+
+def test_simhash_hamming_banding_is_lossless(spark, sf_dir):
+    """Pigeonhole claim: the block-banded miner must find EXACTLY the
+    brute-force all-pairs hamming <= 3 set — recall 1 by construction,
+    not probabilistic."""
+    fps = {
+        r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, sf_dir).collect()
+    }
+    ids = sorted(fps)
+    brute = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            x = (fps[da] ^ fps[db]) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= 3:
+                brute.add((da, db))
+    mined = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_simhash_hamming(spark, sf_dir).collect()
+    }
+    assert mined == brute
