@@ -3015,3 +3015,117 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((m1 - m2) / F.sqrt(se2), 4) + F.lit(0.0)).alias("t_stat"),
         (F.round(dof, 4) + F.lit(0.0)).alias("dof"),
     )
+
+
+DID_SPLIT = "2024-01-15"  # pre/post boundary inside the fixture's event month
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    g AS (
+        SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}' THEN 1 ELSE 0 END
+                   AS post,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM ev WHERE event_type = 'purchase'
+    ),
+    cells AS (
+        SELECT treated, post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM g GROUP BY treated, post
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN treated = 1 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS m_t0,
+            max(CASE WHEN treated = 1 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS m_t1,
+            max(CASE WHEN treated = 0 AND post = 0
+                     THEN CAST(s AS DOUBLE) / n END) AS m_c0,
+            max(CASE WHEN treated = 0 AND post = 1
+                     THEN CAST(s AS DOUBLE) / n END) AS m_c1,
+            CAST(sum(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT n_events,
+           round(m_t0 / 100.0, 4) + 0.0 AS mean_treated_pre,
+           round(m_t1 / 100.0, 4) + 0.0 AS mean_treated_post,
+           round(m_c0 / 100.0, 4) + 0.0 AS mean_control_pre,
+           round(m_c1 / 100.0, 4) + 0.0 AS mean_control_post,
+           round(((m_t1 - m_t0) - (m_c1 - m_c0)) / 100.0, 4) + 0.0 AS did
+    FROM w
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over purchase values — the
+    canonical quasi-experimental effect readout ((treated post − pre) −
+    (control post − pre)) the product-analytics family (funnel, retention,
+    Wilson CI) was missing. Treatment assignment is the deterministic
+    user_id parity (a real rollout passes its assignment relation);
+    period split at {DID_SPLIT}.
+
+    EXACT cross-engine by the Welch discipline: 2-decimal values →
+    exact int64 cent sums per (treated, post) cell (order-free), then an
+    identical sequence of correctly-rounded IEEE divisions/subtractions;
+    dollar rescale only at the output edge.
+
+    Scale shape: ONE 4-cell hash agg over a pushed single-type scan
+    filter, cells pivoted map-side — no join, no window, no shuffle
+    beyond the 4-row exchange."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    g = e.select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+        F.when(F.col("ts") >= F.lit(DID_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    cells = g.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+
+    def cell_mean(t: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        cell_mean(1, 0).alias("m_t0"),
+        cell_mean(1, 1).alias("m_t1"),
+        cell_mean(0, 0).alias("m_c0"),
+        cell_mean(0, 1).alias("m_c1"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return w.select(
+        "n_events",
+        (F.round(F.col("m_t0") / 100.0, 4) + F.lit(0.0)).alias(
+            "mean_treated_pre"
+        ),
+        (F.round(F.col("m_t1") / 100.0, 4) + F.lit(0.0)).alias(
+            "mean_treated_post"
+        ),
+        (F.round(F.col("m_c0") / 100.0, 4) + F.lit(0.0)).alias(
+            "mean_control_pre"
+        ),
+        (F.round(F.col("m_c1") / 100.0, 4) + F.lit(0.0)).alias(
+            "mean_control_post"
+        ),
+        (
+            F.round(
+                (
+                    (F.col("m_t1") - F.col("m_t0"))
+                    - (F.col("m_c1") - F.col("m_c0"))
+                )
+                / 100.0,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("did"),
+    )

@@ -606,3 +606,33 @@ def test_survival_km_planted_lifetimes(spark, tmp_path):
     assert rows[5].survival == 0.5
     assert rows[10].n_risk == 1 and rows[10].n_churn == 0
     assert rows[10].survival == 0.5
+
+
+def test_diff_in_diff_matches_cellwise_means(spark, sf_dir):
+    """DiD must equal the four cell means computed driver-side, and the
+    estimator must be exactly (t_post - t_pre) - (c_post - c_pre)."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    row = analytics.events_diff_in_diff(spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    import datetime
+
+    split = datetime.datetime(2024, 1, 15)
+    cells = {}
+    for r in ev:
+        key = (r.user_id % 2 == 1, r.ts >= split)
+        cells.setdefault(key, []).append(round(r.value * 100))
+    m = {k: sum(v) / len(v) / 100.0 for k, v in cells.items()}
+    assert abs(row.mean_treated_pre - m[(True, False)]) < 1e-3
+    assert abs(row.mean_control_post - m[(False, True)]) < 1e-3
+    expect = (m[(True, True)] - m[(True, False)]) - (
+        m[(False, True)] - m[(False, False)]
+    )
+    assert abs(row.did - expect) < 2e-3
+    assert row.n_events == len(ev)
