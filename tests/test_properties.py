@@ -333,3 +333,49 @@ def test_ratio_spark_duckdb_boundary_grid(spark):
             f" {sql_sratio(str(row.num), str(row.den))} AS sr"
         ).fetchone()
         assert (row.r, row.sr) == dr, (row.num, row.den)
+
+
+@given(
+    s=st.integers(min_value=-(10**15), max_value=10**15),
+    n=st.integers(min_value=1, max_value=100_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_away_matches_both_engines(s, n):
+    """The numpy Lloyd trainers requantize centroids with
+    `_round_half_away(sum/count)`; the oracles replay the same rounds with
+    each engine's round(). The three must agree for ANY integer sum/count
+    — including exact .5 quotients, negatives, and the 2^53 edge of the
+    docstring regime — or trained centroids silently diverge from the
+    oracle's replay."""
+    import numpy as np
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.llm.similarity import _round_half_away
+
+    got = int(_round_half_away(np.float64(s) / np.float64(n)))
+    duck = duckdb.sql(
+        f"SELECT CAST(round(CAST({s} AS DOUBLE) / {n}) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == duck, f"{s}/{n}: numpy {got} vs duckdb {duck}"
+
+
+def test_round_half_away_matches_spark_round(spark):
+    """Same agreement against Spark's round() on a crafted boundary set
+    (exact .5 quotients both signs, big magnitudes)."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.llm.similarity import _round_half_away
+
+    cases = [(1, 2), (-1, 2), (3, 2), (-3, 2), (5, 4), (7, 2), (-7, 2),
+             (10**15 + 1, 2), (-(10**15) - 1, 2), (999999999999, 7),
+             (-123456789, 11), (0, 5)]
+    df = spark.createDataFrame(cases, "s long, n long")
+    rows = df.select(
+        "s", "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 0)
+        .cast("long")
+        .alias("r"),
+    ).collect()
+    for r in rows:
+        got = int(_round_half_away(np.float64(r.s) / np.float64(r.n)))
+        assert got == r.r, f"{r.s}/{r.n}: numpy {got} vs spark {r.r}"
