@@ -484,3 +484,59 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.size(near).alias("n_anchor_hits"))
         .where(F.col("n_anchor_hits") > 0)
     )
+
+
+SNIPPET_RADIUS = 2  # tokens of context either side of the hit
+
+
+@register(
+    "text_snippet",
+    oracle=f"""
+    WITH {{tok}},
+    hit AS (
+        SELECT doc_id, CAST(min(pos) AS INTEGER) AS p
+        FROM tok WHERE term = 'join' GROUP BY doc_id
+    )
+    SELECT t.doc_id, h.p AS first_pos,
+           string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+    FROM tok t JOIN hit h
+      ON t.doc_id = h.doc_id
+     AND t.pos BETWEEN h.p - {SNIPPET_RADIUS} AND h.p + {SNIPPET_RADIUS}
+    GROUP BY t.doc_id, h.p
+    """.format(tok=TOK_SQL.strip()),
+)
+def text_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-hit snippet: ±{SNIPPET_RADIUS} tokens of context around the
+    FIRST occurrence of the query term per matching document — the result
+    surface a search UI renders under each hit (the consumer the
+    reference's positional postings exist to serve, `App.scala:154-166`:
+    positions are stored precisely so hits can be located in context).
+
+    Built from the token RELATION, not by indexing a re-split array:
+    `tokenize` ordinals count empty split slots, so positional array
+    indexing would drift on multi-space documents — joining tok on a pos
+    range is immune by construction and is also the scale shape (the
+    context join touches ~(2r+1) rows per hit, never re-scans text).
+
+    Ordered aggregation: Spark array_sort(collect_list(struct)) — the
+    `agg_collect_sorted` discipline — mirrors DuckDB's
+    `string_agg(... ORDER BY pos)` exactly."""
+    toks = tokenize(spark, sf_dir)
+    hit = (
+        toks.where(F.col("term") == "join")
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("int").alias("p"))
+    )
+    ctx = toks.join(hit, "doc_id").where(
+        (F.col("pos") >= F.col("p") - SNIPPET_RADIUS)
+        & (F.col("pos") <= F.col("p") + SNIPPET_RADIUS)
+    )
+    return ctx.groupBy("doc_id", F.col("p").alias("first_pos")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+            " ",
+        ).alias("snippet")
+    )
