@@ -769,3 +769,54 @@ def test_q10_pushdown_and_takeordered(spark, sf_dir):
     assert "l_returnflag" in plan and "o_orderdate" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_volume_shipping_broadcasts_all_dimensions(spark, sf_dir):
+    """TPC-H Q7's docstring claim: every dimension side (supplier,
+    customer, nation x2) broadcasts, so the only shuffle join is
+    lineitem<->orders — the plan must carry at most one non-broadcast
+    join and at least four broadcast joins."""
+    from sdu_hadoop_indexer_spark import sql_api
+
+    plan = _plan(sql_api.sql_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_pushes_every_predicate(spark, sf_dir):
+    """TPC-H Q6: date/discount/quantity predicates must reach the lineitem
+    scan as PushedFilters, and the whole query reduces map-side (partial
+    aggregation present, no join at all)."""
+    from sdu_hadoop_indexer_spark import sql_api
+
+    df = sql_api.sql_forecast_revenue(spark, sf_dir)
+    fmt = _formatted(df)
+    assert "PushedFilters:" in fmt
+    assert "l_shipdate" in fmt.split("PushedFilters:")[1][:400]
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_semantic_ivf_assignment_is_map_side(spark, sf_dir):
+    """SemDeDup's assignment must stay map-side (broadcast centroid
+    literal folded into a project, no exchange between the embeddings
+    scan and the cell column): the plan's only shuffles belong to the
+    per-cell pair join and the verdict aggregation."""
+    from sdu_hadoop_indexer_spark.llm import dedup as d
+
+    plan = _plan(d.dedup_semantic_ivf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_dsir_weight_join_broadcasts_bucket_map(spark, sf_dir):
+    """DSIR's lambda relation is 1024 rows — it must come back to the
+    per-occurrence stream as a broadcast, never a shuffle join keyed on
+    the bucket id."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    plan = _plan(curation.llm_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
