@@ -3129,3 +3129,105 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("did"),
     )
+
+
+# Shared formula text (the _CC_FORMULAS discipline): both engines apply the
+# IDENTICAL expression string to bit-identical decimal->double sums, so the
+# pre-round doubles agree even where n*sxy exceeds double's exact-integer
+# range — identical rounding, not exactness, is what the gate needs.
+_CUPED_FORMULAS = {
+    "theta": "round((nd*sxy - sx*sy)/(nd*sxx - sx*sx), 4) + 0.0",
+    "rho2": (
+        "round(((nd*sxy - sx*sy)*(nd*sxy - sx*sy))"
+        "/((nd*sxx - sx*sx)*(nd*syy - sy*sy)), 4) + 0.0"
+    ),
+}
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '{DID_SPLIT}'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '{DID_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+        FROM ev WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    b AS (SELECT * FROM u WHERE n_pre > 0 AND n_post > 0),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM b
+    )
+    SELECT n AS n_users,
+           {_CUPED_FORMULAS["theta"]} AS theta,
+           {_CUPED_FORMULAS["rho2"]} AS rho2
+    FROM s
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments by Utilizing Pre-
+    Experiment Data" — the standard A/B adjustment, public): per-user
+    pre-period purchase spend is the covariate X, post-period spend the
+    metric Y (both periods required — the paper's complete-case form);
+    θ = cov(X,Y)/var(X) is the adjustment coefficient and ρ² the
+    variance-reduction fraction var(Y−θX)/var(Y) achieves. Companion to
+    `events_diff_in_diff`: DiD estimates the effect, CUPED says how much
+    experiment sensitivity the pre-period buys.
+
+    Parity: exact cent sums per user (int64), exact decimal(38) moment
+    sums, then the SHARED `_CUPED_FORMULAS` expression text on both
+    engines — identical doubles in, identical rounding out (the
+    `agg_corr_cov` discipline).
+
+    Scale shape: one users-keyed hash agg (map-side partial) → one 7-long
+    global agg → a 1-row projection; no joins, no windows."""
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    split = F.lit(DID_SPLIT).cast("timestamp")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, c).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, c).otherwise(0))
+        .cast("long")
+        .alias("y"),
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pre"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n_post"),
+    )
+    b = u.where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+    dec = "decimal(38,0)"
+    s = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.expr(_CUPED_FORMULAS["theta"]).alias("theta"),
+        F.expr(_CUPED_FORMULAS["rho2"]).alias("rho2"),
+    )

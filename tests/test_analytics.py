@@ -636,3 +636,38 @@ def test_diff_in_diff_matches_cellwise_means(spark, sf_dir):
     )
     assert abs(row.did - expect) < 2e-3
     assert row.n_events == len(ev)
+
+
+def test_cuped_matches_numpy_regression(spark, sf_dir):
+    """theta must equal the OLS slope of post on pre spend over both-period
+    users, and rho2 the squared correlation — computed independently in
+    numpy from the same per-user sums."""
+    import datetime
+
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    row = analytics.events_cuped_adjustment(spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    split = datetime.datetime(2024, 1, 15)
+    pre: dict[int, int] = {}
+    post: dict[int, int] = {}
+    for r in ev:
+        d = pre if r.ts < split else post
+        d[r.user_id] = d.get(r.user_id, 0) + round(r.value * 100)
+    users = sorted(set(pre) & set(post))
+    x = np.array([pre[u] for u in users], dtype=np.float64)
+    y = np.array([post[u] for u in users], dtype=np.float64)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row.n_users == len(users)
+    assert abs(row.theta - theta) < 1e-3
+    assert abs(row.rho2 - rho2) < 1e-3
+    assert 0.0 <= row.rho2 <= 1.0
