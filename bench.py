@@ -119,6 +119,7 @@ EXTENDED = [
     "llm_soft_dedup_weights",
     "sim_topk_matryoshka",
     "sql_volume_shipping",
+    "dedup_simhash_hamming",
 ]
 
 

@@ -162,6 +162,21 @@ def snapshot_files(table: str, version: int | None = None) -> list[AddFile]:
     return sorted(live.values(), key=lambda a: a.path)
 
 
+def committed_op_tags(table: str) -> set[str]:
+    """op tags already in the log (the part after "MERGE:") — the Delta
+    txn-metadata read an idempotent writer does before applying a batch:
+    a tag that is present means that batch already committed, so a
+    replayed foreachBatch invocation must be a no-op."""
+    head = latest_version(table)
+    tags: set[str] = set()
+    for v in range(0, head + 1):
+        with open(_log_path(table, v)) as fh:
+            op = json.load(fh).get("op", "")
+        if ":" in op:
+            tags.add(op.split(":", 1)[1])
+    return tags
+
+
 def read_table(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
@@ -254,6 +269,7 @@ def merge_upsert(
     updates: DataFrame,
     key: str,
     base_version: int | None = None,
+    op_tag: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert): rows in ``updates`` whose key exists
     replace the current row; new keys are appended.
@@ -267,6 +283,11 @@ def merge_upsert(
     (a retry loop passes the version it read); if another writer committed
     ``base_version + 1`` first, the exclusive-create commit raises
     :class:`CommitConflict` and the caller recomputes against the new head.
+
+    ``op_tag`` suffixes the commit's op string (op = "MERGE:<tag>") — the
+    Delta txn-metadata pattern: an idempotent writer (a streaming
+    foreachBatch sink) tags each commit with its batch id and skips a
+    batch whose tag is already in the log (`committed_op_tags`).
     """
     if base_version is None:
         base_version = latest_version(table)
@@ -296,7 +317,7 @@ def merge_upsert(
     _commit(
         table,
         base_version + 1,
-        "MERGE",
+        "MERGE" if op_tag is None else f"MERGE:{op_tag}",
         adds,
         [f.path for f in touched],
     )

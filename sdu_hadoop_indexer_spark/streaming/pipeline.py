@@ -18,6 +18,7 @@ Production-scale design:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -830,3 +831,78 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("key.window.start")).alias("window_start_s"),
         F.col("value.count").alias("n"),
     )
+
+
+@register(
+    "stream_sink_acid",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_sink_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the ACID table (the Delta
+    streaming-sink mechanism, Armbrust et al. VLDB'20 §4.3: each
+    micro-batch commits transactionally WITH its batch id as txn
+    metadata, so a replayed batch — Structured Streaming's at-least-once
+    foreachBatch contract — is detected in the log and skipped, upgrading
+    the sink to exactly-once). Composes the streaming and ACID families:
+    `stream_foreachbatch_upsert` demonstrated the callback against plain
+    parquet (idempotent only because complete-mode replace happens to be);
+    THIS form is the production shape — atomic commit, snapshot-isolated
+    readers, and an explicit idempotence guard (`acid.committed_op_tags`)
+    that holds for ANY merge semantics, not just replace.
+
+    Complete-mode totals per batch → copy-on-write merge_upsert keyed by
+    user_id, op-tagged "batch=<id>". After the availableNow drain the
+    snapshot read must equal the batch GROUP BY — the EXACT oracle."""
+    import shutil
+
+    from ..acid import (
+        committed_op_tags,
+        create_table,
+        latest_version,
+        merge_upsert,
+        read_table,
+    )
+
+    tune(spark)
+    root = tempfile.mkdtemp(prefix="sdu-stream-acid-")
+    tbl = os.path.join(root, "user_totals")
+    ev = streaming_events(spark, sf_dir)
+    per_batch = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch={batch_id}"
+        if latest_version(tbl) < 0:
+            create_table(batch_df, tbl, "user_id", n_files=4)
+            return
+        if tag in committed_op_tags(tbl):
+            return  # replayed batch: already committed, exactly-once skip
+        merge_upsert(spark, tbl, batch_df, "user_id", op_tag=tag)
+
+    q = (
+        per_batch.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="sdu-stream-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = read_table(spark, tbl).select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+    # materialize before the temp table is cleaned up by interpreter exit;
+    # localCheckpoint pins the rows executor-side
+    result = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return result

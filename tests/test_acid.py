@@ -406,3 +406,39 @@ def test_writer_crash_leaves_table_fully_usable(spark, tmp_path):
     assert os.path.exists(acid._log_path(tbl, 0))
     assert res["deleted"] >= 1
     assert acid.read_table(spark, tbl).count() == n  # still perfect
+
+
+def test_op_tag_guard_makes_replay_idempotent(spark, tmp_path):
+    """The streaming-sink pattern: a batch commits op-tagged with its id;
+    a replayed invocation sees the tag in committed_op_tags and must skip,
+    leaving the table byte-identical (exactly-once over an at-least-once
+    callback contract)."""
+    tbl = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    acid.create_table(base, tbl, "k")
+    batch = spark.createDataFrame([(3, 999), (21, 210)], "k long, v long")
+
+    def sink(batch_df, batch_id):
+        tag = f"batch={batch_id}"
+        if tag in acid.committed_op_tags(tbl):
+            return "skipped"
+        acid.merge_upsert(spark, tbl, batch_df, "k", op_tag=tag)
+        return "applied"
+
+    assert sink(batch, 7) == "applied"
+    v_after = acid.latest_version(tbl)
+    rows_after = sorted(
+        (r.k, r.v) for r in acid.read_table(spark, tbl).collect()
+    )
+    # replay of the SAME batch id: must be a no-op at every level
+    assert sink(batch, 7) == "skipped"
+    assert acid.latest_version(tbl) == v_after
+    assert sorted(
+        (r.k, r.v) for r in acid.read_table(spark, tbl).collect()
+    ) == rows_after
+    assert (3, 999) in rows_after and (21, 210) in rows_after
+    # a NEW batch id still applies
+    assert sink(spark.createDataFrame([(5, 555)], "k long, v long"), 8) == "applied"
+    assert acid.latest_version(tbl) == v_after + 1
