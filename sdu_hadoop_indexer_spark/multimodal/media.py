@@ -719,3 +719,106 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.countDistinct("kind").alias("n_kinds"),
     )
+
+
+TILE = 32  # square patch side (the ViT-preprocessing granularity)
+
+
+def _tiles_oracle() -> str:
+    from ..xhash import xh1_sql
+
+    return f"""
+    WITH {MCODES_SQL},
+    img AS (
+        SELECT media_id, text, n,
+               CAST(n_chars_i % 640 + 64 AS INTEGER) AS width,
+               CAST(n_chars_i % 480 + 48 AS INTEGER) AS height
+        FROM mcodes WHERE kind = 'image'
+    ),
+    g AS (
+        SELECT *, (width + {TILE - 1}) // {TILE} AS nx,
+               (height + {TILE - 1}) // {TILE} AS ny
+        FROM img
+    ),
+    t AS (SELECT g.*, unnest(range(nx * ny)) AS idx FROM g),
+    p AS (
+        SELECT media_id,
+               CAST(idx % nx AS INTEGER) AS tile_x,
+               CAST(idx // nx AS INTEGER) AS tile_y,
+               CAST(least({TILE}, width - (idx % nx) * {TILE}) AS INTEGER)
+                   AS tile_w,
+               CAST(least({TILE}, height - (idx // nx) * {TILE}) AS INTEGER)
+                   AS tile_h,
+               substring(text,
+                         CAST((n * idx) // (nx * ny) AS INTEGER) + 1,
+                         CAST((n * (idx + 1)) // (nx * ny)
+                              - (n * idx) // (nx * ny) AS INTEGER)) AS patch
+        FROM t
+    )
+    SELECT media_id, tile_x, tile_y, tile_w, tile_h,
+           CAST(length(patch) AS BIGINT) AS patch_len,
+           {xh1_sql("patch")} AS patch_xh
+    FROM p
+    """
+
+
+@register("media_image_tiles", oracle=_tiles_oracle())
+def media_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification: every image row expands into its
+    ceil(w/{TILE})×ceil(h/{TILE}) tile grid with REAL edge geometry
+    (border tiles are narrower/shorter) and a deterministic payload slice
+    per tile — the preprocessing shape a vision-training pipeline runs
+    before feature extraction, with the codec boundary faked exactly like
+    `media_resize` (the byte payload stands in for pixels; each tile gets
+    its row-major 1/k slice, digest-verified).
+
+    Entirely JVM-side — no Python at all: geometry is integer arithmetic,
+    the grid is one `explode(sequence())`, the slice is `substring`, and
+    the digest is the cross-engine xh fold; the DuckDB oracle replays all
+    four bit-identically (xh agrees even on empty slices — tiny payloads
+    legitimately leave border tiles empty). At 100 TB the explode is the
+    honest row expansion every patchifier pays; everything stays inside
+    whole-stage codegen with no shuffle at all."""
+    from ..xhash import xh1
+
+    m = media_table(spark, sf_dir).where(F.col("kind") == "image")
+    g = m.select(
+        "media_id",
+        F.decode("payload", "utf-8").alias("txt"),
+        "width",
+        "height",
+        F.expr(f"(width + {TILE - 1}) div {TILE}").alias("nx"),
+        F.expr(f"(height + {TILE - 1}) div {TILE}").alias("ny"),
+    ).withColumn("n", F.length("txt").cast("long"))
+    t = g.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("nx") * F.col("ny") - 1)
+        ).alias("idx"),
+    )
+    k = F.col("nx") * F.col("ny")
+    start = F.expr("(n * idx) div (nx * ny)")
+    slen = F.expr(
+        "(n * (idx + 1)) div (nx * ny) - (n * idx) div (nx * ny)"
+    )
+    patch = F.substring(
+        F.col("txt"), (start + 1).cast("int"), slen.cast("int")
+    )
+    return t.select(
+        "media_id",
+        (F.col("idx") % F.col("nx")).cast("int").alias("tile_x"),
+        F.expr("idx div nx").cast("int").alias("tile_y"),
+        F.least(
+            F.lit(TILE), F.col("width") - (F.col("idx") % F.col("nx")) * TILE
+        )
+        .cast("int")
+        .alias("tile_w"),
+        F.least(
+            F.lit(TILE),
+            F.col("height") - F.expr("idx div nx") * TILE,
+        )
+        .cast("int")
+        .alias("tile_h"),
+        F.length(patch).cast("long").alias("patch_len"),
+        xh1(patch).alias("patch_xh"),
+    )

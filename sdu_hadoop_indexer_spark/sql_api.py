@@ -643,3 +643,36 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass. Identical SQL text on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_q8_sql())
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("sql_discounted_revenue", oracle=_Q19_SQL)
+def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under three OR'd
+    brand/size/quantity conjunctions) in exact integer money — the
+    DISJUNCTIVE-predicate stress test: a naive planner evaluates the OR
+    after the join, a good one pushes the union of each branch's
+    single-table conjuncts into BOTH scans (`p_brand IN (...)`,
+    `p_size <= 15`, quantity range ∪) and re-checks the full disjunction
+    at the join. l_quantity bounds are integer-valued doubles in the
+    fixture, so the raw comparisons are boundary-safe on both engines.
+
+    Plan lifecycle: part is dimension-sized → broadcast under AQE; the
+    residual OR is one vectorized predicate; the aggregate is a 2-long
+    map-side partial. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
