@@ -189,3 +189,42 @@ def test_media_oracle_fixture_invariants(spark, sf_dir):
         | (F.col("n_chars") != F.length("text"))
     ).count()
     assert bad == 0
+
+
+def test_image_tiles_partition_payload_and_geometry(spark, sf_dir):
+    """Tile geometry and slices must PARTITION each image exactly: per-image
+    patch_len sums to the payload length, tile count = ceil(w/32)*ceil(h/32),
+    per-row tile widths sum to the image width (edge tiles narrower)."""
+    from sdu_hadoop_indexer_spark.multimodal.media import (
+        media_image_tiles,
+        media_table,
+    )
+
+    tiles = media_image_tiles(spark, sf_dir)
+    imgs = {
+        r.media_id: (r.width, r.height, len(bytes(r.payload)))
+        for r in media_table(spark, sf_dir)
+        .where(F.col("kind") == "image")
+        .collect()
+    }
+    agg = {
+        r.media_id: (r.n_tiles, r.len_sum)
+        for r in tiles.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("patch_len").alias("len_sum"),
+        )
+        .collect()
+    }
+    assert set(agg) == set(imgs)
+    for mid, (w, h, n) in imgs.items():
+        nx, ny = (w + 31) // 32, (h + 31) // 32
+        assert agg[mid] == (nx * ny, n), mid
+    # per-(image, row) tile widths cover the full image width exactly
+    row_w = (
+        tiles.groupBy("media_id", "tile_y")
+        .agg(F.sum("tile_w").alias("ws"))
+        .collect()
+    )
+    for r in row_w:
+        assert r.ws == imgs[r.media_id][0]
