@@ -676,3 +676,78 @@ def sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial. Identical SQL text on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+_Q17_SQL = """
+WITH pq AS (
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_sum_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND 5 * CAST(round(l.l_quantity) AS BIGINT) * pq.n < pq.sq
+"""
+
+
+@register("sql_small_qty_revenue", oracle=_Q17_SQL)
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue: lines of one brand
+    whose quantity is below 20% of that part's average) — the
+    correlated-aggregate-subquery class, planned here as its decorrelated
+    form (per-part aggregate joined back). The threshold compare is
+    INTEGER cross-multiplication: q < 0.2·(Σq/n) ⇔ 5·q·n < Σq — exact at
+    every boundary where the literal fraction compare can flip between
+    engines (quantities are integer-valued in the fixture).
+
+    Plan lifecycle: the brand predicate pushes into the part scan and
+    part broadcasts; the per-part aggregate is one map-side-combinable
+    hash agg reused via the join (the decorrelation Spark's own optimizer
+    performs on the literal subquery form); final agg is a 2-long
+    map-side partial. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+WITH pos AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substring(c_name, 1, 9) AS cntrycode_proxy,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_cents
+FROM customer CROSS JOIN pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY substring(c_name, 1, 9)
+ORDER BY cntrycode_proxy
+"""
+
+
+@register("sql_global_sales_opportunity", oracle=_Q22_SQL)
+def sql_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity: above-average-balance
+    customers with no RECENT order — the fixture's order coverage is
+    near-total, so literal never-ordered would be empty below sf0.1; the
+    recency predicate keeps the anti-join non-trivial at every SF) — the
+    scalar-subquery-filter + anti-join class. The above-average compare
+    is integer cross-multiplication (c·n > Σ over positive balances,
+    exact at boundaries); the fixture has no phone column, so the name
+    prefix stands in for Q22's country code grouping.
+
+    Plan lifecycle: the 1-row positive-balance aggregate broadcasts as a
+    scalar; NOT EXISTS plans as a left-anti join on o_custkey (orders
+    projected to ONE column before the exchange); the group-by is
+    prefix-keyed and tiny. Identical SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
