@@ -3231,3 +3231,120 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUPED_FORMULAS["theta"]).alias("theta"),
         F.expr(_CUPED_FORMULAS["rho2"]).alias("rho2"),
     )
+
+
+def _holt_merge_sql() -> str:
+    """The (acc, x) -> [level', trend'] lambda body, shared by eye between
+    engines (α = β = 0.5; level' appears twice because neither engine's
+    lambda has a let-binding — both evaluate the identical expression)."""
+    newl = "0.5 * x[1] + 0.5 * (acc[1] + acc[2])"
+    return f"[{newl}, 0.5 * (({newl}) - acc[1]) + 0.5 * acc[2]]"
+
+
+@register(
+    "ts_holt_smoothing",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM ev GROUP BY 1
+    ),
+    arr AS (
+        SELECT list(y ORDER BY day) AS ys, list(day ORDER BY day) AS days,
+               CAST(count(*) AS INTEGER) AS nd
+        FROM d
+    ),
+    st AS (
+        SELECT days[i] AS day, ys[i] AS y, i,
+               list_reduce(
+                   list_prepend(
+                       [CAST(ys[1] AS DOUBLE),
+                        CAST(ys[2] - ys[1] AS DOUBLE)],
+                       list_transform(ys[2:i], v -> [CAST(v AS DOUBLE), 0.0])
+                   ),
+                   (acc, x) -> {_holt_merge_sql()}
+               ) AS s
+        FROM arr CROSS JOIN (SELECT unnest(range(1, 100)) AS i)
+        WHERE i <= nd
+    )
+    SELECT day, y,
+           round(s[1], 4) + 0.0 AS level,
+           round(s[2], 4) + 0.0 AS trend,
+           round(lag(s[1]) OVER (ORDER BY day)
+                 + lag(s[2]) OVER (ORDER BY day), 4) + 0.0 AS forecast
+    FROM st
+    """,
+)
+def ts_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the daily event-count series
+    (level + trend, the forecast primitive one step up from `ts_ewma`),
+    with the one-step-ahead forecast l_{{t-1}} + b_{{t-1}} per day — the
+    capacity-planning readout.
+
+    EXACT without any lattice: α = β = 0.5 are DYADIC, so every state is
+    a dyadic rational whose mantissa grows ≤ 1 bit per step — with int64
+    daily counts (~13 bits) and a ~30-day fixture the state stays EXACTLY
+    representable in a double, and even past 53 bits both engines run the
+    IDENTICAL fold (Spark `aggregate(slice(...))`, DuckDB
+    `list_reduce(l[2:i])` — the `events_survival_km` device, with a
+    2-slot array as the (level, trend) state) so results stay
+    bit-identical. Scale shape: the corpus reduces to ≤ span-days rows in
+    one hash agg; the O(D²) prefix folds run on that bounded relation."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("rows")
+    ).select(
+        F.transform("rows", lambda r: r.y).alias("ys"),
+        F.transform("rows", lambda r: r.day).alias("days"),
+        F.size("rows").alias("nd"),
+    )
+    idx = spark.range(1, 100).select(F.col("id").cast("int").alias("i"))
+    init = F.array(
+        F.element_at("ys", 1).cast("double"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).cast("double"),
+    )
+
+    def merge(acc, x):
+        newl = F.lit(0.5) * F.element_at(x, 1) + F.lit(0.5) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        newb = F.lit(0.5) * (
+            newl - F.element_at(acc, 1)
+        ) + F.lit(0.5) * F.element_at(acc, 2)
+        return F.array(newl, newb)
+
+    st = (
+        arr.crossJoin(F.broadcast(idx))
+        .where(F.col("i") <= F.col("nd"))
+        .select(
+            F.element_at("days", F.col("i")).alias("day"),
+            F.element_at("ys", F.col("i")).alias("y"),
+            F.aggregate(
+                F.transform(
+                    F.slice("ys", 2, F.col("i") - 1),
+                    lambda v: F.array(v.cast("double"), F.lit(0.0)),
+                ),
+                init,
+                merge,
+            ).alias("s"),
+        )
+    )
+    w = Window.orderBy("day")
+    return st.select(
+        "day",
+        "y",
+        (F.round(F.element_at("s", 1), 4) + F.lit(0.0)).alias("level"),
+        (F.round(F.element_at("s", 2), 4) + F.lit(0.0)).alias("trend"),
+        (
+            F.round(
+                F.lag(F.element_at("s", 1)).over(w)
+                + F.lag(F.element_at("s", 2)).over(w),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("forecast"),
+    )

@@ -671,3 +671,41 @@ def test_cuped_matches_numpy_regression(spark, sf_dir):
     assert abs(row.theta - theta) < 1e-3
     assert abs(row.rho2 - rho2) < 1e-3
     assert 0.0 <= row.rho2 <= 1.0
+
+
+def test_holt_smoothing_matches_python_recursion(spark, sf_dir):
+    """Level/trend/forecast must equal the textbook Holt recursion with
+    alpha = beta = 0.5 computed driver-side over the same daily counts."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    rows = sorted(
+        analytics.ts_holt_smoothing(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    days = sorted(
+        (r.day, r.y)
+        for r in table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    ys = [y for _, y in days]
+    lvl, tr = float(ys[0]), float(ys[1] - ys[0])
+    states = [(lvl, tr)]
+    for y in ys[1:]:
+        nl = 0.5 * y + 0.5 * (lvl + tr)
+        tr = 0.5 * (nl - lvl) + 0.5 * tr
+        lvl = nl
+        states.append((lvl, tr))
+    assert len(rows) == len(ys)
+    assert rows[0].forecast is None
+    # compare UNROUNDED within half a 4dp rounding unit: the dyadic-exact
+    # states legitimately land exactly on .00005 boundaries, where the
+    # engines' half-away round and Python's banker's round diverge
+    for i, r in enumerate(rows):
+        assert abs(r.level - states[i][0]) <= 5.0001e-5
+        assert abs(r.trend - states[i][1]) <= 5.0001e-5
+        if i:
+            fc = states[i - 1][0] + states[i - 1][1]
+            assert abs(r.forecast - fc) <= 5.0001e-5
