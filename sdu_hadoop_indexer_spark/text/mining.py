@@ -383,3 +383,52 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(RAKE_TOPK)
     )
+
+
+def _cms_error_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH hh AS ({ORACLES["text_countmin_heavyhitters"]}),
+    {TOK_SQL},
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS true_count
+           FROM tok GROUP BY term)
+    SELECT hh.term, hh.est_count, tf.true_count,
+           hh.est_count - tf.true_count AS overestimate
+    FROM hh JOIN tf USING (term)
+    ORDER BY hh.est_count DESC, hh.term
+    """
+
+
+@register("text_countmin_error_eval", oracle=_cms_error_oracle())
+def countmin_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the count-min sketch: each reported heavy
+    hitter's estimate against its TRUE count with the signed overestimate
+    — the `dedup_embedding_ann_eval` honest-gate discipline applied to
+    the charter's sketch slot (previously the accuracy claim lived only
+    in a pytest assertion; now it is a REGISTERED, oracle-checked
+    relation a deployment can monitor). CMS guarantees est ≥ true and
+    E[overestimate] ≤ N/width; the emitted column lets the consumer see
+    the actual collision inflation per term and re-size
+    {CMS_DEPTH}×{CMS_WIDTH} when it drifts.
+
+    Scale shape: the heavy-hitter relation is {CMS_TOPK} rows; the true
+    counts come from one token hash agg and join back broadcast-sized."""
+    hh = countmin_heavyhitters(spark, sf_dir)
+    tf = (
+        _tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("true_count"))
+    )
+    return (
+        F.broadcast(hh)
+        .join(tf, "term")
+        .select(
+            "term",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "term")
+    )

@@ -93,3 +93,17 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
         assert r.n_fp >= 1
         expected = 2.0 / (WINNOW_W + 1)
         assert 0.5 * expected <= r.density <= 3.0 * expected
+
+
+def test_countmin_error_gate_nonnegative_and_bounded(spark, sf_dir):
+    """CMS guarantee surfaced by the registered gate: est >= true for
+    every reported heavy hitter, and the overestimate stays within the
+    classical depth-min bound scale (a few N/width)."""
+    from sdu_hadoop_indexer_spark.text import mining
+
+    rows = mining.countmin_error_eval(spark, sf_dir).collect()
+    assert rows
+    n_tokens = sum(r.true_count for r in rows)  # lower bound on N
+    for r in rows:
+        assert r.overestimate >= 0, r.term
+        assert r.est_count == r.true_count + r.overestimate
