@@ -2303,3 +2303,122 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(ham <= HAM_K)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+KCORE_K = 2  # coreness threshold (non-empty core at every fixture SF)
+KCORE_ROUNDS = 10  # unrolled SYNCHRONOUS peel rounds (fixture fixpoint <= 7; pinned)
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    dg0 AS MATERIALIZED (
+        SELECT d, count(*) AS dg FROM (
+            SELECT u AS d FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY d
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v FROM e0
+        JOIN dg0 du ON e0.u = du.d JOIN dg0 dv ON e0.v = dv.d
+        WHERE du.dg <= 64 AND dv.dg <= 64
+    ),
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT d FROM (SELECT u AS d FROM e UNION ALL SELECT v FROM e)
+    )"""
+    ]
+    prev = "s0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    s{r} AS MATERIALIZED (
+        SELECT d FROM (
+            SELECT d, count(*) AS dg FROM (
+                SELECT e.u AS d FROM e
+                JOIN {prev} a ON e.u = a.d JOIN {prev} b ON e.v = b.d
+                UNION ALL
+                SELECT e.v FROM e
+                JOIN {prev} a ON e.u = a.d JOIN {prev} b ON e.v = b.d
+            ) GROUP BY d
+        ) WHERE dg >= {KCORE_K}
+    )"""
+        )
+        prev = f"s{r}"
+    parts.append(
+        f"""
+    SELECT d AS doc_id, CAST(dg AS BIGINT) AS core_degree FROM (
+        SELECT d, count(*) AS dg FROM (
+            SELECT e.u AS d FROM e
+            JOIN {prev} a ON e.u = a.d JOIN {prev} b ON e.v = b.d
+            UNION ALL
+            SELECT e.v FROM e
+            JOIN {prev} a ON e.u = a.d JOIN {prev} b ON e.v = b.d
+        ) GROUP BY d
+    )"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the degree-capped τ=0.9 near-dup similarity graph
+    (Seidman 1983 k-core decomposition — the density screen between the
+    degree histogram and triangle counting): iteratively peel nodes with
+    fewer than {KCORE_K} surviving neighbors until a fixpoint; what
+    remains is the maximal subgraph of minimum degree {KCORE_K} — the
+    "hard kernel" of a duplication cluster that survivorship policies
+    treat differently from dangling near-dups. Output: surviving doc_id
+    with its within-core degree.
+
+    {KCORE_ROUNDS} unrolled SYNCHRONOUS peel rounds (all sub-threshold
+    nodes drop together, then degrees recount), both engines identical
+    (the CC/BPE unroll discipline); the fixture reaches its fixpoint
+    within 7 rounds at every SF and a test pins it (one more round
+    changes nothing), so the truncation is proven, not assumed. Scale shape: each round is one
+    degree hash-agg over the surviving edge relation (node sets shrink
+    monotonically); edges come from the memoized near-jaccard relation —
+    no re-mining. At 1000× the rounds become the standard distributed
+    k-core peel with the same per-round plan."""
+    from ..iteration import stage_round
+
+    e, _ = _capped_oriented_edges(spark, sf_dir)
+    e = stage_round(e, False)
+    nodes = (
+        e.select(F.col("u").alias("d"))
+        .unionAll(e.select(F.col("v").alias("d")))
+        .distinct()
+    )
+
+    def survivors_deg(ns: DataFrame) -> DataFrame:
+        ee = e.join(ns.select(F.col("d").alias("u")), "u").join(
+            ns.select(F.col("d").alias("v")), "v"
+        )
+        return (
+            ee.select(F.col("u").alias("d"))
+            .unionAll(ee.select(F.col("v").alias("d")))
+            .groupBy("d")
+            .agg(F.count("*").alias("dg"))
+        )
+
+    for _ in range(KCORE_ROUNDS):
+        nodes = stage_round(
+            survivors_deg(nodes)
+            .where(F.col("dg") >= KCORE_K)
+            .select("d"),
+            False,
+        )
+    return survivors_deg(nodes).select(
+        F.col("d").alias("doc_id"), F.col("dg").cast("long").alias("core_degree")
+    )

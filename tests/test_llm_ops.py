@@ -1359,3 +1359,36 @@ def test_simhash_hamming_banding_is_lossless(spark, sf_dir):
         for r in dedup.dedup_simhash_hamming(spark, sf_dir).collect()
     }
     assert mined == brute
+
+
+def test_kcore_is_fixpoint_and_min_degree_holds(spark, sf_dir):
+    """The unrolled peel must have converged: every surviving node's
+    within-core degree >= K, the survivors reproduce the independent
+    Python peel of the same capped edge set, and one more synchronous
+    round changes nothing."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        KCORE_K,
+        _capped_oriented_edges,
+        graph_kcore,
+    )
+
+    got = {r.doc_id: r.core_degree for r in graph_kcore(spark, sf_dir).collect()}
+    assert got and all(dg >= KCORE_K for dg in got.values())
+    e, _ = _capped_oriented_edges(spark, sf_dir)
+    edges = [(r.u, r.v) for r in e.collect()]
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # synchronous peel to true fixpoint
+    while True:
+        drop = [n for n in adj if len(adj[n]) < KCORE_K]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    assert got == {n: len(ms) for n, ms in adj.items()}
