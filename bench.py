@@ -120,6 +120,9 @@ EXTENDED = [
     "sim_topk_matryoshka",
     "sql_volume_shipping",
     "dedup_simhash_hamming",
+    # like graph_triangle_count, runs AFTER the near-jaccard rows so the
+    # memoized edge relation is warm: the row isolates the peel itself.
+    "graph_kcore",
 ]
 
 
