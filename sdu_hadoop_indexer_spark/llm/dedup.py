@@ -2422,3 +2422,105 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors_deg(nodes).select(
         F.col("d").alias("doc_id"), F.col("dg").cast("long").alias("core_degree")
     )
+
+
+def _clustering_oracle() -> str:
+    return f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    dg0 AS MATERIALIZED (
+        SELECT d, count(*) AS dg FROM (
+            SELECT u AS d FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY d
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v FROM e0
+        JOIN dg0 du ON e0.u = du.d JOIN dg0 dv ON e0.v = dv.d
+        WHERE du.dg <= 64 AND dv.dg <= 64
+    ),
+    deg AS MATERIALIZED (
+        SELECT d, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT u AS d FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY d
+    ),
+    -- node-anchored triangle counts: each triangle {{a,b,c}} (canonical
+    -- u<v edges) increments ALL THREE corners
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pertri AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT a AS d FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY d
+    )
+    SELECT deg.d AS doc_id, deg.dg AS degree,
+           coalesce(pertri.t, 0) AS n_triangles,
+           {sql_ratio("coalesce(pertri.t, 0) * 2",
+                      "deg.dg * (deg.dg - 1)")} AS clustering
+    FROM deg LEFT JOIN pertri ON deg.d = pertri.d
+    WHERE deg.dg >= 2
+    """
+
+
+@register("graph_clustering_coeff", oracle=_clustering_oracle())
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the degree-capped τ=0.9
+    similarity graph (Watts & Strogatz 1998): triangles-at-node /
+    (deg choose 2) — the per-node density companion to the global
+    `graph_triangle_count` (a near-dup CLUSTER member has coefficient ≈1,
+    a bridge document between clusters ≈0, so this column separates core
+    duplicates from incidental overlaps before survivorship).
+
+    Triangles enumerate once per triangle via the canonical u<v edge
+    orientation (the oracle's exact join shape) and credit all three
+    corners; the coefficient quantizes through the boundary-proof integer
+    ratio (2t / d(d−1)). Edges reuse the memoized near-jaccard relation.
+    Scale shape: the wedge join is the triangle counter's (arboricity-
+    bounded after the degree cap); everything else is degree-sized."""
+    e, _ = _capped_oriented_edges(spark, sf_dir)
+    e = e.persist()
+    deg = (
+        e.select(F.col("u").alias("d"))
+        .unionAll(e.select(F.col("v").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pertri = (
+        tri.select(F.col("a").alias("d"))
+        .unionAll(tri.select(F.col("b").alias("d")))
+        .unionAll(tri.select(F.col("c").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    return (
+        deg.where(F.col("dg") >= 2)
+        .join(pertri, "d", "left")
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("dg").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            ratio(
+                F.coalesce("t", F.lit(0)) * 2,
+                F.col("dg") * (F.col("dg") - 1),
+            ).alias("clustering"),
+        )
+    )

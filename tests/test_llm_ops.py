@@ -1392,3 +1392,20 @@ def test_kcore_is_fixpoint_and_min_degree_holds(spark, sf_dir):
                 adj[m].discard(n)
             del adj[n]
     assert got == {n: len(ms) for n, ms in adj.items()}
+
+
+def test_clustering_coeff_consistent_with_global_triangles(spark, sf_dir):
+    """Per-node triangle credits must sum to exactly 3x the global
+    triangle count (each triangle has three corners), and every
+    coefficient must be a valid [0, 1] ratio of 2t / d(d-1)."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        graph_clustering_coeff,
+        graph_triangle_count,
+    )
+
+    rows = graph_clustering_coeff(spark, sf_dir).collect()
+    total = graph_triangle_count(spark, sf_dir).collect()[0].n_triangles
+    assert sum(r.n_triangles for r in rows) == 3 * total
+    for r in rows:
+        assert 0.0 <= r.clustering <= 1.0
+        assert r.n_triangles * 2 <= r.degree * (r.degree - 1)
