@@ -2400,3 +2400,92 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+RRF_K = 60  # Cormack et al.'s reciprocal-rank-fusion constant
+RRF_SCALE = 100_000_000  # per-rank quotients on the 1e-8 integer lattice
+
+
+def _hybrid_rrf_oracle() -> str:
+    from ..registry import ORACLES
+
+    def q(rank: str) -> str:
+        # half-away-rounded 1/(K + rank) on the lattice — the boundary-proof
+        # integer quotient both engines evaluate with identical int64 ops
+        return (
+            f"CASE WHEN {rank} IS NULL THEN 0 ELSE "
+            f"CAST(floor((2 * {RRF_SCALE} + ({RRF_K} + {rank}))"
+            f" / (2.0 * ({RRF_K} + {rank}))) AS BIGINT) END"
+        )
+
+    return f"""
+    WITH bm AS ({ORACLES["text_bm25"]}),
+    br AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+        FROM bm
+    ),
+    vr AS (
+        SELECT neighbor_id AS doc_id, rn AS r_vec
+        FROM ({ORACLES["sim_topk_search"]}) WHERE query_id = 0
+    ),
+    fused AS (
+        SELECT coalesce(br.doc_id, vr.doc_id) AS doc_id,
+               br.r_bm25, vr.r_vec,
+               {q("br.r_bm25")} + {q("vr.r_vec")} AS rrf_q8
+        FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id
+    )
+    SELECT doc_id, r_bm25, r_vec, rrf_q8
+    FROM fused ORDER BY rrf_q8 DESC, doc_id LIMIT 10
+    """
+
+
+@register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009 — the fusion rule production hybrid search runs):
+    fuse the lexical BM25 top-10 (`text_bm25`, the reference's implied
+    ranking consumer) with the vector top-k (`sim_topk_search`, query
+    vector 0 standing for the query's embedding; vec_id ≡ doc_id on the
+    fixture) by RRF score Σ 1/(K + rank), K={RRF_K} — the capstone of the
+    search surface: the same index pipeline the reference attempted, plus
+    the modern dense leg, joined at the rank level so neither side's
+    score scale matters.
+
+    Parity: ranks are row_numbers over each side's ROUNDED emitted
+    ordering (deterministic cross-engine); each 1/(K+rank) quantizes to
+    the 1e-8 lattice via the boundary-proof half-away integer quotient
+    and the fused score is an exact INTEGER sum — no float accumulation.
+    Scale shape: both legs are registered top-k relations (≤ k rows);
+    the fusion is a k-row full outer join + TakeOrdered."""
+    from ..text.search import bm25
+
+    bm = bm25(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    br = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_bm25")
+    )
+    vr = (
+        sim_topk_search(spark, sf_dir)
+        .where(F.col("query_id") == 0)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rn").cast("long").alias("r_vec"),
+        )
+    )
+
+    def q(rank):
+        return F.when(rank.isNull(), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (2 * RRF_SCALE + (RRF_K + rank))
+                / (2.0 * (RRF_K + rank))
+            ).cast("long")
+        )
+
+    fused = br.join(vr, "doc_id", "full").select(
+        "doc_id",
+        "r_bm25",
+        "r_vec",
+        (q(F.col("r_bm25")) + q(F.col("r_vec"))).alias("rrf_q8"),
+    )
+    return fused.orderBy(F.desc("rrf_q8"), "doc_id").limit(10)

@@ -540,3 +540,4 @@ def text_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("snippet")
     )
+

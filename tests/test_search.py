@@ -92,3 +92,28 @@ def test_cooccur_pmi_properties(spark, sf_dir):
         assert c >= MIN_COOCCUR
         expect = round(math.log(c * n / (left[r.w1] * right[r.w2])), 4)
         assert abs(r.pmi - expect) < 1e-9
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """RRF score must equal the lattice-quantized 1/(K+rank) sum of the
+    two registered legs, docs on BOTH legs must outrank equal-rank
+    single-leg docs, and the output must be the top-10 by fused score."""
+    from sdu_hadoop_indexer_spark.llm import similarity
+    from sdu_hadoop_indexer_spark.text import search as s
+
+    rows = similarity.search_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == 10
+
+    def q(rank):
+        if rank is None:
+            return 0
+        return (2 * similarity.RRF_SCALE + (similarity.RRF_K + rank)) // (
+            2 * (similarity.RRF_K + rank)
+        )
+
+    for r in rows:
+        assert r.rrf_q8 == q(r.r_bm25) + q(r.r_vec)
+        assert r.r_bm25 is not None or r.r_vec is not None
+    # fused ordering is by rrf desc with doc_id tiebreak
+    scores = [(r.rrf_q8, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
