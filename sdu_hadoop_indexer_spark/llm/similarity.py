@@ -2407,6 +2407,10 @@ RRF_SCALE = 100_000_000  # per-rank quotients on the 1e-8 integer lattice
 
 
 def _hybrid_rrf_oracle() -> str:
+    # importing the text search module first guarantees text_bm25's oracle
+    # is registered even when a caller imports llm.* directly rather than
+    # through registry.all_queries() (whose import order is text-first)
+    from ..text import search as _search  # noqa: F401
     from ..registry import ORACLES
 
     def q(rank: str) -> str:
