@@ -3348,3 +3348,101 @@ def ts_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("forecast"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, h, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY n, h)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS c
+        FROM hourly
+    ),
+    med AS (
+        SELECT event_type, n AS med FROM m WHERE rn = (c + 1) // 2
+    ),
+    dev AS (
+        SELECT hourly.event_type, h, n, med, abs(n - med) AS d
+        FROM hourly JOIN med USING (event_type)
+    ),
+    dm AS (
+        SELECT event_type, h, n, med, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d, h)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS c
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, d AS mad FROM dm WHERE rn = (c + 1) // 2
+    )
+    SELECT dev.event_type, dev.h, dev.n, dev.med, mad.mad,
+           CASE WHEN mad.mad > 0 THEN
+               round(0.6745 * (dev.n - dev.med) / mad.mad, 4) + 0.0
+           END AS robust_z,
+           (mad.mad > 0 AND
+            abs(0.6745 * (dev.n - dev.med) / mad.mad) > 3.5) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags over the hourly event-rate series
+    — the outlier-resistant twin of `events_anomaly_zscore` (a single
+    traffic spike inflates mean AND stddev, masking itself; the median
+    and the median-absolute-deviation barely move). Robust z =
+    0.6745·(n − med)/MAD with the |z| > 3.5 rule (Iglewicz & Hoaglin
+    1993 — the standard modified-z-score test, public).
+
+    Exactness: medians are POSITION-PICKED integers (the element at rank
+    (c+1) div 2 of the sorted series — both engines pick the identical
+    value, no interpolated float median), deviations are exact int64, and
+    the only float expression is the final identical-text robust-z;
+    MAD = 0 partitions emit NULL z instead of ±inf.
+
+    Scale shape: the corpus reduces to a calendar-bounded hourly relation
+    in one hash agg; two window passes + a types-sized broadcast join do
+    the rest — cost independent of raw event volume."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+    def pick_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        wp = Window.partitionBy("event_type").orderBy(col, "h")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(col),
+                F.row_number().over(wp).alias("rn"),
+                F.count("*").over(wc).alias("c"),
+            )
+            .where(F.col("rn") == F.expr("(c + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = pick_median(hourly, "n", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = pick_median(dev, "d", "mad")
+    out = dev.join(F.broadcast(mad), "event_type")
+    rz = F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad")
+    return out.select(
+        "event_type",
+        "h",
+        "n",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.round(rz, 4) + F.lit(0.0)).alias(
+            "robust_z"
+        ),
+        ((F.col("mad") > 0) & (F.abs(rz) > 3.5)).alias("is_anomaly"),
+    )

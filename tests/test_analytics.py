@@ -709,3 +709,39 @@ def test_holt_smoothing_matches_python_recursion(spark, sf_dir):
         if i:
             fc = states[i - 1][0] + states[i - 1][1]
             assert abs(r.forecast - fc) <= 5.0001e-5
+
+
+def test_mad_anomaly_matches_python_medians(spark, sf_dir):
+    """Position-picked medians and robust z must equal a driver-side
+    recompute over the same hourly series; flags obey the 3.5 rule."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators import analytics
+
+    rows = analytics.events_anomaly_mad(spark, sf_dir).collect()
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in hourly:
+        by_type.setdefault(r.event_type, []).append((r.n, r.h))
+
+    def pick(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1][0]
+
+    for t, series in by_type.items():
+        med = pick(series)
+        mad = pick([(abs(n - med), h) for n, h in series])
+        mine = [r for r in rows if r.event_type == t]
+        assert len(mine) == len(series)
+        for r in mine:
+            assert r.med == med and r.mad == mad
+            if mad > 0:
+                rz = 0.6745 * (r.n - med) / mad
+                assert abs(r.robust_z - rz) <= 5.1e-5
+                assert r.is_anomaly == (abs(rz) > 3.5)
+            else:
+                assert r.robust_z is None and r.is_anomaly is False
