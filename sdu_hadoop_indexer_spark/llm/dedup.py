@@ -1090,31 +1090,39 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
+    # SLIM pair fan-out (the `ann_scored_pairs` round-6 lesson): the
+    # per-cell self-join carries only (vec_id, cell); the 64-float payload
+    # re-attaches to the candidate pairs afterwards, so vectors never ride
+    # the quadratic-within-cell expansion through the shuffle.
     asg = e.select(
-        "vec_id",
-        _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell"),
-        F.col("embedding").alias("emb"),
-        _norm("embedding").alias("nm"),
+        "vec_id", _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell")
     )
-    a = asg.select(
+    a = asg.select(F.col("vec_id").alias("va"), "cell")
+    b = asg.select(F.col("vec_id").alias("vb"), "cell")
+    cand = a.join(b, "cell").where(F.col("va") < F.col("vb")).select(
+        "va", "vb"
+    )
+    ea = e.select(
         F.col("vec_id").alias("va"),
-        "cell",
-        F.col("emb").alias("ea"),
-        F.col("nm").alias("na"),
+        F.col("embedding").alias("ea"),
+        _norm("embedding").alias("na"),
     )
-    b = asg.select(
+    eb = e.select(
         F.col("vec_id").alias("vb"),
-        "cell",
-        F.col("emb").alias("eb"),
-        F.col("nm").alias("nb"),
+        F.col("embedding").alias("eb"),
+        _norm("embedding").alias("nb"),
     )
+    from .similarity import _embeddings_fit_broadcast
+
+    if _embeddings_fit_broadcast(spark, sf_dir):
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     cos = F.round(
         _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
         4,
     ) + F.lit(0.0)
     dropped = (
-        a.join(b, "cell")
-        .where(F.col("va") < F.col("vb"))
+        cand.join(ea, "va")
+        .join(eb, "vb")
         .where(cos >= COSINE_DUP_TAU)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
