@@ -379,3 +379,21 @@ def test_round_half_away_matches_spark_round(spark):
     for r in rows:
         got = int(_round_half_away(np.float64(r.s) / np.float64(r.n)))
         assert got == r.r, f"{r.s}/{r.n}: numpy {got} vs spark {r.r}"
+
+
+@given(rank=st.integers(min_value=1, max_value=10_000))
+@settings(max_examples=200, deadline=None)
+def test_rrf_quotient_lattice_matches_duckdb(rank):
+    """The hybrid-RRF per-rank quotient floor((2S + (K+r)) / (2(K+r)))
+    must agree between Python/Spark integer arithmetic and DuckDB's
+    evaluation of the identical expression for any rank."""
+    import duckdb
+
+    from sdu_hadoop_indexer_spark.llm.similarity import RRF_K, RRF_SCALE
+
+    py = (2 * RRF_SCALE + (RRF_K + rank)) // (2 * (RRF_K + rank))
+    duck = duckdb.sql(
+        f"SELECT CAST(floor((2 * {RRF_SCALE} + ({RRF_K} + {rank}))"
+        f" / (2.0 * ({RRF_K} + {rank}))) AS BIGINT)"
+    ).fetchone()[0]
+    assert py == duck, rank
