@@ -254,13 +254,25 @@ def _commit(
         os.unlink(tmp)
 
 
-def create_table(df: DataFrame, table: str, key: str, n_files: int = 8) -> None:
-    """Version 0: write the initial range-partitioned data files."""
+def create_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_files: int = 8,
+    op_tag: str | None = None,
+) -> None:
+    """Version 0: write the initial range-partitioned data files.
+
+    ``op_tag`` records the creating batch's identity in the commit op
+    ("CREATE:<tag>") so `committed_op_tags` sees it — an idempotent
+    streaming writer needs the INITIAL commit tagged too, or a replayed
+    batch 0 slips past the guard and re-applies through the merge path
+    (correct only when the merge semantics happen to be idempotent)."""
     os.makedirs(os.path.join(table, LOG_DIR), exist_ok=True)
     if latest_version(table) >= 0:
         raise FileExistsError(f"ACID table already exists: {table}")
     adds = _write_data_files(df, table, key, n_files)
-    _commit(table, 0, "CREATE", adds, [])
+    _commit(table, 0, "CREATE" if op_tag is None else f"CREATE:{op_tag}", adds, [])
 
 
 def merge_upsert(

@@ -1176,10 +1176,18 @@ def dedup_semantic_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup_embedding_cosine(spark, sf_dir).select("va", "vb")
     ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
     cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+    # the assignment relation is slim (id + cell) but CORPUS-sized — gate
+    # the broadcast hint like every other full-relation broadcast in the
+    # module; above the gate AQE picks the strategy (shuffle join, never
+    # an ungated executor-OOM broadcast)
+    from .similarity import _embeddings_fit_broadcast
+
+    if _embeddings_fit_broadcast(spark, sf_dir):
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
     hit = F.count(F.when(F.col("cell_a") == F.col("cell_b"), 1))
     return (
-        exact.join(F.broadcast(ca), "va")
-        .join(F.broadcast(cb), "vb")
+        exact.join(ca, "va")
+        .join(cb, "vb")
         .agg(
             F.count("*").alias("n_exact"),
             hit.alias("n_cocell"),
@@ -1281,6 +1289,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_frac"
             ),
         )
+    )
+
+
+# one persisted capped-edge relation per (app, sf_dir) — graph operators
+# that materialize it repeatedly (bench reps) must not each pin a fresh
+# copy of the same lineage (the memoized_persist leak discipline)
+_CAPPED_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _capped_edges_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import memoized_persist
+
+    return memoized_persist(
+        _CAPPED_EDGES_CACHE,
+        spark,
+        sf_dir,
+        lambda: _capped_oriented_edges(spark, sf_dir)[0],
     )
 
 
@@ -2500,8 +2525,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (2t / d(d−1)). Edges reuse the memoized near-jaccard relation.
     Scale shape: the wedge join is the triangle counter's (arboricity-
     bounded after the degree cap); everything else is degree-sized."""
-    e, _ = _capped_oriented_edges(spark, sf_dir)
-    e = e.persist()
+    e = _capped_edges_persisted(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("d"))
         .unionAll(e.select(F.col("v").alias("d")))

@@ -2372,7 +2372,10 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= MRL_CAND)
         .select("query_id", "neighbor_id")
     )
-    qf = e.select(
+    # only vec_id < N_QUERIES rows can match cand's query_id — filter
+    # BEFORE broadcasting so the stage-2 query side stays a bounded
+    # N_QUERIES-row relation rather than an ungated corpus-sized broadcast
+    qf = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         _norm("embedding").alias("qn"),

@@ -3233,6 +3233,14 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# upper bound on the daily-series length the Holt fold enumerates — far
+# above any fixture span (the events table covers ~1 month; 4096 days is
+# 11+ years) and GUARDED in the Spark path: a series that ever reached it
+# would raise rather than silently truncate identically on both engines
+# (which the parity gate could not catch).
+HOLT_MAX_DAYS = 4096
+
+
 def _holt_merge_sql() -> str:
     """The (acc, x) -> [level', trend'] lambda body, shared by eye between
     engines (α = β = 0.5; level' appears twice because neither engine's
@@ -3265,7 +3273,7 @@ def _holt_merge_sql() -> str:
                    ),
                    (acc, x) -> {_holt_merge_sql()}
                ) AS s
-        FROM arr CROSS JOIN (SELECT unnest(range(1, 100)) AS i)
+        FROM arr CROSS JOIN (SELECT unnest(range(1, 4096)) AS i)
         WHERE i <= nd
     )
     SELECT day, y,
@@ -3295,14 +3303,29 @@ def ts_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").cast("long").alias("y")
     )
-    arr = d.agg(
-        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("rows")
-    ).select(
-        F.transform("rows", lambda r: r.y).alias("ys"),
-        F.transform("rows", lambda r: r.day).alias("days"),
-        F.size("rows").alias("nd"),
+    arr = (
+        d.agg(F.array_sort(F.collect_list(F.struct("day", "y"))).alias("rows"))
+        .select(
+            F.transform("rows", lambda r: r.y).alias("ys"),
+            F.transform("rows", lambda r: r.day).alias("days"),
+            F.size("rows").alias("nd"),
+        )
+        # guard, not truncation: a span beyond HOLT_MAX_DAYS raises
+        # instead of silently dropping rows identically on both engines
+        .where(
+            F.when(F.col("nd") < F.lit(HOLT_MAX_DAYS), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "ts_holt_smoothing: series of %s days exceeds "
+                        "HOLT_MAX_DAYS=%s", F.col("nd"), F.lit(HOLT_MAX_DAYS)
+                    )
+                ).cast("boolean")
+            )
+        )
     )
-    idx = spark.range(1, 100).select(F.col("id").cast("int").alias("i"))
+    idx = spark.range(1, HOLT_MAX_DAYS).select(
+        F.col("id").cast("int").alias("i")
+    )
     init = F.array(
         F.element_at("ys", 1).cast("double"),
         (F.element_at("ys", 2) - F.element_at("ys", 1)).cast("double"),

@@ -879,7 +879,10 @@ def stream_sink_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"batch={batch_id}"
         if latest_version(tbl) < 0:
-            create_table(batch_df, tbl, "user_id", n_files=4)
+            # tag the INITIAL commit too: a replayed batch 0 must be
+            # caught by the same committed_op_tags guard as any other
+            # batch, independent of the merge semantics' idempotence
+            create_table(batch_df, tbl, "user_id", n_files=4, op_tag=tag)
             return
         if tag in committed_op_tags(tbl):
             return  # replayed batch: already committed, exactly-once skip
