@@ -773,33 +773,79 @@ PAIR_BANDS = 10
 PAIR_BAND_PLANES = 6  # planes 0..59 of the 64-member xhash family
 PAIR_SCALE = 100_000_000  # 1e-8 lattice (the sim_random_projection grid)
 
+# auto operating-point rule (round-8, closing the round-7 slope finding):
+# expected RANDOM-pair candidates ≈ bands · N²/2^planes, so holding them
+# LINEAR in N (≈ PAIR_TARGET_CAND_PER_VEC · N) needs
+#   planes = ceil(log2(N · bands / PAIR_TARGET_CAND_PER_VEC)).
+# The floor keeps every gate fixture (N ≤ 2000 embeddings) EXACTLY at the
+# registered 10×6 point the static DuckDB oracles encode; the ceiling
+# bounds bucket width (int32) and per-vector hash cost.
+PAIR_TARGET_CAND_PER_VEC = 1024
+PAIR_MIN_PLANES = 6
+PAIR_MAX_PLANES = 24
 
-def _pair_band_params() -> tuple[int, int]:
+
+def _auto_pair_point(n_vectors: int) -> tuple[int, int]:
+    """The scale-adaptive (bands, planes) point for ``n_vectors``:
+    planes from the linear-candidates rule above, bands = planes + 4 —
+    the line through BOTH measured anchors of the round-7 slope study
+    (fixture point 10×6 and the recall-pinned production point 20×16),
+    so recall 1-(1-p^r)^(r+4) stays ≥0.97 for true dups (p ≥ 0.86 at
+    cosine 0.9) across the whole range while the random-collision
+    fraction (r+4)·2^-r falls exponentially in r. At N = 5M this lands
+    exactly on the test-pinned 20×16 point."""
+    import math
+
+    r = math.ceil(
+        math.log2(max(n_vectors, 1) * PAIR_BANDS / PAIR_TARGET_CAND_PER_VEC)
+    )
+    r = max(PAIR_MIN_PLANES, min(PAIR_MAX_PLANES, r))
+    return r + 4, r
+
+
+def _pair_band_params(n_vectors: int | None = None) -> tuple[int, int]:
     """(bands, planes-per-band) operating point for the sign-LSH pair
-    miner — read at BAND-BUILD time, like the `SPARK_GRAFT_XXHASH`
-    production swap, so gate runs (env unset) keep the registered
-    constants and EXACT oracle parity.
+    miner — resolved at BAND-BUILD time. Priority: explicit
+    ``SPARK_GRAFT_PAIR_BANDS=BxR`` env override > the scale-adaptive
+    rule (`_auto_pair_point`, when the caller supplies the corpus
+    vector count) > the registered 10×6 constants.
 
-    Why it exists (round-7 slope study): candidate volume is
-    N²·Σ_bands 2^-planes — at the default 10×6 point random pairs collide
-    at ~15.7% (measured exactly at 5k AND predicted by the formula), so
-    the default is a CONSTANT-FACTOR cut of all-pairs, chosen low/wide
-    only because the driver fixture's τ=0.35 / 64-dim regime (θ≈69°,
-    per-plane p≈0.617) has no selective operating point at all. A real
-    near-dup corpus (duplicate cosine ≥0.9, p≥0.86) runs
-    ``SPARK_GRAFT_PAIR_BANDS=20x16``: random collision 2^-16 → candidate
-    fraction ~3e-4 (≈500× fewer than the default at 50k vectors) at
-    recall 1-(1-p^16)^20 ≥ 0.97 — the test suite pins both numbers on a
-    clustered corpus."""
+    Why (round-7 slope study): candidate volume is N²·Σ_bands 2^-planes —
+    at the fixed 10×6 point random pairs collide at ~15.7% (measured
+    exactly at 5k AND predicted by the formula), a CONSTANT-FACTOR cut of
+    all-pairs that went quadratic at 10× vectors (137× wall). The auto
+    rule holds candidates LINEAR in N instead; its floor reproduces 10×6
+    at every gate fixture (N ≤ 2000), so EXACT oracle parity never sees a
+    different point, and it reaches the recall-pinned 20×16 production
+    point at N = 5M. A user can still pin any point explicitly:
+    ``SPARK_GRAFT_PAIR_BANDS=20x16`` (random collision 2^-16 → candidate
+    fraction ~3e-4, recall 1-(1-p^16)^20 ≥ 0.97 on clustered corpora —
+    both numbers test-pinned)."""
     raw = os.environ.get("SPARK_GRAFT_PAIR_BANDS", "")
-    if not raw:
+    if raw:
+        b, r = (int(x) for x in raw.lower().split("x", 1))
+        if b < 1 or not 1 <= r <= 30:
+            raise ValueError(
+                f"SPARK_GRAFT_PAIR_BANDS={raw!r}: need BANDSxPLANES, "
+                "planes 1..30"
+            )
+        return b, r
+    if n_vectors is None:
         return PAIR_BANDS, PAIR_BAND_PLANES
-    b, r = (int(x) for x in raw.lower().split("x", 1))
-    if b < 1 or not 1 <= r <= 30:
-        raise ValueError(
-            f"SPARK_GRAFT_PAIR_BANDS={raw!r}: need BANDSxPLANES, planes 1..30"
-        )
-    return b, r
+    return _auto_pair_point(n_vectors)
+
+
+def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus vector count for the operating-point rule — parquet footer
+    metadata when the fixture layout allows (no scan at all), else one
+    `count()` over the id column (a metadata-only aggregate on parquet:
+    row-group counts, no data pages). Cheap at any scale by design."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        return table(spark, sf_dir, "embeddings").select("vec_id").count()
 
 
 def _pair_band_sql() -> str:
@@ -849,11 +895,12 @@ def _pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (app, sf_dir, operating point) — the staged ANN signature table (the
     `_lsh_bands` discipline): both pair-mining consumers and every
     eval/bench rerun read the same pinned copy instead of re-hashing the
-    corpus. The operating point joins the memo key so flipping
-    SPARK_GRAFT_PAIR_BANDS mid-session can never serve stale buckets."""
+    corpus. The RESOLVED operating point (env override or the N-adaptive
+    default rule) joins the memo key so flipping SPARK_GRAFT_PAIR_BANDS
+    mid-session can never serve stale buckets."""
     from ..caching import memoized_persist
 
-    b, r = _pair_band_params()
+    b, r = _pair_band_params(_embeddings_count(spark, sf_dir))
     keydir = (
         sf_dir
         if (b, r) == (PAIR_BANDS, PAIR_BAND_PLANES)
@@ -882,7 +929,7 @@ def _build_pair_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * PAIR_SCALE, 0).cast("long"),
         ).alias("qv"),
     )
-    n_bands, n_pl = _pair_band_params()
+    n_bands, n_pl = _pair_band_params(_embeddings_count(spark, sf_dir))
     n_planes = n_bands * n_pl
     # same LCG plane streams as the module-level XH_A/XH_B (identical
     # prefix ≤ 64), continued when the production operating point needs
