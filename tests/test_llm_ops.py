@@ -1249,44 +1249,49 @@ def test_pair_bands_production_operating_point(spark, tmp_path, monkeypatch):
 
 
 def test_pair_band_auto_rule_anchors_and_monotonicity():
-    """The N-adaptive default operating point (round-8, closing the
-    round-7 slope finding): the rule must (a) reproduce the registered
-    10x6 point at EVERY gate fixture size (N <= 2000 — the static DuckDB
-    oracles encode that point), (b) land exactly on the recall-pinned
-    20x16 production point at N = 5M, (c) make the expected random-
-    collision candidate fraction bands*2^-planes non-increasing in N so
-    candidates stay ~linear in N instead of a constant factor of N^2."""
-    for n in (1, 500, 2000, 6553):
+    """The N-adaptive default operating point (round-9 fixpoint rule,
+    replacing round-8's refuted bands=planes+4): the rule must
+    (a) reproduce the registered 10x6 point at EVERY size up to the
+    named PAIR_FIXTURE_MAX oracle-parity guard (the static DuckDB
+    oracles encode that point), (b) hold true-dup recall >= 0.95 at the
+    documented design point (p = 0.86 per plane at cosine ~0.9) at
+    EVERY point the rule can emit — the exact claim the round-8 rule
+    failed, (c) make the expected random-collision candidate fraction
+    bands*2^-planes non-increasing in N with candidates/vector bounded
+    by the target until the plane ceiling kicks in."""
+    assert similarity.PAIR_FIXTURE_MAX >= 6553
+    for n in (1, 500, 2000, similarity.PAIR_FIXTURE_MAX):
         assert similarity._pair_band_params(n) == (
             similarity.PAIR_BANDS,
             similarity.PAIR_BAND_PLANES,
         ), f"fixture-scale N={n} departed from the registered point"
-    assert similarity._pair_band_params(5_000_000) == (20, 16)
+    # just past the guard the planes rule takes over smoothly (no jump:
+    # the guard boundary equals where the arithmetic leaves the floor)
+    b1, r1 = similarity._pair_band_params(similarity.PAIR_FIXTURE_MAX + 1)
+    assert r1 == similarity.PAIR_BAND_PLANES + 1
     prev_frac = None
     prev_cand_per_vec = None
-    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8):
+    for n in (10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
         b, r = similarity._pair_band_params(n)
         frac = b * 2.0**-r
         if prev_frac is not None:
             assert frac <= prev_frac
         prev_frac = frac
-        # expected random candidates per vector = frac * N stays bounded
-        # (within 2x of the target) until the plane ceiling kicks in
+        # true-dup recall at the design point holds at EVERY emitted
+        # point — exact binomial form, same formula as _bands_for_recall
+        recall = 1 - (1 - similarity.PAIR_DESIGN_P**r) ** b
+        assert recall >= similarity.PAIR_RECALL_TARGET, (
+            f"N={n} point {b}x{r}: recall {recall:.3f}"
+        )
+        # expected random candidates per vector = frac * N stays at or
+        # under the target until the plane ceiling kicks in
         if r < similarity.PAIR_MAX_PLANES:
             cand_per_vec = frac * n
             assert (
-                cand_per_vec
-                <= 2.5 * similarity.PAIR_TARGET_CAND_PER_VEC
+                cand_per_vec <= similarity.PAIR_TARGET_CAND_PER_VEC
             ), f"N={n}: {cand_per_vec:.0f} candidates/vector"
             prev_cand_per_vec = cand_per_vec
     assert prev_cand_per_vec is not None
-    # true-dup recall (p >= 0.86 per plane at cosine ~0.9) stays >= 0.95
-    # across the rule's whole range — bands = planes + 4 buys the recall
-    # that fixed 10 bands lose at selective plane counts
-    for n in (10**4, 10**6, 10**9):
-        b, r = similarity._pair_band_params(n)
-        recall = 1 - (1 - 0.86**r) ** b
-        assert recall >= 0.95, f"N={n} point {b}x{r}: recall {recall:.3f}"
 
 
 def test_dsir_weights_separate_target_language(spark, sf_dir):
