@@ -3259,8 +3259,14 @@ def _holt_merge_sql() -> str:
         FROM ev GROUP BY 1
     ),
     arr AS (
+        -- mirror of the Spark-side HOLT_MAX_DAYS guard: past the bound
+        -- BOTH engines fail loudly instead of one silently truncating
         SELECT list(y ORDER BY day) AS ys, list(day ORDER BY day) AS days,
-               CAST(count(*) AS INTEGER) AS nd
+               CASE WHEN count(*) >= {HOLT_MAX_DAYS}
+                    THEN CAST(error('ts_holt_smoothing: series exceeds '
+                                    'HOLT_MAX_DAYS={HOLT_MAX_DAYS}')
+                              AS INTEGER)
+                    ELSE CAST(count(*) AS INTEGER) END AS nd
         FROM d
     ),
     st AS (
@@ -3273,7 +3279,7 @@ def _holt_merge_sql() -> str:
                    ),
                    (acc, x) -> {_holt_merge_sql()}
                ) AS s
-        FROM arr CROSS JOIN (SELECT unnest(range(1, 4096)) AS i)
+        FROM arr CROSS JOIN (SELECT unnest(range(1, {HOLT_MAX_DAYS})) AS i)
         WHERE i <= nd
     )
     SELECT day, y,
