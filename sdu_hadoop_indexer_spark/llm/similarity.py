@@ -2040,6 +2040,47 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATTICE_EXACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lattice_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer-L2 top-k (query_id, neighbor_id) over the IVF
+    lattice, memoize-persisted per (app, sf) — the SHARED ground truth
+    grading both `sim_pq_recall_eval` and `sim_ivfpq_recall_eval`
+    (round-9, closing the r8 ivfpq-eval drift: the two gates previously
+    re-ran this identical queries×corpus hash-agg back to back — at
+    cluster scale the ground-truth table is staged once per corpus and
+    every eval reads it). Pin size is queries×TOP_K rows, trivially
+    bounded."""
+    from ..caching import memoized_persist
+
+    def build() -> DataFrame:
+        qe = _pq_qe(spark, sf_dir)
+        a = qe.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qa")
+        )
+        b = qe.where(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), "dim", F.col("q").alias("qb")
+        )
+        d2 = (
+            b.join(F.broadcast(a), "dim")
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.sum(
+                    (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    return memoized_persist(_LATTICE_EXACT_CACHE, spark, sf_dir, build)
+
+
 def _pq_recall_oracle() -> str:
     """Exact integer-L2 ground truth over the SAME lattice quantization vs
     the registered PQ oracle (embedded verbatim) — recall@k measures pure
@@ -2089,28 +2130,7 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ground truth is queries×corpus but integer hash-agg only
     (no floats to reduce), and it exists to GRADE the approximate path at
     validation scale — production serves from the PQ side alone."""
-    qe = _pq_qe(spark, sf_dir)
-    a = qe.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qa")
-    )
-    b = qe.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "dim", F.col("q").alias("qb")
-    )
-    d2 = (
-        b.join(F.broadcast(a), "dim")
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(
-                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
-            ).alias("d2")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _lattice_exact_topk(spark, sf_dir)
     approx = sim_topk_pq(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -2315,32 +2335,11 @@ def sim_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered `sim_topk_ivfpq`; the exact side is the brute-force
     integer-L2 ranking that exists only to grade it at validation scale.
 
-    Scale shape: identical to the PQ gate — ground truth is an integer
-    hash-agg over queries×corpus (validation-sized by construction);
-    everything downstream is a broadcast of the k-bounded approximate
-    result."""
-    qe = _pq_qe(spark, sf_dir)
-    a = qe.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qa")
-    )
-    b = qe.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "dim", F.col("q").alias("qb")
-    )
-    d2 = (
-        b.join(F.broadcast(a), "dim")
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(
-                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
-            ).alias("d2")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
+    Scale shape: identical to the PQ gate — ground truth is the SHARED
+    staged integer-L2 relation (`_lattice_exact_topk`, built once per
+    (app, sf) and read by both PQ-family gates); everything downstream
+    is a broadcast of the k-bounded approximate result."""
+    exact = _lattice_exact_topk(spark, sf_dir)
     approx = sim_topk_ivfpq(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
