@@ -1477,8 +1477,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminative edges only and bounds the wedge join at m×64 rows at
     ANY corpus size.
     """
-    e, es = _capped_oriented_edges(spark, sf_dir)
-    e = e.persist()
+    # read the SHARED staged edge pin (round-9: all three graph consumers
+    # — triangle, k-core, clustering — now read one memoized relation, the
+    # same staged-table discipline as the near-jaccard edges themselves;
+    # re-deriving the orientation from the pin is one degree hash-agg)
+    e = _capped_edges_persisted(spark, sf_dir)
+    es = orient_edges_by_degree(e)
     # wedge at pivot a: two out-edges (a→b, a→c) with b before c in the
     # (deg, id) order, closed by the oriented edge b→c. Struct comparison
     # gives the lexicographic (deg, id) order JVM-side.
@@ -1495,16 +1499,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("u").alias("d")).union(
         e.select(F.col("v").alias("d"))
     )
-    # The three scalars are computed EAGERLY so the persisted edge set can
-    # be released before returning (round-2 ADVICE: persists accumulating
-    # across queries in the long-lived gate/bench session). The distributed
-    # work is identical; only three longs cross the driver boundary.
-    try:
-        n_tri = tri.count()
-        n_edges = e.count()
-        n_nodes = nodes.select("d").distinct().count()
-    finally:
-        e.unpersist()
+    # The three scalars are computed EAGERLY (round-2 ADVICE); the edge
+    # pin itself is the session-scoped memoized copy — NOT unpersisted
+    # here, the other graph consumers read it too.
+    n_tri = tri.count()
+    n_edges = e.count()
+    n_nodes = nodes.select("d").distinct().count()
     return spark.createDataFrame(
         [(n_tri, n_edges, n_nodes)],
         "n_triangles bigint, n_edges bigint, n_nodes bigint",
@@ -2495,8 +2495,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-core peel with the same per-round plan."""
     from ..iteration import stage_round
 
-    e, _ = _capped_oriented_edges(spark, sf_dir)
-    e = stage_round(e, False)
+    # the shared staged edge pin replaces the per-call localCheckpoint:
+    # the memoized persisted relation already truncates lineage for the
+    # peel rounds, and every graph consumer reads the same copy
+    e = _capped_edges_persisted(spark, sf_dir)
     nodes = (
         e.select(F.col("u").alias("d"))
         .unionAll(e.select(F.col("v").alias("d")))
