@@ -60,6 +60,7 @@ def _coverage_order(names) -> list[str]:
     repo = os.path.dirname(os.path.abspath(__file__))
     # latest[name] = (round, green) for the most recent driver sample.
     latest: dict[str, tuple[int, bool]] = {}
+    no_oracle_latest: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -78,10 +79,21 @@ def _coverage_order(names) -> list[str]:
                 and res.get("hash_match") is not False
             ) or err == "no_oracle"  # declared rows-only ops record err=no_oracle
             latest[name] = (rnd, green)
+            if err == "no_oracle":
+                no_oracle_latest.add(name)
+            else:
+                no_oracle_latest.discard(name)
 
+    # stale-ledger names (VERDICT r8 item 4): latest green was a weak
+    # `no_oracle` row but the op HAS an exact oracle now — jump them to
+    # the front of the re-verify slice so the ledger upgrades to the full
+    # rows+schema+hash signal instead of waiting out the sweep rotation
+    stale = {
+        n for n in no_oracle_latest if registry.all_oracles().get(n)
+    }
     greens_oldest_first = sorted(
         (n for n in names if n in latest and latest[n][1]),
-        key=lambda n: (latest[n][0], n),
+        key=lambda n: (latest[n][0], n not in stale, n),
     )
     reverify = set(greens_oldest_first[:REVERIFY_SLOTS])
 

@@ -346,8 +346,12 @@ def _near_jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # verify on HASHED int64 token arrays (round-9, the containment
+    # verify recipe): the intersection COUNT is injective-map-invariant
+    # and bigint array_intersect runs ~2× the string form; collision
+    # bound documented at the containment site
     arrs = tset.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.collect_list(F.xxhash64("term")).alias("toks"),
         F.count("*").alias("sz"),
     )
     ra = arrs.select(
@@ -719,8 +723,10 @@ def dedup_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_HASHES)
     ).cast("long")
     tset = _token_sets(spark, sf_dir)
+    # hashed int64 verify arrays (the containment recipe — see the
+    # collision-bound note there)
     arrs = tset.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.collect_list(F.xxhash64("term")).alias("toks"),
         F.count("*").alias("sz"),
     )
     ra = arrs.select(
