@@ -57,10 +57,12 @@ def test_coverage_order_red_then_reverify_then_fresh_then_green():
     """queries()/oracle_sql() must enumerate (1) names whose LATEST driver
     sample was red, then (2) a 5-name re-verify slice of the OLDEST-green
     names (VERDICT r6 item 2: a regression in a long-green name must not
-    stay invisible until the sweep wraps), then (3) names the gate has
-    never verified, then (4) the remaining sampled-green names oldest
-    first, keep the two dicts' relative order consistent, and
-    lose/duplicate nothing relative to the registry."""
+    stay invisible until the sweep wraps) — with STALE-LEDGER names
+    (latest green was a weak `no_oracle` row but the op has an exact
+    oracle now, VERDICT r8 item 4) jumped to the front of the slice —
+    then (3) names the gate has never verified, then (4) the remaining
+    sampled-green names oldest first, keep the two dicts' relative order
+    consistent, and lose/duplicate nothing relative to the registry."""
     import glob
     import json
     import os
@@ -86,11 +88,21 @@ def test_coverage_order_red_then_reverify_then_fresh_then_green():
             and res.get("hash_match") is not False
         ) or res.get("err") == "no_oracle"
 
+    stale = {
+        n
+        for n, (_, res) in latest.items()
+        if res.get("err") == "no_oracle" and all_oracles().get(n)
+    }
     greens_oldest = sorted(
         (n for n in q if n in latest and green(n)),
-        key=lambda n: (latest[n][0], n),
+        key=lambda n: (latest[n][0], n not in stale, n),
     )
     reverify = set(greens_oldest[:5])
+    # the stale-ledger carve-out is live: sink_parquet gained an EXACT
+    # oracle in round 2 but its only driver row is the r1 no_oracle one —
+    # until a gate re-samples it, it must hold a re-verify slot
+    if "sink_parquet" in stale:
+        assert "sink_parquet" in reverify
 
     def cls(n: str) -> int:
         if n in latest and not green(n):
