@@ -1354,18 +1354,30 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # one persisted capped-edge relation per (app, sf_dir) — graph operators
 # that materialize it repeatedly (bench reps) must not each pin a fresh
-# copy of the same lineage (the memoized_persist leak discipline)
+# copy of the same lineage (the memoized_persist leak discipline).
+# The PINNED relation is the ORIENTED form (src, dst, dst_dg): the
+# triangle counter's wedge join reads it on three branches, and pinning
+# the canonical form instead would re-run the orient join (edge ⋈ degree
+# ⋈ degree, two shuffles) once per branch. Canonical (u, v) is recovered
+# as (least, greatest) — orientation is a permutation of each edge.
 _CAPPED_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _capped_edges_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_oriented_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import memoized_persist
 
     return memoized_persist(
         _CAPPED_EDGES_CACHE,
         spark,
         sf_dir,
-        lambda: _capped_oriented_edges(spark, sf_dir)[0],
+        lambda: _capped_oriented_edges(spark, sf_dir)[1],
+    )
+
+
+def _capped_edges_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    es = _capped_oriented_persisted(spark, sf_dir)
+    return es.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     )
 
 
@@ -1485,10 +1497,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # read the SHARED staged edge pin (round-9: all three graph consumers
     # — triangle, k-core, clustering — now read one memoized relation, the
-    # same staged-table discipline as the near-jaccard edges themselves;
-    # re-deriving the orientation from the pin is one degree hash-agg)
+    # same staged-table discipline as the near-jaccard edges themselves).
+    # The pin IS the oriented form, so all three wedge-join branches scan
+    # cached blocks directly instead of re-running the orient join each.
+    es = _capped_oriented_persisted(spark, sf_dir)
     e = _capped_edges_persisted(spark, sf_dir)
-    es = orient_edges_by_degree(e)
     # wedge at pivot a: two out-edges (a→b, a→c) with b before c in the
     # (deg, id) order, closed by the oriented edge b→c. Struct comparison
     # gives the lexicographic (deg, id) order JVM-side.
