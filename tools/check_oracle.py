@@ -117,6 +117,20 @@ def main() -> int:
     import os
 
     os.environ["SPARK_GRAFT_FILE_SCAN_DIR"] = args.sf
+    # Oracle-parity context (ADVICE r8): the static _pair_band_sql oracle
+    # encodes the registered 10x6 sign-LSH point, while the Spark side's
+    # N-adaptive default departs from it above PAIR_FIXTURE_MAX vectors —
+    # correct behavior in production, a false mismatch in a parity
+    # comparison. Pin the registered point for the mirror run (unless the
+    # caller pinned one explicitly) so parity holds at EVERY --sf.
+    from sdu_hadoop_indexer_spark.llm.similarity import (
+        PAIR_BAND_PLANES,
+        PAIR_BANDS,
+    )
+
+    os.environ.setdefault(
+        "SPARK_GRAFT_PAIR_BANDS", f"{PAIR_BANDS}x{PAIR_BAND_PLANES}"
+    )
     queries, oracles = all_queries(), all_oracles()
     names = args.names or sorted(queries)
     spark = get_spark("oracle-check")
