@@ -481,6 +481,37 @@ def test_triangle_orientation_shrinks_wedges(spark, sf_dir):
     assert ordered < naive  # 15 vs 30 at sf0.001
 
 
+def test_graph_edge_pin_is_shared_and_canonical(spark, sf_dir):
+    """Round-9 staged-pin contract: (a) the oriented edge memo returns the
+    SAME persisted relation across calls (one pin per (app, sf) — no
+    per-call copies accumulating in a long session), (b) the canonical
+    form derived from it is exactly the capped u<v edge set the builder
+    produces directly (orientation is a permutation of each edge), and
+    (c) every derived row satisfies u < v."""
+    es1 = dedup._capped_oriented_persisted(spark, sf_dir)
+    es2 = dedup._capped_oriented_persisted(spark, sf_dir)
+    assert es1 is es2
+    e = dedup._capped_edges_persisted(spark, sf_dir)
+    assert e.where(F.col("u") >= F.col("v")).count() == 0
+    direct = dedup._capped_oriented_edges(spark, sf_dir)[0]
+    assert (
+        e.exceptAll(direct).count() == 0
+        and direct.exceptAll(e).count() == 0
+    )
+
+
+def test_lattice_exact_topk_memoized_and_bounded(spark, sf_dir):
+    """The shared PQ-gate ground truth: one pin per (app, sf), exactly
+    TOP_K rows per query for all N_QUERIES queries, no duplicates."""
+    t1 = similarity._lattice_exact_topk(spark, sf_dir)
+    t2 = similarity._lattice_exact_topk(spark, sf_dir)
+    assert t1 is t2
+    per = t1.groupBy("query_id").count().collect()
+    assert len(per) == similarity.N_QUERIES
+    assert all(r["count"] == similarity.TOP_K for r in per)
+    assert t1.distinct().count() == t1.count()
+
+
 def test_orient_by_degree_bounds_hub_fanout(spark):
     """Synthetic mid-id hub: star center 50 connected to leaves 0..99 (plus
     one leaf-leaf edge to keep degrees distinct). Naive u<v orientation
