@@ -947,6 +947,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
+# staged fingerprint table (round-9, the _lsh_bands discipline applied to
+# SimHash): the 64-conditional-sum vote aggregation dominates every
+# consumer, and the hamming pair miner reads the relation on THREE plan
+# branches (block explode + both verify sides) with no exchange reuse —
+# one persisted pin per (app, sf) serves them all, exactly like the
+# staged signature parquet a crawler dedup writes at ingest.
+_SIMHASH_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import memoized_persist
+
+    return memoized_persist(
+        _SIMHASH_FP_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup_simhash(spark, sf_dir),
+    )
+
+
 COSINE_DUP_TAU = 0.35
 
 
@@ -2390,7 +2410,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT oracle: both engines agree on bit_count/xor/shift-mask over
     two's-complement int64 (including the sign block — the & 65535 mask
     discards sign-extension bits)."""
-    fp = dedup_simhash(spark, sf_dir)
+    fp = _simhash_fp(spark, sf_dir)
     blk = fp.select(
         "doc_id",
         F.explode(
