@@ -1161,13 +1161,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT oracle: assignment replays the `sim_topk_ivf` trained-centroid
     CTEs; cosine is the family's rounded dot/(na·nb) form; the drop rule
     is a relational EXISTS, not an iterative sweep."""
-    from .similarity import (
-        _cosine_prenormed,
-        _ivf_assign,
-        _ivf_qvec,
-        _norm,
-        _train_ivf_centroids,
-    )
+    from .similarity import _ivf_assign, _ivf_qvec, _train_ivf_centroids
 
     cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
@@ -1184,28 +1178,42 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "va", "vb"
     )
     ea = e.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        _norm("embedding").alias("na"),
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
     eb = e.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        _norm("embedding").alias("nb"),
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
     )
     from .similarity import _embeddings_fit_broadcast
 
     if _embeddings_fit_broadcast(spark, sf_dir):
         ea, eb = F.broadcast(ea), F.broadcast(eb)
-    cos = F.round(
-        _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
-        4,
-    ) + F.lit(0.0)
+
+    # Arrow-vectorized verify (round-9, the `ann_scored_pairs` round-6
+    # recipe applied to the per-cell pair stage): one einsum batch per
+    # partition replaces the interpreted 64-element JVM fold per pair —
+    # identical arithmetic shape (float64 dot/(na·nb), round 4dp, +0.0),
+    # so the EXACT oracle is untouched.
+    def drop_ids(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            am = np.array(list(pdf["ea"]), dtype=np.float64)
+            bm = np.array(list(pdf["eb"]), dtype=np.float64)
+            dot = np.einsum("ij,ij->i", am, bm)
+            na = np.linalg.norm(am, axis=1)
+            nb = np.linalg.norm(bm, axis=1)
+            cos = np.round(dot / (na * nb), 4) + 0.0
+            yield pd.DataFrame(
+                {"vec_id": pdf["vb"][cos >= COSINE_DUP_TAU]}
+            )
+
     dropped = (
         cand.join(ea, "va")
         .join(eb, "vb")
-        .where(cos >= COSINE_DUP_TAU)
-        .select(F.col("vb").alias("vec_id"))
+        .mapInPandas(drop_ids, "vec_id bigint")
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
