@@ -1788,6 +1788,13 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fb = feats.join(fmap, "feat").select("doc_id", "b")
+    # the (doc_id, bucket) relation feeds FOUR branches (target slice, raw
+    # bucket counts, totals, per-doc weights) — truncate once so the
+    # tokenize → bigram-window → hash-join lineage runs once, not 4×
+    # (the k-core peel-loop discipline; blocks are ContextCleaner-scoped)
+    from ..iteration import stage_round
+
+    fb = stage_round(fb, False)
     tgt_docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("lang") == DSIR_TARGET_LANG)
