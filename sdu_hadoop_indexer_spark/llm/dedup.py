@@ -709,7 +709,12 @@ def dedup_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection reuses the same size-gated pattern as the τ=0.9 verify.
     """
     cand = dedup_minhash_lsh(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
+    # the signature build feeds BOTH verify sides — truncate once per call
+    # (NOT a cross-call memo: bench_minhash_family's rows are defined as
+    # the full build under each hash family and must keep doing full work)
+    from ..iteration import stage_round
+
+    sig = stage_round(minhash_signatures(spark, sf_dir), False)
     s1 = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
