@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return index_nested(spark, "/root/testdata/sf0.001")
 
 
-def _coverage_order(names) -> list[str]:
+def _coverage_order(names, ledger_dir: str | None = None) -> list[str]:
     """Order query names so the driver's ~50-query sample window lands on
     operators its gate has NEVER verified.
 
@@ -57,7 +57,7 @@ def _coverage_order(names) -> list[str]:
 
     REVERIFY_SLOTS = 5  # oldest-green names re-checked every window
 
-    repo = os.path.dirname(os.path.abspath(__file__))
+    repo = ledger_dir or os.path.dirname(os.path.abspath(__file__))
     # latest[name] = (round, green) for the most recent driver sample.
     latest: dict[str, tuple[int, bool]] = {}
     no_oracle_latest: set[str] = set()
@@ -71,6 +71,7 @@ def _coverage_order(names) -> list[str]:
         for name, res in round_results.items():
             if not isinstance(res, dict):
                 latest[name] = (rnd, True)  # name-list-only: counts as sampled
+                no_oracle_latest.discard(name)  # newest row supersedes the flag
                 continue
             err = res.get("err")
             green = bool(
@@ -91,9 +92,13 @@ def _coverage_order(names) -> list[str]:
     stale = {
         n for n in no_oracle_latest if registry.all_oracles().get(n)
     }
+    # Stale names sort ahead of EVERY round cohort (ADVICE r9): keying
+    # (round, stale) only promoted them within their own round, so a stale
+    # name from a late round could sit behind 5+ older plain greens and
+    # never reach the re-verify slice.
     greens_oldest_first = sorted(
         (n for n in names if n in latest and latest[n][1]),
-        key=lambda n: (latest[n][0], n not in stale, n),
+        key=lambda n: (n not in stale, latest[n][0], n),
     )
     reverify = set(greens_oldest_first[:REVERIFY_SLOTS])
 

@@ -196,11 +196,14 @@ def _table_rows(sf_dir: str, name: str) -> int:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isfile(path):
             return pq.read_metadata(path).num_rows
-        total = 0
+        if not os.path.isdir(path):
+            return -1  # unknown table → gates must stay conservative
+        total = -1  # stays -1 unless the walk finds at least one footer
         for root, _dirs, files in os.walk(path):
             for fn in files:
                 if fn.endswith(".parquet"):
-                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+                    n = pq.read_metadata(os.path.join(root, fn)).num_rows
+                    total = n if total < 0 else total + n
         return total
     except Exception:
         return -1
@@ -1196,8 +1199,11 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-vectorized verify (round-9, the `ann_scored_pairs` round-6
     # recipe applied to the per-cell pair stage): one einsum batch per
     # partition replaces the interpreted 64-element JVM fold per pair —
-    # identical arithmetic shape (float64 dot/(na·nb), round 4dp, +0.0),
-    # so the EXACT oracle is untouched.
+    # same numeric recipe (float64 dot/(na·nb), round 4dp, +0.0). Caveat:
+    # np.round is half-to-even where Spark's F.round is HALF_UP, and
+    # einsum reorders the float summation, so a cosine within an ulp of a
+    # 4-dp boundary could in principle flip across COSINE_DUP_TAU vs the
+    # JVM fold — the DuckDB oracle is the real equivalence check (green).
     def drop_ids(batches):
         import numpy as np
         import pandas as pd

@@ -823,17 +823,22 @@ def _auto_pair_point(n_vectors: int) -> tuple[int, int]:
 
     if n_vectors <= PAIR_FIXTURE_MAX:
         return PAIR_BANDS, PAIR_BAND_PLANES
+    def _planes_for(bands: int) -> int:
+        r = math.ceil(
+            math.log2(max(n_vectors, 1) * bands / PAIR_TARGET_CAND_PER_VEC)
+        )
+        return max(PAIR_MIN_PLANES, min(PAIR_MAX_PLANES, r))
+
     b = PAIR_BANDS
     for _ in range(12):
-        r = math.ceil(
-            math.log2(max(n_vectors, 1) * b / PAIR_TARGET_CAND_PER_VEC)
-        )
-        r = max(PAIR_MIN_PLANES, min(PAIR_MAX_PLANES, r))
-        nb = max(PAIR_BANDS, _bands_for_recall(r))
+        nb = max(PAIR_BANDS, _bands_for_recall(_planes_for(b)))
         if nb == b:
             break
         b = nb
-    return b, r
+    # Recompute planes from the FINAL band count: even if the loop ever
+    # exhausted without converging, the returned (b, r) is self-consistent
+    # (r derived from the b actually returned), never a mixed-iteration pair.
+    return b, _planes_for(b)
 
 
 def _pair_band_params(n_vectors: int | None = None) -> tuple[int, int]:

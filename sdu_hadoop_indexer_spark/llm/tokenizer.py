@@ -288,8 +288,15 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", F.col("term").alias("word"))
         .agg(F.count("*").cast("long").alias("freq"))
     )
+    # The encoded vocab is bounded by the corpus's distinct words, so the
+    # shared docs-bytes×expansion gate over-estimates it; past the gate the
+    # hint drops and the join shuffles on word (VERDICT r9 item 1).
+    from .dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        enc = F.broadcast(enc)
     return (
-        wl.join(F.broadcast(enc), "word")
+        wl.join(enc, "word")
         .groupBy("lang")
         .agg(
             F.sum("freq").cast("long").alias("n_tokens"),

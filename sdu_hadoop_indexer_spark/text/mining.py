@@ -367,8 +367,14 @@ def keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.expr(f"CAST(deg AS BIGINT) * {RAKE_SCALE} DIV freq").alias("ws"),
     )
+    # word scores are vocab-sized (corpus-growing): broadcast only under
+    # the shared docs-bytes gate, else co-partitioned shuffle on term
+    from ..llm.dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        wscore = F.broadcast(wscore)
     pscore = (
-        members.join(F.broadcast(wscore), "term")
+        members.join(wscore, "term")
         .groupBy("doc_id", "pid")
         .agg(F.sum("ws").alias("score_int"))
     )

@@ -166,8 +166,14 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = index_flat(spark, sf_dir)
     dfs = flat.groupBy("term").agg(F.count("*").alias("df"))
     n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    # df is vocab-sized (corpus-growing): broadcast only under the shared
+    # docs-bytes gate, else co-partitioned shuffle on term (VERDICT r9 #1)
+    from ..llm.dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        dfs = F.broadcast(dfs)
     return (
-        flat.join(F.broadcast(dfs), "term")
+        flat.join(dfs, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "term",
@@ -220,7 +226,14 @@ def bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    dfs = flat.groupBy("term").agg(F.count("*").alias("df"))
+    # only the query terms' df rows are ever probed — filter BEFORE the
+    # broadcast so the build side is query-sized (constant), not
+    # vocab-sized, at any corpus scale
+    dfs = (
+        flat.where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
@@ -349,10 +362,16 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(0.0)
     )
+    # the marginal tables are vocab-sized (corpus-growing): broadcast only
+    # under the shared docs-bytes gate, else shuffle on w1/w2
+    from ..llm.dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        lm, rm = F.broadcast(lm), F.broadcast(rm)
     return (
         bg.where(F.col("c") >= MIN_COOCCUR)
-        .join(F.broadcast(lm), "w1")
-        .join(F.broadcast(rm), "w2")
+        .join(lm, "w1")
+        .join(rm, "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")

@@ -95,14 +95,9 @@ def test_coverage_order_red_then_reverify_then_fresh_then_green():
     }
     greens_oldest = sorted(
         (n for n in q if n in latest and green(n)),
-        key=lambda n: (latest[n][0], n not in stale, n),
+        key=lambda n: (n not in stale, latest[n][0], n),
     )
     reverify = set(greens_oldest[:5])
-    # the stale-ledger carve-out is live: sink_parquet gained an EXACT
-    # oracle in round 2 but its only driver row is the r1 no_oracle one —
-    # until a gate re-samples it, it must hold a re-verify slot
-    if "sink_parquet" in stale:
-        assert "sink_parquet" in reverify
 
     def cls(n: str) -> int:
         if n in latest and not green(n):
@@ -121,3 +116,45 @@ def test_coverage_order_red_then_reverify_then_fresh_then_green():
     assert tail == sorted(tail, key=lambda n: (latest[n][0], n))
     # oracle enumeration follows the same order (restricted to oracle names)
     assert [n for n in q if n in o] == list(o)
+
+
+def test_stale_ledger_name_jumps_reverify_slice(tmp_path):
+    """ADVICE r9: the stale-ledger carve-out must hold under a SYNTHESIZED
+    ledger, not the live repo state (which stops exercising it the moment
+    a real sweep upgrades the last stale row). Fixture: a LATE-round
+    `no_oracle` row for an op that has an exact oracle must outrank 5+
+    older plain-green rows for the re-verify slice, and a name-list-only
+    re-sample in a later round must clear the stale flag."""
+    import json
+
+    import __spark_entry__ as e
+    from sdu_hadoop_indexer_spark.registry import all_oracles
+
+    names = sorted(all_oracles())
+    stale_name, greens = names[0], names[1:8]
+    # round 1: seven names green with full rows
+    r1 = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in greens
+    }
+    # round 7 (LATER than every green): the stale no_oracle row
+    r7 = {stale_name: {"rows_match": True, "err": "no_oracle"}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(r7))
+
+    order = e._coverage_order(names, ledger_dir=str(tmp_path))
+    # the stale name must claim one of the 5 class-1 re-verify slots (the
+    # slice is the first 5 enumerated names here: no reds, and every other
+    # name is either a slice green or never-sampled) despite its round-7
+    # row being YOUNGER than all seven round-1 greens — with the old
+    # (round, stale) key it would rank 8th and never enter the slice
+    assert order.index(stale_name) < 5
+    # and at least two r1 greens are pushed out of the slice behind it
+    assert sum(order.index(g) >= 5 for g in greens) >= 3
+
+    # a name-list-only re-sample in round 8 (a row whose value is not a
+    # result dict) supersedes the stale flag: the name rejoins the plain
+    # green rotation (now the YOUNGEST green)
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps({stale_name: True}))
+    order2 = e._coverage_order(names, ledger_dir=str(tmp_path))
+    assert order2.index(stale_name) > max(order2.index(g) for g in greens)

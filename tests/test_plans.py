@@ -820,3 +820,52 @@ def test_dsir_weight_join_broadcasts_bucket_map(spark, sf_dir):
     plan = _plan(curation.llm_dsir_weights(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_relation_broadcast_gates_fall_back_to_shuffle(spark, sf_dir):
+    """VERDICT r9 item 1 (+ the same class in text/): every vocab-sized /
+    corpus-growing relation that carries an explicit broadcast hint —
+    unigram tf, bigram C2+C1, the BPE-encoded vocab, tf-idf df, the PMI
+    marginals, the RAKE word scores — must drop the hint when the shared
+    docs-bytes gate says the relation exceeds the session broadcast
+    threshold, degrading to a co-partitioned shuffle join (SortMergeJoin /
+    ShuffledHashJoin) with IDENTICAL rows. Only constant-size relations
+    (single-row aggregate scalars, top-k slices, fixed sketch grids) may
+    keep forced hints past the gate."""
+    from sdu_hadoop_indexer_spark.llm import curation, tokenizer
+    from sdu_hadoop_indexer_spark.llm.dedup import _arrs_fits_broadcast
+    from sdu_hadoop_indexer_spark.text import mining, search
+
+    ops = [
+        curation.unigram_logprob,
+        curation.bigram_ppl,
+        tokenizer.llm_tokenizer_fertility,
+        search.tf_idf,
+        search.cooccur_pmi,
+        mining.keyphrase_rake,
+    ]
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    assert _arrs_fits_broadcast(spark, sf_dir)
+    hinted_counts = {}
+    for op in ops:
+        df = op(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # below the gate the hint is taken: the vocab join broadcasts
+        assert "BroadcastHashJoin" in plan, op.__name__
+        hinted_counts[op.__name__] = df.count()
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        assert not _arrs_fits_broadcast(spark, sf_dir)
+        for op in ops:
+            df = op(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # hint dropped: the equi-join shuffles on its key; the only
+            # surviving broadcasts are the 1-row scalar cross-joins
+            assert "BroadcastHashJoin" not in plan, op.__name__
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                op.__name__
+            )
+            assert df.count() == hinted_counts[op.__name__], op.__name__
+    finally:
+        spark.conf.set(key, old)
