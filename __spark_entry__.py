@@ -21,6 +21,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sdu_hadoop_indexer_spark import registry  # noqa: E402
 
+# Ops whose PLAN SHAPE changed in a given round (name → round the change
+# landed). The rotation otherwise keys on sample AGE, so a recently-changed
+# op whose last driver row predates the change can wait ~6 rounds for a
+# post-change hard signal (round-10 verdict, missing item 4 / next-round 6).
+# A name here jumps to the front of the window until its latest driver
+# sample round is >= the recorded change round; after that the entry is
+# inert (kept for history, pruned opportunistically). Update this dict in
+# the same commit that changes an operator's join/aggregate shape.
+CHANGED_OPS: dict[str, int] = {
+    # r10 commit 5426d80: six per-doc broadcast hints moved behind the
+    # shared size gate — these seven ops' join shapes changed.
+    "text_tf_idf": 10,
+    "text_bm25": 10,
+    "text_cooccur_pmi": 10,
+    "text_keyphrase_rake": 10,
+    "llm_unigram_logprob": 10,
+    "llm_bigram_ppl": 10,
+    "llm_tokenizer_fertility": 10,
+    # r11: loop-invariant relations routed through stage_round (reliable
+    # plumbing; default plan identical, but re-verify the default too).
+    "text_pagerank_keywords": 11,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full nested positional inverted index at sf0.001."""
@@ -55,7 +78,7 @@ def _coverage_order(names, ledger_dir: str | None = None) -> list[str]:
     import glob
     import json
 
-    REVERIFY_SLOTS = 5  # oldest-green names re-checked every window
+    REVERIFY_SLOTS = 10  # oldest-green names re-checked every window (r10 verdict: 5→10)
 
     repo = ledger_dir or os.path.dirname(os.path.abspath(__file__))
     # latest[name] = (round, green) for the most recent driver sample.
@@ -85,6 +108,17 @@ def _coverage_order(names, ledger_dir: str | None = None) -> list[str]:
             else:
                 no_oracle_latest.discard(name)
 
+    # changed-op priority (round-10 verdict item 6): a name whose code
+    # changed AFTER its latest driver sample needs a post-change hard
+    # signal next window, ahead of the age-based re-verify slice. A
+    # never-sampled changed name needs no carve-out — the never-sampled
+    # class already reaches the window before the green rotation.
+    changed_pending = {
+        n
+        for n, rnd in CHANGED_OPS.items()
+        if n in latest and latest[n][0] < rnd
+    }
+
     # stale-ledger names (VERDICT r8 item 4): latest green was a weak
     # `no_oracle` row but the op HAS an exact oracle now — jump them to
     # the front of the re-verify slice so the ledger upgrades to the full
@@ -95,9 +129,15 @@ def _coverage_order(names, ledger_dir: str | None = None) -> list[str]:
     # Stale names sort ahead of EVERY round cohort (ADVICE r9): keying
     # (round, stale) only promoted them within their own round, so a stale
     # name from a late round could sit behind 5+ older plain greens and
-    # never reach the re-verify slice.
+    # never reach the re-verify slice. Changed-pending names are excluded —
+    # they already outrank the slice, and holding a slot too would shrink
+    # the age-based sweep to fewer than REVERIFY_SLOTS distinct names.
     greens_oldest_first = sorted(
-        (n for n in names if n in latest and latest[n][1]),
+        (
+            n
+            for n in names
+            if n in latest and latest[n][1] and n not in changed_pending
+        ),
         key=lambda n: (n not in stale, latest[n][0], n),
     )
     reverify = set(greens_oldest_first[:REVERIFY_SLOTS])
@@ -105,12 +145,14 @@ def _coverage_order(names, ledger_dir: str | None = None) -> list[str]:
     def key(n: str):
         if n in latest and not latest[n][1]:
             cls = 0  # last sample red: re-verify first
+        elif n in changed_pending:
+            cls = 1  # code changed since last sample: post-change signal
         elif n in reverify:
-            cls = 1  # oldest-green re-verify slice: regression canaries
+            cls = 2  # oldest-green re-verify slice: regression canaries
         elif n not in latest:
-            cls = 2  # never driver-sampled: fresh coverage next
+            cls = 3  # never driver-sampled: fresh coverage next
         else:
-            cls = 3  # sampled green: rotate to the back, oldest first
+            cls = 4  # sampled green: rotate to the back, oldest first
         age = latest[n][0] if n in latest else 0
         return (cls, age, n)
 

@@ -149,11 +149,96 @@ def bench_minhash_family(spark, sf_dir: str, reps: int) -> dict[str, list[float]
     return out
 
 
+# Frozen per-row regression envelope for the extended section (round-11,
+# VERDICT r10 item 3): reference = the round-11 idle re-run (canary
+# 38.2 ms), the run that also established the r10 +11.7% headline drift
+# was host interference, not code. A row WARNS when its canary-deflated
+# median exceeds reference × EXT_BAND_FACTOR — 1.5 clears the documented
+# ±10-20% box spread plus small-row sample jitter while catching the
+# r8-ivfpq-class (+41%) episode on top of ordinary drift. Warnings are
+# advisory (re-run idle before believing them), but they make a drift
+# visible in BENCH_r{N}.json itself instead of relying on round memory.
+# New extended entries get a band at the next freeze; absent names skip.
+EXTENDED_BANDS: dict[str, float] = {
+    "text_pagerank_keywords": 2.745,
+    "llm_bpe_train": 2.741,
+    "llm_bpe_encode": 3.562,
+    "sim_topk_ivf": 2.186,
+    "sim_pca_power": 2.782,
+    "dedup_exact_substring": 1.106,
+    "text_dup_spans": 0.970,
+    "graph_triangle_count": 2.715,
+    "agg_gini": 0.615,
+    "agg_weighted_median": 0.966,
+    "dedup_lsh_quality_eval": 1.627,
+    "events_type_overlap": 0.495,
+    "llm_global_sort_index": 0.385,
+    "stream_cdc_apply": 0.502,
+    "dedup_containment": 5.462,
+    "sim_nearest_pairs_ann": 0.682,
+    "sim_pairs_recall_eval": 1.365,
+    "dedup_minhash_incremental": 0.405,
+    "dedup_minhash_est_quality": 2.731,
+    "sim_topk_pq": 1.925,
+    "sim_pq_recall_eval": 2.073,
+    "sim_topk_ivfpq": 2.943,
+    "sim_ivfpq_recall_eval": 2.993,
+    "llm_contamination_matrix": 0.684,
+    "dedup_semantic_ivf": 3.493,
+    "llm_dsir_weights": 2.151,
+    "llm_soft_dedup_weights": 2.045,
+    "sim_topk_matryoshka": 0.577,
+    "sql_volume_shipping": 1.256,
+    "dedup_simhash_hamming": 0.798,
+    "graph_kcore": 2.945,
+    "minhash_sig_portable": 0.729,
+    "minhash_sig_xxhash": 0.746,
+}
+EXT_BAND_FACTOR = 1.5
+
+
+def band_warnings(extended: dict[str, float], deflate: float) -> list[str]:
+    """Rows whose canary-deflated median left their frozen band."""
+    warns = []
+    for name, ref in EXTENDED_BANDS.items():
+        got = extended.get(name)
+        if got is not None and got * deflate > ref * EXT_BAND_FACTOR:
+            warns.append(
+                f"BAND: {name} deflated {got * deflate:.3f}s > "
+                f"{EXT_BAND_FACTOR}x frozen {ref:.3f}s"
+            )
+    return warns
+
+
 # Fixed-work CPU canary: iteration count chosen so one spin takes ~40 ms of
 # uncontended single-thread CPU on this class of box. The value itself does
 # not matter — only its STABILITY across the run and across rounds does.
 CANARY_ITERS = 500_000
 CANARY_CALIBRATION_MS = 40.0
+
+# Memory-bandwidth canary (round-11): the r10 headline ran +11.7% at an
+# IDENTICAL CPU canary and fully reversed on the r11 idle re-run — the
+# interference was in the memory subsystem (bandwidth/page-cache), which a
+# register-resident CPU spin cannot see. One 256 MB streaming sum (~31 ms
+# idle on this box) scales with memory-bus contention, so future uniform
+# drifts carry their own evidence for/against the box-variance explanation.
+MEMBW_CANARY_BYTES = 256 * 1024 * 1024
+MEMBW_CALIBRATION_MS = 30.0
+_MEMBW_BUF = None
+
+
+def canary_membw_ms() -> float:
+    """Constant-traffic streaming read; wall-clock grows with memory-bus
+    contention that the CPU spin canary is blind to."""
+    global _MEMBW_BUF
+    import numpy as np
+
+    if _MEMBW_BUF is None:
+        _MEMBW_BUF = np.ones(MEMBW_CANARY_BYTES // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    s = float(_MEMBW_BUF.sum())
+    dt = (time.perf_counter() - t0) * 1000.0
+    return dt if s >= 0 else dt
 
 
 def canary_spin_ms() -> float:
@@ -214,6 +299,7 @@ def main() -> int:
     run_once(queries["sim_nearest_pairs"], spark, sf_dir)
 
     canary: list[float] = [round(canary_spin_ms(), 1)]
+    membw: list[float] = [round(canary_membw_ms(), 1)]
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -221,6 +307,7 @@ def main() -> int:
         samples[name] = [round(t, 3) for t in times]
         per_query[name] = round(statistics.median(times), 3)
         canary.append(round(canary_spin_ms(), 1))
+        membw.append(round(canary_membw_ms(), 1))
         print(f"# {name}: {per_query[name]}s {times}", file=sys.stderr)
 
     # median-of-3 for the extended heavyweights (5 for headline): the two
@@ -235,11 +322,13 @@ def main() -> int:
         ext_samples[name] = [round(t, 3) for t in times]
         extended[name] = round(statistics.median(times), 3)
         canary.append(round(canary_spin_ms(), 1))
+        membw.append(round(canary_membw_ms(), 1))
         print(f"# ext {name}: {extended[name]}s {times}", file=sys.stderr)
     for name, times in bench_minhash_family(spark, sf_dir, ext_reps).items():
         ext_samples[name] = [round(t, 3) for t in times]
         extended[name] = round(statistics.median(times), 3)
         canary.append(round(canary_spin_ms(), 1))
+        membw.append(round(canary_membw_ms(), 1))
         print(f"# ext {name}: {extended[name]}s {times}", file=sys.stderr)
 
     # Canary-deflated totals (round-7, VERDICT r6 item 6): round-over-round
@@ -250,6 +339,9 @@ def main() -> int:
     # measurement; `value_deflated` is the cross-round comparable one.
     canary_median = statistics.median(canary)
     deflate = CANARY_CALIBRATION_MS / canary_median if canary_median else 1.0
+    warns = band_warnings(extended, deflate)
+    for w in warns:
+        print(f"# WARNING {w}", file=sys.stderr)
     out = {
         "metric": "headline suite wall-clock (median of %d warm runs/query)" % reps,
         "value": round(sum(per_query.values()), 3),
@@ -262,12 +354,21 @@ def main() -> int:
         "extended_total": round(sum(extended.values()), 3),
         "extended_total_deflated": round(sum(extended.values()) * deflate, 3),
         "extended_samples": ext_samples,
+        "band_warnings": warns,
         "canary": {
             "spin_ms": canary,
             "median_ms": round(statistics.median(canary), 1),
             "calibration_ms": CANARY_CALIBRATION_MS,
             "note": "fixed-work CPU spin; median_ms >> calibration_ms means "
             "the host was contended and suite numbers are inflated",
+        },
+        "canary_membw": {
+            "sum_ms": membw,
+            "median_ms": round(statistics.median(membw), 1),
+            "calibration_ms": MEMBW_CALIBRATION_MS,
+            "note": "256MB streaming-sum; elevated vs calibration means "
+            "memory-bus contention the CPU spin cannot see (the r10 "
+            "+11.7% drift class)",
         },
     }
     # Full record (with raw samples) to a file: the driver captures only a
@@ -290,6 +391,8 @@ def main() -> int:
         "extended_total": out["extended_total"],
         "extended_total_deflated": out["extended_total_deflated"],
         "canary_median_ms": out["canary"]["median_ms"],
+        "canary_membw_median_ms": out["canary_membw"]["median_ms"],
+        "band_warnings": warns,
         "detail": "bench_out.json",
     }
     print(json.dumps(compact))

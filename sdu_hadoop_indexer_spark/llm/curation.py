@@ -1074,6 +1074,13 @@ BIGRAM_PPL_SQL = """
     """
 
 
+# Conservative in-memory bytes per broadcast C2 row: two short UTF8 terms
+# in an UnsafeRow (~16 B each with length + padding) + the int64 count +
+# row overhead ≈ 56 B, plus Spark's HashedRelation entry overhead
+# (~50-100 B/row — the ADVICE r10 finding the exact-rows gate exists for).
+_C2_BROADCAST_ROW_BYTES = 160
+
+
 @register("llm_bigram_ppl", oracle=BIGRAM_PPL_SQL)
 def bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality score with add-one smoothing: per-document mean
@@ -1105,15 +1112,24 @@ def bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("term", "nxt").agg(F.count("*").alias("cnt2"))
     c1 = bg.groupBy("term").agg(F.count("*").alias("cnt1"))
     vocab = toks.agg(F.countDistinct("term").alias("vocab"))
-    # C2 is bigram-vocab-sized (distinct bigrams ≤ bigram occurrences ≤
-    # token count) and C1 vocab-sized — both bounded by the token stream,
-    # so the docs-bytes×expansion gate over-estimates them. Past the gate
-    # the hints drop and both re-joins become co-partitioned shuffles on
-    # their keys (VERDICT r9 item 1 — this was the worst ungated site).
-    from .dedup import _arrs_fits_broadcast
+    # Two-stage gate for the C2/C1 hints (ADVICE r10): the docs-bytes
+    # gate bounds the token STREAM, but C2's broadcast FOOTPRINT is rows ×
+    # (row + HashedRelation entry ≈ 50-100 B) — on a high-entropy corpus
+    # where distinct bigrams approach the token count, that footprint can
+    # exceed the byte estimate near the threshold. C2 is computed for the
+    # join regardless, so when the cheap byte gate says "plausibly
+    # broadcastable" (which also bounds the persist below: rows ≤ tokens),
+    # persist it and gate the hints on its EXACT row count × a
+    # HashedRelation-matched width — measure, don't guess. C1's key set is
+    # the distinct first-terms of C2, so |C1| ≤ |C2| and one count gates
+    # both. Past either gate the hints drop and the re-joins become
+    # co-partitioned shuffles on their keys (VERDICT r9 item 1).
+    from .dedup import _arrs_fits_broadcast, _fits_broadcast
 
     if _arrs_fits_broadcast(spark, sf_dir):
-        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+        c2 = c2.persist()
+        if _fits_broadcast(spark, c2.count(), _C2_BROADCAST_ROW_BYTES):
+            c2, c1 = F.broadcast(c2), F.broadcast(c1)
     lp = (
         bg.join(c2, ["term", "nxt"])
         .join(c1, "term")

@@ -829,16 +829,29 @@ def _auto_pair_point(n_vectors: int) -> tuple[int, int]:
         )
         return max(PAIR_MIN_PLANES, min(PAIR_MAX_PLANES, r))
 
+    # Convergence proof for the cap (ADVICE r10): b only changes through
+    # _planes_for(b) — if an iteration leaves planes unchanged, nb == b and
+    # the loop breaks — so every non-final iteration strictly increases
+    # _planes_for(b), an integer clamped to [PAIR_MIN_PLANES=6,
+    # PAIR_MAX_PLANES=24]. At most 18 increments plus one confirming pass
+    # ⇒ the fixpoint is always reached within 19 iterations; 24 is slack.
     b = PAIR_BANDS
-    for _ in range(12):
+    for _ in range(24):
         nb = max(PAIR_BANDS, _bands_for_recall(_planes_for(b)))
         if nb == b:
             break
         b = nb
-    # Recompute planes from the FINAL band count: even if the loop ever
-    # exhausted without converging, the returned (b, r) is self-consistent
-    # (r derived from the b actually returned), never a mixed-iteration pair.
-    return b, _planes_for(b)
+    # Recompute planes from the FINAL band count so the returned (b, r) is
+    # self-consistent, and assert the recall floor the docstring promises:
+    # b must cover _bands_for_recall at the planes actually returned (holds
+    # by the convergence argument above; the assert turns any future edit
+    # that breaks it into a loud failure instead of a silent recall drop).
+    r = _planes_for(b)
+    assert b >= _bands_for_recall(r), (
+        f"pair-band fixpoint did not converge: bands={b} < "
+        f"recall floor {_bands_for_recall(r)} at planes={r}"
+    )
+    return b, r
 
 
 def _pair_band_params(n_vectors: int | None = None) -> tuple[int, int]:

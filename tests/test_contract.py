@@ -53,16 +53,18 @@ def test_entry_runs(spark):
     assert [f.name for f in df.schema.fields] == ["term", "postings", "df"]
 
 
-def test_coverage_order_red_then_reverify_then_fresh_then_green():
+def test_coverage_order_red_then_changed_then_reverify_then_fresh_then_green():
     """queries()/oracle_sql() must enumerate (1) names whose LATEST driver
-    sample was red, then (2) a 5-name re-verify slice of the OLDEST-green
-    names (VERDICT r6 item 2: a regression in a long-green name must not
-    stay invisible until the sweep wraps) — with STALE-LEDGER names
-    (latest green was a weak `no_oracle` row but the op has an exact
-    oracle now, VERDICT r8 item 4) jumped to the front of the slice —
-    then (3) names the gate has never verified, then (4) the remaining
-    sampled-green names oldest first, keep the two dicts' relative order
-    consistent, and lose/duplicate nothing relative to the registry."""
+    sample was red, then (2) CHANGED_OPS names whose latest sample predates
+    the recorded change round (VERDICT r10 item 6: a plan-shape change needs
+    a post-change hard signal next window, not when the sweep wraps), then
+    (3) a 10-name re-verify slice of the OLDEST-green names (VERDICT r6
+    item 2) — with STALE-LEDGER names (latest green was a weak `no_oracle`
+    row but the op has an exact oracle now, VERDICT r8 item 4) jumped to
+    the front of the slice — then (4) names the gate has never verified,
+    then (5) the remaining sampled-green names oldest first, keep the two
+    dicts' relative order consistent, and lose/duplicate nothing relative
+    to the registry."""
     import glob
     import json
     import os
@@ -82,37 +84,50 @@ def test_coverage_order_red_then_reverify_then_fresh_then_green():
 
     def green(n: str) -> bool:
         res = latest[n][1]
+        if not isinstance(res, dict):
+            return True  # name-list-only row counts as sampled green
         return bool(
             res.get("rows_match")
             and res.get("schema_match") is not False
             and res.get("hash_match") is not False
         ) or res.get("err") == "no_oracle"
 
+    changed_pending = {
+        n
+        for n, rnd in e.CHANGED_OPS.items()
+        if n in latest and latest[n][0] < rnd
+    }
     stale = {
         n
         for n, (_, res) in latest.items()
-        if res.get("err") == "no_oracle" and all_oracles().get(n)
+        if isinstance(res, dict)
+        and res.get("err") == "no_oracle"
+        and all_oracles().get(n)
     }
     greens_oldest = sorted(
-        (n for n in q if n in latest and green(n)),
+        (n for n in q if n in latest and green(n) and n not in changed_pending),
         key=lambda n: (n not in stale, latest[n][0], n),
     )
-    reverify = set(greens_oldest[:5])
+    reverify = set(greens_oldest[:10])
 
     def cls(n: str) -> int:
         if n in latest and not green(n):
             return 0
-        if n in reverify:
+        if n in changed_pending:
             return 1
-        if n not in latest:
+        if n in reverify:
             return 2
-        return 3
+        if n not in latest:
+            return 3
+        return 4
 
     classes = [cls(n) for n in q]
-    # monotone: red-retests, re-verify canaries, never-sampled, green
-    assert classes == sorted(classes), "class order must be red, canary, fresh, green"
+    # monotone: red-retests, changed-ops, re-verify canaries, fresh, green
+    assert classes == sorted(classes), (
+        "class order must be red, changed, canary, fresh, green"
+    )
     # the trailing green class is aged oldest-sample-first
-    tail = [n for n in q if cls(n) == 3]
+    tail = [n for n in q if cls(n) == 4]
     assert tail == sorted(tail, key=lambda n: (latest[n][0], n))
     # oracle enumeration follows the same order (restricted to oracle names)
     assert [n for n in q if n in o] == list(o)
@@ -131,8 +146,8 @@ def test_stale_ledger_name_jumps_reverify_slice(tmp_path):
     from sdu_hadoop_indexer_spark.registry import all_oracles
 
     names = sorted(all_oracles())
-    stale_name, greens = names[0], names[1:8]
-    # round 1: seven names green with full rows
+    stale_name, greens = names[0], names[1:15]
+    # round 1: fourteen names green with full rows
     r1 = {
         n: {"rows_match": True, "schema_match": True, "hash_match": True}
         for n in greens
@@ -143,14 +158,15 @@ def test_stale_ledger_name_jumps_reverify_slice(tmp_path):
     (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(r7))
 
     order = e._coverage_order(names, ledger_dir=str(tmp_path))
-    # the stale name must claim one of the 5 class-1 re-verify slots (the
-    # slice is the first 5 enumerated names here: no reds, and every other
-    # name is either a slice green or never-sampled) despite its round-7
-    # row being YOUNGER than all seven round-1 greens — with the old
-    # (round, stale) key it would rank 8th and never enter the slice
-    assert order.index(stale_name) < 5
-    # and at least two r1 greens are pushed out of the slice behind it
-    assert sum(order.index(g) >= 5 for g in greens) >= 3
+    # the stale name must claim one of the 10 re-verify slots (no reds or
+    # changed-pending names in this synthesized ledger, so the slice is
+    # the first 10 enumerated names; within it names order by age, so the
+    # YOUNGER stale row sits at the back of the slice) despite its round-7
+    # row being younger than all fourteen round-1 greens — with the old
+    # (round, stale) key it would rank 15th and never enter the slice
+    assert order.index(stale_name) < 10
+    # and at least three r1 greens are pushed out of the slice behind it
+    assert sum(order.index(g) >= 10 for g in greens) >= 3
 
     # a name-list-only re-sample in round 8 (a row whose value is not a
     # result dict) supersedes the stale flag: the name rejoins the plain
@@ -158,3 +174,58 @@ def test_stale_ledger_name_jumps_reverify_slice(tmp_path):
     (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps({stale_name: True}))
     order2 = e._coverage_order(names, ledger_dir=str(tmp_path))
     assert order2.index(stale_name) > max(order2.index(g) for g in greens)
+
+
+def test_changed_op_outranks_reverify_slice(tmp_path, monkeypatch):
+    """VERDICT r10 item 6: a CHANGED_OPS name whose latest driver sample
+    predates the recorded change round must jump ahead of the age-based
+    re-verify slice (its green row no longer describes the shipped plan),
+    and a post-change sample must demote it back to the green rotation."""
+    import json
+
+    import __spark_entry__ as e
+    from sdu_hadoop_indexer_spark.registry import all_oracles
+
+    GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+    names = sorted(all_oracles())
+    changed, greens = names[0], names[1:15]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: GREEN for n in greens})
+    )
+    # the changed op was sampled green in r3; its code changed in r5
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({changed: GREEN}))
+    monkeypatch.setattr(e, "CHANGED_OPS", {changed: 5})
+
+    order = e._coverage_order(names, ledger_dir=str(tmp_path))
+    # no reds → the changed-pending name leads the whole enumeration,
+    # ahead of every re-verify-slice green (which are all OLDER samples —
+    # the age key alone would bury the changed op behind all 14 of them)
+    assert order.index(changed) == 0
+
+    # a post-change sample (r6 ≥ change round 5) clears the priority: the
+    # name rejoins the plain green rotation as the youngest green
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps({changed: GREEN}))
+    order2 = e._coverage_order(names, ledger_dir=str(tmp_path))
+    assert order2.index(changed) > max(order2.index(g) for g in greens)
+
+
+def test_extended_band_warning_fires_on_synthetic_regression():
+    """VERDICT r10 item 3: the frozen extended-suite envelope must turn a
+    row regression into a visible warning in the bench output — a row at
+    reference stays silent, a row at 2x its frozen reference (the
+    r8-ivfpq-class episode and worse) fires, and the deflation factor is
+    applied before the comparison (a contended run must not false-fire)."""
+    import bench
+
+    name, ref = next(iter(bench.EXTENDED_BANDS.items()))
+    # at reference: silent
+    assert bench.band_warnings({name: ref}, deflate=1.0) == []
+    # synthetic 2x regression: fires, names the row
+    warns = bench.band_warnings({name: ref * 2.0}, deflate=1.0)
+    assert len(warns) == 1 and name in warns[0]
+    # same raw 2x on a 2x-contended box (deflate 0.5): silent after deflation
+    assert bench.band_warnings({name: ref * 2.0}, deflate=0.5) == []
+    # rows without a frozen band (new entries) never warn
+    assert bench.band_warnings({"brand_new_row": 99.0}, deflate=1.0) == []
+    # every extended-list entry plus the two minhash-family rows is banded
+    assert set(bench.EXTENDED) <= set(bench.EXTENDED_BANDS)
