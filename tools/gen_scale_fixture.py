@@ -54,17 +54,47 @@ def synth_vocab(n_terms: int) -> list[str]:
 
 
 def generate(
-    n_docs: int, out: str, fixture: str, seed: int = 42, vocab_terms: int = 0
+    n_docs: int,
+    out: str,
+    fixture: str,
+    seed: int = 42,
+    vocab_terms: int = 0,
+    mix_fixture_vocab: bool = False,
 ) -> str:
     rng = np.random.default_rng(seed)
-    vocab = np.array(
+    base_vocab = (
         synth_vocab(vocab_terms) if vocab_terms else harvest_vocab(fixture)
     )
-    # Zipf-ish token popularity like the fixture's (a few hot terms)
-    weights = 1.0 / np.arange(1, len(vocab) + 1)
-    weights /= weights.sum()
-    order = rng.permutation(len(vocab))
-    vocab = vocab[order]
+    if mix_fixture_vocab and vocab_terms:
+        # Full-suite fixtures (--full): the search operators query FIXED
+        # literal terms from the driver fixture's vocabulary ("join",
+        # "hash", …) — a pure synthetic vocab makes them all return 0 rows
+        # (vacuous PASSes at sf1.0, round-11 finding), and terms spliced at
+        # RANDOM Zipf ranks still leave phrase/conjunction queries empty
+        # (P(all query terms co-occur) ≈ 0 at tail frequencies). Pin the
+        # harvested terms to the Zipf HEAD — the hot-stopword shape real
+        # corpora have — so every query term occurs in most documents while
+        # the 20k synthetic tail keeps random-pair Jaccard ≈ 0.2, far below
+        # the dedup thresholds: true near-dups remain the injected clones
+        # only (the slope-study requirement; plain --synth-vocab runs keep
+        # the unmixed corpus so the r6/r9 study protocol is unchanged).
+        fixture_terms = sorted(set(harvest_vocab(fixture)))
+        tail = [t for t in base_vocab if t not in set(fixture_terms)]
+        vocab = np.array(fixture_terms + tail)
+        weights = 1.0 / np.arange(1, len(vocab) + 1)
+        weights /= weights.sum()
+        # shuffle WITHIN head and tail so no ordering artifact survives,
+        # but never across the head/tail boundary
+        head = rng.permutation(len(fixture_terms))
+        rest = len(fixture_terms) + rng.permutation(len(tail))
+        vocab = vocab[np.concatenate([head, rest])]
+    else:
+        vocab = np.array(base_vocab)
+        # Zipf-ish token popularity like the fixture's (a few hot terms)
+        weights = 1.0 / np.arange(1, len(vocab) + 1)
+        weights /= weights.sum()
+        order = rng.permutation(len(vocab))
+        vocab = vocab[order]
 
     texts: list[str] = []
     n_base = int(n_docs * (1 - EXACT_DUP_RATE - NEAR_DUP_RATE))
@@ -146,6 +176,100 @@ def generate_embeddings(n_vecs: int, out: str, seed: int = 43) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# Full-fixture scale-up (round-11, VERDICT r10 item 1): every suite run above
+# sf0.1 needs ALL TEN tables, not just documents/embeddings. The relational
+# star schema is scaled by K-fold REPLICATION WITH KEY SHIFTING — each copy i
+# shifts every synthetic key by i × (max_key + 1), with foreign keys shifted
+# by their referenced table's stride, so referential integrity, per-key
+# cardinalities, selectivities, and value distributions are all preserved
+# exactly (the same technique dbgen-style generators use for update sets).
+# Key-embedding names (Customer#..., Supplier#...) are re-derived from the
+# shifted key so name-keyed operators see K× distinct names, not K copies.
+# region/nation are fixed dimensions and copy through unchanged.
+# ---------------------------------------------------------------------------
+
+# per-table (key-shift expressions). {i} = copy index, {s_<t>} = stride of
+# table <t> (max key + 1 in the source fixture).
+_REPL_SQL = {
+    "customer": """
+        SELECT c_custkey + {i} * {s_customer} AS c_custkey,
+               printf('Customer#%09d', c_custkey + {i} * {s_customer}) AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM src""",
+    "supplier": """
+        SELECT s_suppkey + {i} * {s_supplier} AS s_suppkey,
+               printf('Supplier#%09d', s_suppkey + {i} * {s_supplier}) AS s_name,
+               s_nationkey, s_acctbal
+        FROM src""",
+    "part": """
+        SELECT p_partkey + {i} * {s_part} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM src""",
+    "orders": """
+        SELECT o_orderkey + {i} * {s_orders} AS o_orderkey,
+               o_custkey + {i} * {s_customer} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM src""",
+    "lineitem": """
+        SELECT l_orderkey + {i} * {s_orders} AS l_orderkey,
+               l_partkey + {i} * {s_part} AS l_partkey,
+               l_suppkey + {i} * {s_supplier} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM src""",
+    "events": """
+        SELECT event_id + {i} * {s_events} AS event_id,
+               ts,
+               user_id + {i} * {s_events_user} AS user_id,
+               event_type, value, props
+        FROM src""",
+}
+_KEY_COLS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+}
+
+
+def generate_relational(fixture: str, out: str, k: int) -> None:
+    """Write K-fold key-shifted replicas of the 8 relational tables under
+    ``out`` (see banner comment). K=10 on sf0.1 ≈ a dbgen sf1.0."""
+    import shutil
+
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    strides = {
+        f"s_{t}": duckdb.sql(
+            f"SELECT max({c}) + 1 FROM read_parquet('{fixture}/{t}.parquet')"
+        ).fetchone()[0]
+        for t, c in _KEY_COLS.items()
+    }
+    strides["s_events_user"] = duckdb.sql(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{fixture}/events.parquet')"
+    ).fetchone()[0]
+    for t in ("region", "nation"):  # fixed dims: copy through
+        shutil.copyfile(
+            os.path.join(fixture, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    for t, tmpl in _REPL_SQL.items():
+        copies = " UNION ALL ".join(
+            tmpl.format(i=i, **strides) for i in range(k)
+        )
+        duckdb.sql(
+            f"""
+            COPY (WITH src AS (
+                      SELECT * FROM read_parquet('{fixture}/{t}.parquet'))
+                  {copies})
+            TO '{os.path.join(out, f"{t}.parquet")}' (FORMAT PARQUET)
+            """
+        )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, required=True)
@@ -158,8 +282,32 @@ def main() -> int:
         "harvesting the fixture's (~31-term) one — required for exact-join "
         "slope studies where true near-dups must stay sparse",
     )
+    ap.add_argument(
+        "--full", action="store_true",
+        help="also write embeddings (docs/2.5 vectors, the fixture ratio) "
+        "and K-fold key-shifted replicas of the 8 relational tables, where "
+        "K = docs / fixture-docs — a complete 10-table suite fixture "
+        "(--docs 50000 on the sf0.1 fixture ≈ sf1.0)",
+    )
     args = ap.parse_args()
-    path = generate(args.docs, args.out, args.fixture, args.seed, args.synth_vocab)
+    path = generate(
+        args.docs,
+        args.out,
+        args.fixture,
+        args.seed,
+        args.synth_vocab,
+        mix_fixture_vocab=args.full,
+    )
+    if args.full:
+        import duckdb
+
+        fixture_docs = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"read_parquet('{args.fixture}/documents.parquet')"
+        ).fetchone()[0]
+        k = max(1, round(args.docs / fixture_docs))
+        generate_embeddings(args.docs * 2 // 5, args.out, args.seed + 1)
+        generate_relational(args.fixture, args.out, k)
     print(path)
     return 0
 
