@@ -146,6 +146,9 @@ def main() -> int:
             print(f"{name}: NO SUCH QUERY")
             n_fail += 1
             continue
+        import time
+
+        t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, args.sf)
             srows = spark_rows(sdf)
@@ -153,6 +156,7 @@ def main() -> int:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_spark = time.perf_counter() - t0
         try:
             assert_driver_hashable(srows, sdf.columns)
         except Exception as e:
@@ -161,12 +165,16 @@ def main() -> int:
             continue
         if name not in oracles:
             ok = len(srows) > 0  # empty ROWS-ONLY results are failures
-            print(f"{name}: ROWS-ONLY rows={len(srows)} {'PASS' if ok else 'FAIL'}")
+            print(
+                f"{name}: ROWS-ONLY rows={len(srows)} "
+                f"{'PASS' if ok else 'FAIL'} spark={t_spark:.1f}s"
+            )
             if ok:
                 n_pass += 1
             else:
                 n_fail += 1
             continue
+        t1 = time.perf_counter()
         try:
             drows = duck_rows(con, oracles[name])
         except Exception as e:
@@ -199,7 +207,10 @@ def main() -> int:
                 print(f"  duck : {dms[diff][:300]}")
             n_fail += 1
             continue
-        print(f"{name}: PASS rows={len(sms)}")
+        print(
+            f"{name}: PASS rows={len(sms)} spark={t_spark:.1f}s "
+            f"duck={time.perf_counter() - t1:.1f}s"
+        )
         n_pass += 1
 
     print(f"== {n_pass} pass, {n_fail} fail ==")

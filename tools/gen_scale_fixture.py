@@ -70,24 +70,33 @@ def generate(
         # literal terms from the driver fixture's vocabulary ("join",
         # "hash", …) — a pure synthetic vocab makes them all return 0 rows
         # (vacuous PASSes at sf1.0, round-11 finding), and terms spliced at
-        # RANDOM Zipf ranks still leave phrase/conjunction queries empty
-        # (P(all query terms co-occur) ≈ 0 at tail frequencies). Pin the
-        # harvested terms to the Zipf HEAD — the hot-stopword shape real
-        # corpora have — so every query term occurs in most documents while
-        # the 20k synthetic tail keeps random-pair Jaccard ≈ 0.2, far below
-        # the dedup thresholds: true near-dups remain the injected clones
-        # only (the slope-study requirement; plain --synth-vocab runs keep
-        # the unmixed corpus so the r6/r9 study protocol is unchanged).
+        # RANDOM Zipf ranks leave phrase/conjunction queries empty
+        # (P(all query terms co-occur) ≈ 0 at tail frequencies). But a
+        # Zipf HEAD placement over-corrects: a term with df ≈ N makes the
+        # NAIVE all-pairs DuckDB oracles of the exact-join dedup family
+        # Θ(df²) — ~10^10 join rows at 50k docs — so the parity check, not
+        # the engine, becomes the bottleneck. The full-suite corpus
+        # therefore uses a FLAT two-tier distribution: every fixture term
+        # at p = 0.002 (df ≈ 10% of docs — phrase adjacency ≈ 10
+        # occurrences, 3-term conjunctions ≈ 50 docs, per-term oracle pairs
+        # ≈ 13M × 31 terms: DuckDB-feasible) over a UNIFORM synthetic tail
+        # (df ≈ 130). Expected shared terms between random docs ≈ 0.4 →
+        # Jaccard ≈ 0.01: true near-dups remain the injected clones only.
+        # Plain --synth-vocab runs keep the unmixed Zipf corpus so the
+        # r6/r9 slope-study protocol is unchanged.
         fixture_terms = sorted(set(harvest_vocab(fixture)))
         tail = [t for t in base_vocab if t not in set(fixture_terms)]
         vocab = np.array(fixture_terms + tail)
-        weights = 1.0 / np.arange(1, len(vocab) + 1)
+        p_fix = 0.002
+        weights = np.concatenate(
+            [
+                np.full(len(fixture_terms), p_fix),
+                np.full(
+                    len(tail), (1 - p_fix * len(fixture_terms)) / len(tail)
+                ),
+            ]
+        )
         weights /= weights.sum()
-        # shuffle WITHIN head and tail so no ordering artifact survives,
-        # but never across the head/tail boundary
-        head = rng.permutation(len(fixture_terms))
-        rest = len(fixture_terms) + rng.permutation(len(tail))
-        vocab = vocab[np.concatenate([head, rest])]
     else:
         vocab = np.array(base_vocab)
         # Zipf-ish token popularity like the fixture's (a few hot terms)
