@@ -1840,7 +1840,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _containment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair stage of the containment build (prefix filter + size
+    prune + PPJoin position filter + distinct), split out so the slope
+    study can decompose the cold build into candidate-generation wall vs
+    verify wall (VERDICT r10 item 4 — the unexplained 3.3x cold slope)."""
     tset = _token_sets(spark, sf_dir)
     dfreq = tset.groupBy("term").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "term")
@@ -1911,6 +1915,12 @@ def _containment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return cand
+
+
+def _containment_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tset = _token_sets(spark, sf_dir)
+    cand = _containment_candidates(spark, sf_dir)
     # verify on HASHED token arrays (round-9, closing the r8 "<6 s"
     # target): the intersection COUNT is invariant under any injective
     # token→int64 map, and `array_intersect` over fixed-width bigints
