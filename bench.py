@@ -339,7 +339,9 @@ def main() -> int:
     # measurement; `value_deflated` is the cross-round comparable one.
     canary_median = statistics.median(canary)
     deflate = CANARY_CALIBRATION_MS / canary_median if canary_median else 1.0
-    warns = band_warnings(extended, deflate)
+    # bands are frozen at the sf0.1 protocol point — comparing another SF's
+    # rows against them would warn on every row by construction
+    warns = band_warnings(extended, deflate) if sf == 0.1 else []
     for w in warns:
         print(f"# WARNING {w}", file=sys.stderr)
     out = {
