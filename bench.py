@@ -183,7 +183,11 @@ EXTENDED_BANDS: dict[str, float] = {
     "sim_pq_recall_eval": 2.073,
     "sim_topk_ivfpq": 2.943,
     "sim_ivfpq_recall_eval": 2.993,
-    "llm_contamination_matrix": 0.684,
+    # 1.1 not the morning run's 0.684: that was a low draw — the row's
+    # history is 1.0-2.1 s (r6 close samples, r11 close 1.01/1.24/2.14)
+    # because its first sample pays pin-read warmup; the first band
+    # warning ever fired was this row at the too-tight reference.
+    "llm_contamination_matrix": 1.1,
     "dedup_semantic_ivf": 3.493,
     "llm_dsir_weights": 2.151,
     "llm_soft_dedup_weights": 2.045,
