@@ -958,6 +958,25 @@ def test_round6_artifacts_memoized_per_sf(spark, sf_dir):
     assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
 
 
+def test_bigram_c2_memoized_no_persist_leak(spark, sf_dir):
+    """bigram_ppl's broadcast-gated C2 relation pins exactly one persisted
+    copy per (app, sf_dir) — repeated invocations (bench runs each op 3-5
+    reps; llm_ppl_buckets composes the same relation) must NOT accumulate
+    fresh persisted copies in the session's storage layer (ADVICE r11)."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    curation.bigram_ppl(spark, sf_dir).count()
+    assert key in curation._C2_CACHE  # byte gate passes at test SF
+    pinned = curation._C2_CACHE[key]
+    assert pinned.storageLevel.useMemory or pinned.storageLevel.useDisk
+    n_before = len(curation._C2_CACHE)
+    curation.bigram_ppl(spark, sf_dir).count()
+    curation.ppl_buckets(spark, sf_dir).count()
+    assert curation._C2_CACHE[key] is pinned  # same handle, no new copies
+    assert len(curation._C2_CACHE) == n_before
+
+
 def test_gopher_rules_trip_each_heuristic(spark, tmp_path):
     """Craft one document per Gopher rule violation and one clean passer;
     each crafted doc must fail exactly its targeted rule (the clean doc

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -299,6 +300,16 @@ def main() -> int:
         "(--docs 50000 on the sf0.1 fixture ≈ sf1.0)",
     )
     args = ap.parse_args()
+    if args.full and not args.synth_vocab:
+        # --full's mix_fixture_vocab only takes effect when a synthetic
+        # vocabulary exists; --full alone used to fall back silently to the
+        # harvested ~31-term fixture vocab, producing the degenerate
+        # all-docs-near-dup corpus (Θ(df²) oracle blow-up) the banner
+        # comment warns against (ADVICE r11). Default to the sf1.0-run
+        # vocabulary size instead of failing.
+        args.synth_vocab = 20000
+        print("# --full without --synth-vocab: defaulting to "
+              "--synth-vocab 20000 (open vocabulary)", file=sys.stderr)
     path = generate(
         args.docs,
         args.out,
