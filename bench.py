@@ -170,7 +170,15 @@ EXTENDED_BANDS: dict[str, float] = {
     "graph_triangle_count": 2.715,
     "agg_gini": 0.615,
     "agg_weighted_median": 0.966,
-    "dedup_lsh_quality_eval": 1.627,
+    # 2.0 not the r11 freeze's 1.627 (VERDICT r11 wrong-item 1,
+    # adjudicated r12): the r11 driver close fired this row at 2.546
+    # deflated; an idle r12 re-run read 2.184 deflated (canary 37.2 /
+    # membw 26.5 — clean box) with the same code, and the row's history is
+    # 1.6-2.5 s across r6-r11 (1.6 s at sf1.0). 1.627 was a low draw that
+    # left the row's ROUTINE variance straddling the 1.5x ceiling — the
+    # llm_contamination_matrix precedent; 2.0 is the cross-round idle
+    # median.
+    "dedup_lsh_quality_eval": 2.0,
     "events_type_overlap": 0.495,
     "llm_global_sort_index": 0.385,
     "stream_cdc_apply": 0.502,

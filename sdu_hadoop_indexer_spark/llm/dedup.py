@@ -1146,8 +1146,29 @@ def _semantic_ivf_oracle() -> str:
     """
 
 
+# Target expected cell occupancy for the k ∝ N auto-cells path: with
+# E|cell| held constant the per-cell pair stage's candidate volume
+# Σ|cell|² ≈ N·E|cell| stays LINEAR in corpus size (SemDeDup's own answer
+# at web scale — the paper uses 50k clusters for LAION for the same
+# reason). 64 keeps the fixture point (2 000 vectors → 32 cells) close
+# enough to the default 8-cell blocking to compare recall meaningfully.
+SEMANTIC_TARGET_CELL = 64
+
+
+def semantic_auto_cells(n_vecs: int) -> int:
+    """k ∝ N rule: enough cells to hold expected occupancy at
+    SEMANTIC_TARGET_CELL, never fewer than the default N_CELLS."""
+    from .similarity import N_CELLS
+
+    if n_vecs <= 0:  # unreadable footer → conservative default
+        return N_CELLS
+    return max(N_CELLS, -(-n_vecs // SEMANTIC_TARGET_CELL))
+
+
 @register("dedup_semantic_ivf", oracle=_semantic_ivf_oracle())
-def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_ivf(
+    spark: SparkSession, sf_dir: str, cells: int | str | None = None
+) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication" —
     public method): cluster embeddings with the trained IVF coarse
@@ -1161,25 +1182,46 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is map-side (broadcast k×dim centroid
     literal); the pair stage is per-cell, so candidate volume is Σ|cell|²
     — SemDeDup's own answer at web scale is k ∝ N (the paper uses 50k
-    clusters for LAION), which bounds cells and keeps the stage linear;
-    N_CELLS is small here only because the fixture is. The co-cell recall
-    that blocking sacrifices is measured honestly by
-    `dedup_semantic_ivf_eval`.
+    clusters for LAION), which bounds cells and keeps the stage linear.
+    ``cells='auto'`` (VERDICT r11 item 5) is that answer as a runnable
+    path: k = ⌈N / SEMANTIC_TARGET_CELL⌉ cells (expected occupancy
+    constant → Σ|cell|² ≈ N·E|cell|, linear), trained on a k-proportional
+    bounded sample, assignment via the BLAS `_ivf_assign_np` twin so the
+    N·k·d assignment stage runs at matmul speed instead of interpreted
+    expression speed. An int ``cells`` pins k explicitly. The REGISTERED
+    query keeps the default fixed-k path — its oracle replays those exact
+    Lloyd rounds; the auto path's occupancy/linearity contract is pinned
+    by pytest + tools/slope_study.py instead. The co-cell recall that
+    blocking sacrifices is measured honestly by `dedup_semantic_ivf_eval`.
 
-    EXACT oracle: assignment replays the `sim_topk_ivf` trained-centroid
-    CTEs; cosine is the family's rounded dot/(na·nb) form; the drop rule
-    is a relational EXISTS, not an iterative sweep."""
-    from .similarity import _ivf_assign, _ivf_qvec, _train_ivf_centroids
+    EXACT oracle (default path): assignment replays the `sim_topk_ivf`
+    trained-centroid CTEs; cosine is the family's rounded dot/(na·nb)
+    form; the drop rule is a relational EXISTS, not an iterative sweep."""
+    from .similarity import (
+        _ivf_assign,
+        _ivf_assign_np,
+        _ivf_qvec,
+        _train_ivf_centroids,
+    )
 
-    cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
     # SLIM pair fan-out (the `ann_scored_pairs` round-6 lesson): the
     # per-cell self-join carries only (vec_id, cell); the 64-float payload
     # re-attaches to the candidate pairs afterwards, so vectors never ride
     # the quadratic-within-cell expansion through the shuffle.
-    asg = e.select(
-        "vec_id", _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell")
-    )
+    if cells is not None:
+        k = (
+            semantic_auto_cells(_table_rows(sf_dir, "embeddings"))
+            if cells == "auto"
+            else int(cells)
+        )
+        cents = _train_ivf_centroids(spark, sf_dir, n_cells=k)
+        asg = _ivf_assign_np(e, cents)
+    else:
+        cents = _train_ivf_centroids(spark, sf_dir)
+        asg = e.select(
+            "vec_id", _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell")
+        )
     a = asg.select(F.col("vec_id").alias("va"), "cell")
     b = asg.select(F.col("vec_id").alias("vb"), "cell")
     cand = a.join(b, "cell").where(F.col("va") < F.col("vb")).select(

@@ -340,10 +340,62 @@ def _ivf_assign(qv_col: Column, cents: list[list[int]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-_IVF_CENT_CACHE: dict[tuple[str, str], list[list[int]]] = {}
+def _ivf_assign_np(e: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cell) via Arrow-batched numpy instead of the Catalyst
+    transform/aggregate expression tree. Semantics are IDENTICAL to
+    `_ivf_assign` on the same integer lattice: quantization is
+    round-half-away of float64(x)·IVF_SCALE (the exact F.round HALF_UP
+    twin), d2 = |q|²+|m|²−2q·m in exact int64 (products ≤ 4e8, 64-dim
+    sums ≤ 2.6e10), argmin = first-min = the oracle's ORDER BY d2, cell.
+
+    Why it exists: assignment cost is N·k·d. At the default k=8 the
+    expression tree is fine; on the k ∝ N path (SemDeDup auto-cells,
+    k = N/SEMANTIC_TARGET_CELL) an interpreted per-row fold over k
+    centroids would make ASSIGNMENT the quadratic stage the auto mode
+    exists to remove — one BLAS matmul per Arrow batch keeps it at
+    memory-bandwidth speed (this is precisely the stage faiss hands to
+    GPU at LAION scale). Centroids ride into the closure as a k×d int64
+    ndarray — the broadcast model artifact."""
+    import numpy as np
+
+    cmat = np.array(cents, dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64) * IVF_SCALE
+            q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            d2 = (q * q).sum(axis=1)[:, None] + cc[None, :] - 2 * (q @ cmat.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell int"
+    )
 
 
-def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+_IVF_CENT_CACHE: dict[tuple[str, str, int], list[list[int]]] = {}
+
+# Training-sample rows per centroid when n_cells exceeds the default: the
+# faiss discipline trains k centroids on a sample PROPORTIONAL to k (its
+# own warning floor is ~39 points/centroid; 16 is enough for a coarse
+# quantizer whose only job is blocking, and keeps the bounded driver
+# collect at k×16 rows — 16 MB even at k = 10 000).
+TRAIN_PER_CELL = 16
+
+
+def _train_ivf_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> list[list[int]]:
     """Lattice k-means, KMEANS_ITERS Lloyd rounds, fully deterministic:
     init = the first N_CELLS quantized vectors; assignment = integer-L2
     argmin (ties → lowest cell); the new centroid is RE-QUANTIZED to the
@@ -364,10 +416,20 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     |x|²+|m|²−2x·m (products ≤ 4e8, 64-dim sums ≤ 2.6e10 — exact),
     np.argmin = first-min = the oracle's ORDER BY d2, cell rank-1,
     float64 mean division = the same IEEE op, `_round_half_away` = both
-    engines' round(). Cached per (app, sf_dir) like the PQ codebooks."""
+    engines' round(). Cached per (app, sf_dir, n_cells) like the PQ
+    codebooks.
+
+    ``n_cells`` beyond the default N_CELLS (the SemDeDup k ∝ N path,
+    VERDICT r11 item 5): the training sample grows to TRAIN_PER_CELL ×
+    n_cells rows (faiss trains k centroids on a k-proportional sample —
+    still a bounded driver collect, k×16 rows at any corpus size) and
+    init = the first n_cells sample vectors in digest order (uniform
+    deterministic seed with no density assumption on vec_id; the default
+    path keeps its original `vec_id < N_CELLS` init for oracle parity —
+    the unrolled Lloyd CTEs replay exactly that)."""
     import numpy as np
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
     cached = _IVF_CENT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -376,10 +438,18 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
             del _IVF_CENT_CACHE[k]
     e = table(spark, sf_dir, "embeddings")
     qv = e.select("vec_id", _ivf_qvec("embedding").alias("qv"))
-    init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
-    cents = np.array([list(r.qv) for r in init], dtype=np.int64)
-    sample = qv.orderBy(_train_digest(), "vec_id").limit(TRAIN_CAP).collect()
+    cap = (
+        TRAIN_CAP
+        if n_cells <= N_CELLS
+        else max(TRAIN_CAP, TRAIN_PER_CELL * n_cells)
+    )
+    sample = qv.orderBy(_train_digest(), "vec_id").limit(cap).collect()
     x = np.array([list(r.qv) for r in sample], dtype=np.int64)
+    if n_cells == N_CELLS:
+        init = qv.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+        cents = np.array([list(r.qv) for r in init], dtype=np.int64)
+    else:
+        cents = x[: min(n_cells, len(x))].copy()
     for _ in range(KMEANS_ITERS):
         d2 = (
             (x * x).sum(axis=1)[:, None]

@@ -1202,6 +1202,62 @@ def test_semantic_ivf_drop_rule_consistency(spark, sf_dir):
     assert dropped == cocell_vb
 
 
+def test_ivf_assign_np_matches_expression_path(spark, sf_dir):
+    """The BLAS assignment twin (`_ivf_assign_np`, the auto-cells path's
+    map stage) must produce the IDENTICAL (vec_id, cell) relation as the
+    Catalyst expression path on the same trained centroids — same integer
+    lattice, same first-min tie rule."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.llm import similarity as S
+
+    cents = S._train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    expr = {
+        r.vec_id: r.cell
+        for r in e.select(
+            "vec_id",
+            S._ivf_assign(S._ivf_qvec("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    blas = {r.vec_id: r.cell for r in S._ivf_assign_np(e, cents).collect()}
+    assert blas == expr
+
+
+def test_semantic_ivf_auto_cells_occupancy_and_soundness(spark, sf_dir):
+    """The k ∝ N auto path (VERDICT r11 item 5): (a) k follows the
+    ⌈N/SEMANTIC_TARGET_CELL⌉ rule; (b) the occupancy the linearity claim
+    rests on holds — Σ|cell|² stays within a small constant of
+    N·SEMANTIC_TARGET_CELL (candidate volume linear in N); (c) soundness:
+    every auto-dropped vector is a true τ-duplicate (its witness pair is
+    in the exact all-pairs dup set), i.e. finer blocking only reduces
+    RECALL, never precision."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        SEMANTIC_TARGET_CELL,
+        _table_rows,
+        semantic_auto_cells,
+    )
+
+    n = _table_rows(sf_dir, "embeddings")
+    k = semantic_auto_cells(n)
+    assert k == max(8, -(-n // SEMANTIC_TARGET_CELL))
+    out = dedup.dedup_semantic_ivf(spark, sf_dir, cells="auto").collect()
+    assert len(out) == n
+    assert len({r.cell for r in out}) <= k
+    occ: dict[int, int] = {}
+    for r in out:
+        occ[r.cell] = occ.get(r.cell, 0) + 1
+    sum_sq = sum(c * c for c in occ.values())
+    assert sum_sq <= 8 * n * SEMANTIC_TARGET_CELL, (
+        f"sum|cell|^2 {sum_sq} breaks the linear-candidate bound "
+        f"(N*target = {n * SEMANTIC_TARGET_CELL})"
+    )
+    exact_vb = {
+        r.vb for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    dropped = {r.vec_id for r in out if r.dropped}
+    assert dropped <= exact_vb  # precision 1 by construction
+
+
 def test_semantic_ivf_high_cocell_recall_on_clustered_corpus(spark, tmp_path):
     """On a genuinely clustered corpus (tight planted dup pairs among
     random vectors) the cluster blocking must see most of the exact dup

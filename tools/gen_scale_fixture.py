@@ -61,6 +61,7 @@ def generate(
     seed: int = 42,
     vocab_terms: int = 0,
     mix_fixture_vocab: bool = False,
+    hot_term_share: float = 0.0,
 ) -> str:
     rng = np.random.default_rng(seed)
     base_vocab = (

@@ -18,9 +18,15 @@ Protocol (matches the round-5 study in BASELINE.md):
   for `graph_triangle_count` — production semantics, and it isolates the
   triangle join's own slope from the edge relation it consumes.
 
+Round 12 (VERDICT r11 items 5/6): a THIRD scale point — two-point slopes
+cannot separate fixed cost from growth; the default grid is now
+5 000 / 15 000 / 50 000 — and two `dedup_semantic_ivf` rows, fixed-k vs
+``cells='auto'`` (the k ∝ N SemDeDup rule), so the auto path's
+near-linearity is measured against the fixed-k quadratic it replaces.
+
 Usage::
 
-    python tools/slope_study.py [--small 5000] [--large 50000]
+    python tools/slope_study.py [--sizes 5000,15000,50000]
                                 [--vocab 20000] [--out /tmp/slope]
 
 Prints one JSON line per (docs, operator) and a final summary table.
@@ -67,7 +73,7 @@ def _evict_containment_memo() -> None:
         del dedup._CONTAINMENT_CACHE[k]
 
 
-def run(small: int, large: int, vocab: int, out_root: str) -> dict:
+def run(sizes: list[int], vocab: int, out_root: str) -> dict:
     from gen_scale_fixture import generate, generate_embeddings
 
     from sdu_hadoop_indexer_spark.llm import dedup
@@ -100,20 +106,36 @@ def run(small: int, large: int, vocab: int, out_root: str) -> dict:
         # band-table memo is evicted per rep so the number is the full
         # band-build + slim bucket self-join + Arrow verify.
         ("dedup_embedding_ann", dedup.dedup_embedding_ann),
+        # SemDeDup fixed-k (the registered oracle-parity point — its
+        # Σ|cell|² grows quadratically at fixed N_CELLS, the one named
+        # super-linear row of the r11 sf1.0 bench) vs the k ∝ N auto
+        # path (VERDICT r11 item 5): expected occupancy constant →
+        # candidates ≈ N·SEMANTIC_TARGET_CELL, near-linear wall.
+        ("dedup_semantic_ivf", dedup.dedup_semantic_ivf),
+        (
+            "semantic_ivf_auto",
+            lambda spark, d: dedup.dedup_semantic_ivf(spark, d, cells="auto"),
+        ),
     ]
     evictors = {
         "dedup_near_jaccard": _evict_near_jaccard_memo,
         "dedup_containment": _evict_containment_memo,
         "dedup_embedding_ann": _evict_pair_bands_memo,
     }
+    # fixed-k SemDeDup is Θ(N²/k): ~312 M candidate pairs at 50 k vectors
+    # (~8 min/rep) — the quadratic is already established by the 15 k point
+    # plus the r11 sf1.0 bench row; don't burn the study's wall on it.
+    skip_above = {"dedup_semantic_ivf": 15000}
     results: dict[str, dict[int, dict]] = {name: {} for name, _ in ops}
-    for n_docs in (small, large):
+    for n_docs in sizes:
         d = os.path.join(out_root, f"docs{n_docs}")
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             generate(n_docs, d, "/root/testdata/sf0.1", vocab_terms=vocab)
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             generate_embeddings(n_docs, d)
         for name, fn in ops:
+            if n_docs > skip_above.get(name, float("inf")):
+                continue
             walls, rows = [], 0
             for _rep in range(2):
                 evict = evictors.get(name)
@@ -126,25 +148,39 @@ def run(small: int, large: int, vocab: int, out_root: str) -> dict:
                    "cold_s": round(walls[0], 2), "rows": rows}
             results[name][n_docs] = rec
             print(json.dumps(rec), flush=True)
-    print(f"\n| operator | {small} docs | {large} docs | slope | rows "
-          f"{small}->{large} |")
-    print("|---|---|---|---|---|")
+    hdr = " | ".join(f"{n} docs" for n in sizes)
+    # per-step slopes (wall ratio / data ratio pairs) expose whether growth
+    # is in the fixed cost (step slopes fall) or the data term (they hold)
+    steps = list(zip(sizes, sizes[1:]))
+    step_hdr = " | ".join(f"slope {a // 1000}k->{b // 1000}k" for a, b in steps)
+    print(f"\n| operator | {hdr} | {step_hdr} | rows {sizes[0]}->{sizes[-1]} |")
+    print("|---" * (1 + len(sizes) + len(steps) + 1) + "|")
     for name, _ in ops:
-        s, l = results[name][small], results[name][large]
-        slope = l["warm_s"] / max(s["warm_s"], 1e-9)
-        print(f"| `{name}` | {s['warm_s']} s | {l['warm_s']} s | "
-              f"**{slope:.1f}x** | {s['rows']} -> {l['rows']} |")
+        r = results[name]
+        walls = " | ".join(
+            f"{r[n]['warm_s']} s" if n in r else "—" for n in sizes
+        )
+        slopes = " | ".join(
+            f"**{r[b]['warm_s'] / max(r[a]['warm_s'], 1e-9):.1f}x**"
+            if a in r and b in r else "—"
+            for a, b in steps
+        )
+        last = max(n for n in sizes if n in r)
+        print(f"| `{name}` | {walls} | {slopes} | "
+              f"{r[sizes[0]]['rows']} -> {r[last]['rows']} |")
     return results
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", type=int, default=5000)
-    ap.add_argument("--large", type=int, default=50000)
+    ap.add_argument(
+        "--sizes", default="5000,15000,50000",
+        help="comma-separated corpus sizes (docs = vectors per point)",
+    )
     ap.add_argument("--vocab", type=int, default=20000)
     ap.add_argument("--out", default="/tmp/slope_r6")
     args = ap.parse_args()
-    run(args.small, args.large, args.vocab, args.out)
+    run([int(s) for s in args.sizes.split(",")], args.vocab, args.out)
     return 0
 
 
