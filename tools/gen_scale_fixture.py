@@ -107,6 +107,17 @@ def generate(
         order = rng.permutation(len(vocab))
         vocab = vocab[order]
 
+    if hot_term_share:
+        # Skew-stress mode (VERDICT r11 item 1): ONE term carries
+        # hot_term_share of all token occurrences — the stopword-class hot
+        # key the salted-aggregation operators exist for. Applied on top
+        # of whichever base distribution is active; the boosted term is
+        # vocab[0] (in the plain Zipf path that term is already the head,
+        # so this sharpens the natural Zipf into a measurable hot key).
+        weights = weights * (1.0 - hot_term_share)
+        weights[0] += hot_term_share
+        weights /= weights.sum()
+
     texts: list[str] = []
     n_base = int(n_docs * (1 - EXACT_DUP_RATE - NEAR_DUP_RATE))
     lengths = rng.integers(40, 61, size=n_base)
@@ -141,7 +152,13 @@ def generate(
     )
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "documents.parquet")
-    pq.write_table(table, path)
+    # bounded row groups: pyarrow's default is 1M rows = ONE row group for
+    # any corpus this generator writes, and parquet scans parallelize at
+    # row-group granularity — a single group caps the scan at ONE task no
+    # matter the split conf (the skew study's first run measured exactly
+    # that as a phantom straggler). 4096 docs/group ≈ 1 MB compressed —
+    # the many-splits shape a real multi-file corpus has.
+    pq.write_table(table, path, row_group_size=4096)
     return path
 
 
@@ -183,7 +200,7 @@ def generate_embeddings(n_vecs: int, out: str, seed: int = 43) -> str:
     )
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "embeddings.parquet")
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=4096)  # see generate()
     return path
 
 
@@ -281,6 +298,60 @@ def generate_relational(fixture: str, out: str, k: int) -> None:
         )
 
 
+HOT_SHARE = 0.15  # fraction of fact rows re-pointed at the single hot key
+
+
+def skew_hot_keys(out: str, hot_share: float = HOT_SHARE) -> dict[str, int]:
+    """Plant a hot key in the fact tables of an already-generated fixture
+    dir, IN PLACE (VERDICT r11 item 1 — the skew-stress fixture):
+
+    - `lineitem`: ``hot_share`` of rows get their ``l_suppkey`` re-pointed
+      at the smallest supplier key (a mega-supplier carrying ~15% of a
+      6M-row fact table at K=10);
+    - `events`: ``hot_share`` of rows get ``user_id`` re-pointed at the
+      smallest user id (the bot/whale account every real event log has).
+
+    Row selection is deterministic (DuckDB ``hash()`` of the primary key,
+    mod 10 000 < share·10 000), so the fixture is reproducible and both
+    the salted and plain operators see the identical table. Referential
+    integrity is preserved — the hot key is an EXISTING dimension key.
+    Returns the planted hot key per table for the study's assertions."""
+    import duckdb
+
+    thresh = int(round(hot_share * 10_000))
+    hot: dict[str, int] = {}
+    li, sup, ev = (
+        os.path.join(out, f"{t}.parquet")
+        for t in ("lineitem", "supplier", "events")
+    )
+    hot["lineitem"] = duckdb.sql(
+        f"SELECT min(s_suppkey) FROM read_parquet('{sup}')"
+    ).fetchone()[0]
+    hot["events"] = duckdb.sql(
+        f"SELECT min(user_id) FROM read_parquet('{ev}')"
+    ).fetchone()[0]
+    rewrites = {
+        li: f"""
+            SELECT * REPLACE (
+                CASE WHEN hash(l_orderkey * 8 + l_linenumber) % 10000
+                          < {thresh}
+                     THEN {hot['lineitem']} ELSE l_suppkey END AS l_suppkey)
+            FROM read_parquet('{{src}}')""",
+        ev: f"""
+            SELECT * REPLACE (
+                CASE WHEN hash(event_id) % 10000 < {thresh}
+                     THEN {hot['events']} ELSE user_id END AS user_id)
+            FROM read_parquet('{{src}}')""",
+    }
+    for path, sql in rewrites.items():
+        tmp = path + ".skewed"
+        duckdb.sql(
+            f"COPY ({sql.format(src=path)}) TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, path)
+    return hot
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, required=True)
@@ -300,6 +371,14 @@ def main() -> int:
         "K = docs / fixture-docs — a complete 10-table suite fixture "
         "(--docs 50000 on the sf0.1 fixture ≈ sf1.0)",
     )
+    ap.add_argument(
+        "--skew", action="store_true",
+        help=f"skew-stress fixture: one term carries {HOT_SHARE:.0%} of all "
+        "document tokens, and (with --full) one supplier key carries "
+        f"{HOT_SHARE:.0%} of lineitem rows / one user_id {HOT_SHARE:.0%} of "
+        "events rows — NOT for oracle-parity runs (hot-key df² makes naive "
+        "oracles infeasible); for tools/skew_study.py",
+    )
     args = ap.parse_args()
     if args.full and not args.synth_vocab:
         # --full's mix_fixture_vocab only takes effect when a synthetic
@@ -318,6 +397,7 @@ def main() -> int:
         args.seed,
         args.synth_vocab,
         mix_fixture_vocab=args.full,
+        hot_term_share=HOT_SHARE if args.skew else 0.0,
     )
     if args.full:
         import duckdb
@@ -329,6 +409,9 @@ def main() -> int:
         k = max(1, round(args.docs / fixture_docs))
         generate_embeddings(args.docs * 2 // 5, args.out, args.seed + 1)
         generate_relational(args.fixture, args.out, k)
+        if args.skew:
+            hot = skew_hot_keys(args.out)
+            print(f"# planted hot keys: {hot}", file=sys.stderr)
     print(path)
     return 0
 
