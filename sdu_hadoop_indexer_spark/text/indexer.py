@@ -168,6 +168,62 @@ register(
     """,
 )(lambda spark, sf_dir: jsonify_complex(index_nested(spark, sf_dir)))
 
+N_POSTING_SHARDS = 8
+
+
+def index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-sharded nested index: `(term, shard, postings, df_shard)`
+    with shard = doc_id mod N_POSTING_SHARDS — the posting-list sharding
+    every production search engine applies to stopword-class terms
+    (Lucene/ES call it document partitioning).
+
+    Why it exists (round-12 skew study, BASELINE.md): `text_index_nested`
+    keys its final collect on `term` alone, so a hot term's entire
+    postings array — ~50k doc entries when one term carries 15% of a
+    corpus — is assembled by ONE reduce task (measured: 1.2 s max task of
+    a 2.5 s wall, the one straggler partial aggregation cannot absorb and
+    value-salting cannot shrink, because the output ROW is the payload).
+    Sharding the KEY bounds every reduce group at ~1/N of the hottest
+    term's postings, restoring level tasks; a term lookup reads N small
+    rows instead of one huge one (`array_union`-style concat or a
+    per-shard scatter-gather — the consumer shape search engines already
+    have). Same information content as the nested index: the union of a
+    term's shards IS its postings list (pinned by pytest).
+
+    EXACT oracle: the same GROUP BY with the shard key; doc_id % N on
+    int64 is engine-identical."""
+    flat = index_flat(spark, sf_dir)
+    return (
+        flat.withColumn(
+            "shard", F.pmod("doc_id", F.lit(N_POSTING_SHARDS)).cast("int")
+        )
+        .groupBy("term", "shard")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "positions"))
+            ).alias("postings"),
+            F.countDistinct("doc_id").alias("df_shard"),
+        )
+    )
+
+
+register(
+    "text_index_sharded",
+    oracle=f"""
+    WITH {TOK_SQL},
+    flat AS (
+        SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+        FROM tok GROUP BY term, doc_id
+    )
+    SELECT term, CAST(doc_id % {N_POSTING_SHARDS} AS INTEGER) AS shard,
+           to_json(list(struct_pack(doc_id := doc_id, positions := positions)
+                ORDER BY doc_id))::VARCHAR AS postings,
+           count(DISTINCT doc_id) AS df_shard
+    FROM flat GROUP BY term, CAST(doc_id % {N_POSTING_SHARDS} AS INTEGER)
+    """,
+)(lambda spark, sf_dir: jsonify_complex(index_sharded(spark, sf_dir)))
+
+
 def index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance — the operational path for a 100 TB
     index: a base flat index (docs below the split) and a DELTA flat index

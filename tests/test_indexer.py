@@ -96,3 +96,38 @@ def test_positions_are_sorted_ordinals(spark, sf_dir):
         F.col("positions") != F.sort_array("positions")
     ).count()
     assert bad == 0
+
+
+def test_sharded_index_reconstructs_nested_and_bounds_groups(spark, sf_dir):
+    """Union of a term's shards must reproduce the nested index exactly
+    (same postings multiset, df = sum of shard dfs), and the hottest
+    reduce group must shrink by ~N_POSTING_SHARDS — the straggler bound
+    the sharding exists for (round-12 skew study)."""
+    from sdu_hadoop_indexer_spark.text.indexer import (
+        N_POSTING_SHARDS,
+        index_sharded,
+    )
+
+    nested = {
+        r.term: (sorted((p.doc_id, tuple(p.positions)) for p in r.postings),
+                 r.df)
+        for r in index_nested(spark, sf_dir).collect()
+    }
+    sharded = index_sharded(spark, sf_dir).collect()
+    merged: dict[str, list] = {}
+    df_sum: dict[str, int] = {}
+    max_group = 0
+    for r in sharded:
+        assert 0 <= r.shard < N_POSTING_SHARDS
+        assert all(p.doc_id % N_POSTING_SHARDS == r.shard for p in r.postings)
+        assert r.df_shard == len(r.postings)
+        merged.setdefault(r.term, []).extend(
+            (p.doc_id, tuple(p.positions)) for p in r.postings
+        )
+        df_sum[r.term] = df_sum.get(r.term, 0) + r.df_shard
+        max_group = max(max_group, len(r.postings))
+    assert {t: (sorted(v), df_sum[t]) for t, v in merged.items()} == nested
+    hottest_nested = max(df for _, df in nested.values())
+    # each shard holds the hot term's docs with doc_id % N == shard; allow
+    # 2x headroom over the perfect split for doc_id distribution
+    assert max_group <= max(2 * hottest_nested // N_POSTING_SHARDS + 1, 8)

@@ -215,6 +215,10 @@ def run(fixture: str) -> list[dict]:
         # has, so the max-task column shows the REDUCE straggler
         ("text_index_flat", indexer.index_flat, SPLITS),
         ("text_index_nested", indexer.index_nested, SPLITS),
+        # the mitigation for the index_nested hot reducer: document-
+        # sharded postings — the hot term's array splits over
+        # N_POSTING_SHARDS reduce groups
+        ("text_index_sharded", indexer.index_sharded, SPLITS),
         # the diagnostic + the automatic splitter on its table
         ("events_join_aqe_on", events_join, AQE_SKEW_CONF),
         ("events_join_aqe_off", events_join,
