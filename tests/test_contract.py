@@ -229,3 +229,14 @@ def test_extended_band_warning_fires_on_synthetic_regression():
     assert bench.band_warnings({"brand_new_row": 99.0}, deflate=1.0) == []
     # every extended-list entry plus the two minhash-family rows is banded
     assert set(bench.EXTENDED) <= set(bench.EXTENDED_BANDS)
+
+
+def test_changed_ops_names_are_registered():
+    """Every CHANGED_OPS key must be a registered query name — a typo'd or
+    renamed entry silently loses its priority re-verify slot (the exact
+    failure mode the dict exists to prevent; VERDICT r11 item 4)."""
+    import __spark_entry__ as e
+
+    q = all_queries()
+    missing = [n for n in e.CHANGED_OPS if n not in q]
+    assert not missing, f"CHANGED_OPS names not in queries(): {missing}"
