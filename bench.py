@@ -123,6 +123,9 @@ EXTENDED = [
     # like graph_triangle_count, runs AFTER the near-jaccard rows so the
     # memoized edge relation is warm: the row isolates the peel itself.
     "graph_kcore",
+    # round-12 addition: the skew-hardened index form (BASELINE r12 skew
+    # study) — tracked from birth; gets a frozen band at the next freeze.
+    "text_index_sharded",
 ]
 
 
@@ -205,6 +208,9 @@ EXTENDED_BANDS: dict[str, float] = {
     "graph_kcore": 2.945,
     "minhash_sig_portable": 0.729,
     "minhash_sig_xxhash": 0.746,
+    # r12 birth freeze (idle, canary ~36 ms): median of 5 warm reps at the
+    # sf0.1 protocol point, measured standalone at registration.
+    "text_index_sharded": 0.826,
 }
 EXT_BAND_FACTOR = 1.5
 

@@ -55,6 +55,38 @@ def term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_term_lookup_sharded",
+    oracle=f"""
+    WITH {FLAT_SQL}
+    SELECT doc_id, to_json(positions)::VARCHAR AS positions, tf
+    FROM flat WHERE term = 'join'
+    """,
+)
+def term_lookup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather term lookup over the SHARDED index (round 12, the
+    consumer side of `text_index_sharded`): the term filter selects ≤
+    N_POSTING_SHARDS rows, each shard's postings explode back to per-doc
+    rows, and the union IS the full posting set — same oracle as
+    `text_term_lookup`, proving document-sharding costs the read path
+    nothing but a small fan-in. At 100 TB with the index sunk bucketed by
+    (term, shard), this is N pruned bucket reads running in parallel —
+    the scatter-gather every doc-partitioned search engine serves queries
+    with, and the reason the hot-term write straggler can be sharded away
+    without a consumer-visible contract change (tf rebuilds as
+    size(positions), so shards carry no redundant payload)."""
+    from .indexer import index_sharded
+
+    sh = index_sharded(spark, sf_dir).where(F.col("term") == "join")
+    return jsonify_complex(
+        sh.select(F.explode("postings").alias("p")).select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.positions").alias("positions"),
+            F.size("p.positions").cast("long").alias("tf"),
+        )
+    )
+
+
+@register(
     "text_bool_and",
     oracle=f"""
     WITH {FLAT_SQL}
