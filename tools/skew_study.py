@@ -224,6 +224,19 @@ def run(fixture: str) -> list[dict]:
         ("events_join_aqe_off", events_join,
          {"spark.sql.adaptive.skewJoin.enabled": "false"}),
     ]
+    # Second operating point: 256 shuffle partitions. At 32 partitions the
+    # hot partition is only ~5x the mean and hides inside the stage
+    # envelope; at 256 the mean reduce partition drops to ~23k rows while
+    # the hot key still pins ~912k in ONE — a 39x straggler, the shape a
+    # 1000-executor shuffle has. This is where mitigation must start to
+    # pay: salting levels it, AQE's splitter must fire, the unmitigated
+    # plans must show the straggler in max-task. (AQE coalescing is ON, so
+    # the non-hot partitions re-merge — exactly the production config.)
+    P256 = {"spark.sql.shuffle.partitions": "256"}
+    runs += [
+        (f"{name}_p256", fn, {**conf, **P256})
+        for name, fn, conf in runs[:4]
+    ]
     # untimed warmup: JVM codegen, parquet footers, noop-writer classes —
     # without it the first matrix row pays ~4 s of session warmup that
     # reads as a skew effect (bench.py discipline)
@@ -233,10 +246,23 @@ def run(fixture: str) -> list[dict]:
 
     results = []
     sums: dict[str, tuple[int, int]] = {}
+    from sdu_hadoop_indexer_spark import session as session_mod
+
     for name, fn, conf in runs:
         saved = {k: spark.conf.get(k, None) for k in conf}
+        # catalog.table re-applies session._RUNTIME_CONF (tune) on every
+        # query build, which would clobber a per-run shuffle-partitions
+        # override set only on spark.conf — route overrides of tuned keys
+        # through the module dict too, and restore after.
+        saved_rt = {
+            k: session_mod._RUNTIME_CONF[k]
+            for k in conf
+            if k in session_mod._RUNTIME_CONF
+        }
         for k, v in conf.items():
             spark.conf.set(k, v)
+            if k in saved_rt:
+                session_mod._RUNTIME_CONF[k] = v
         try:
             reps = []
             for _rep in range(3):
@@ -262,6 +288,8 @@ def run(fixture: str) -> list[dict]:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+            for k, v in saved_rt.items():
+                session_mod._RUNTIME_CONF[k] = v
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
@@ -276,6 +304,11 @@ def run(fixture: str) -> list[dict]:
             sums["text_wordcount_salted"] == sums["text_wordcount"],
         "events_aqe_on_equals_off":
             sums["events_join_aqe_on"] == sums["events_join_aqe_off"],
+        "p256_variants_equal_plain": all(
+            sums[f"{n}_p256"] == sums["join_plain_shufflehash"]
+            for n in ("join_plain_shufflehash", "join_skew_salted",
+                      "join_smj_aqe_skew_on", "join_smj_aqe_skew_off")
+        ),
     }
     print(json.dumps({"equality": eq}), flush=True)
     assert all(eq.values()), f"mitigation changed the result: {eq}"
