@@ -185,11 +185,23 @@ EXTENDED_BANDS: dict[str, float] = {
     "events_type_overlap": 0.495,
     "llm_global_sort_index": 0.385,
     "stream_cdc_apply": 0.502,
-    "dedup_containment": 5.462,
-    "sim_nearest_pairs_ann": 0.682,
+    # 5.1 under the r12 warm-in protocol (WARM_IN): the old 5.462
+    # reference was a median straddling the verify stage's JIT tier
+    # transition (see WARM_IN note); with one untimed warm-in rep the
+    # idle samples read 5.9/5.1/4.8 (fully-warm floor ~4 s) and the
+    # within-run spread drops from 7.5 s to ~1 s.
+    "dedup_containment": 5.1,
+    # 1.0 not the r11 freeze's 0.682 (adjudicated r12): the row warned
+    # twice in four idle runs (1.156, 1.267) and passed twice
+    # (0.631, 0.825-range) with clean canaries and untouched code — its
+    # post-pin-read wall oscillates 0.6-1.3 s, so 0.682 was a low draw
+    # (the lsh_quality_eval precedent; note its first sample builds the
+    # band pin at ~2-6 s and the median rests on the two pin reads).
+    "sim_nearest_pairs_ann": 1.0,
     "sim_pairs_recall_eval": 1.365,
     "dedup_minhash_incremental": 0.405,
     "dedup_minhash_est_quality": 2.731,
+    # (dedup_containment re-frozen r12 below — see the WARM_IN note)
     "sim_topk_pq": 1.925,
     "sim_pq_recall_eval": 2.073,
     "sim_topk_ivfpq": 2.943,
@@ -286,6 +298,17 @@ def _clear_containment_cache() -> None:
 # read the pin (~0.2 s) and the frozen row silently changes meaning.
 COLD_CACHES = {"dedup_containment": _clear_containment_cache}
 
+# Ops that get ONE untimed warm-in rep before their timed samples
+# (COLD_CACHES still clears per rep, so the data work stays cold).
+# Round-12 profiling of dedup_containment's 5.9-13.4 s within-run spread:
+# the heavy verify stage's GENERATED code runs ~330 CPU-s with 15-19 s of
+# GC on its first invocations and ~62 CPU-s / 3-4 s GC once C2-compiled —
+# the row's variance was the JIT tier transition landing mid-samples, not
+# data or host. The row means "cold caches, warm code": this op's codegen
+# is unique to it, so the suite-level warmup can't warm it, and without
+# the warm-in the first timed sample is a compiler benchmark.
+WARM_IN = {"dedup_containment"}
+
 
 def run_once(fn, spark, sf_dir: str, name: str | None = None) -> float:
     if name in COLD_CACHES:
@@ -336,6 +359,8 @@ def main() -> int:
     ext_samples: dict[str, list[float]] = {}
     ext_list = [(n, queries[n]) for n in EXTENDED]
     for name, fn in ext_list:
+        if name in WARM_IN:
+            run_once(fn, spark, sf_dir, name)  # untimed JIT warm-in
         times = [run_once(fn, spark, sf_dir, name) for _ in range(ext_reps)]
         ext_samples[name] = [round(t, 3) for t in times]
         extended[name] = round(statistics.median(times), 3)
