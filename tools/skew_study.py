@@ -150,6 +150,20 @@ AQE_SKEW_CONF = {
 }
 
 
+def plain_join(spark, sf_dir, hint="shuffle_hash"):
+    from pyspark.sql import functions as F
+
+    from sdu_hadoop_indexer_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return li.join(
+        s.hint(hint), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_orderkey", "l_linenumber", "s_name")
+
+
 def run(fixture: str) -> list[dict]:
     from pyspark.sql import functions as F
 
@@ -161,15 +175,6 @@ def run(fixture: str) -> list[dict]:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     sm = StageMetrics(spark)
-
-    def plain_join(spark, sf_dir, hint="shuffle_hash"):
-        li = table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_suppkey"
-        )
-        s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-        return li.join(
-            s.hint(hint), F.col("l_suppkey") == F.col("s_suppkey")
-        ).select("l_orderkey", "l_linenumber", "s_name")
 
     def events_join(spark, sf_dir):
         ev = table(spark, sf_dir, "events").select("event_id", "user_id")
@@ -330,11 +335,111 @@ def run(fixture: str) -> list[dict]:
     return results
 
 
+def _conf_override(spark, conf: dict):
+    """Apply conf to BOTH the session and session._RUNTIME_CONF (tune()
+    re-applies the latter on every catalog.table call); returns a restore
+    closure."""
+    from sdu_hadoop_indexer_spark import session as session_mod
+
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    saved_rt = {
+        k: session_mod._RUNTIME_CONF[k]
+        for k in conf
+        if k in session_mod._RUNTIME_CONF
+    }
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+        if k in saved_rt:
+            session_mod._RUNTIME_CONF[k] = v
+
+    def restore():
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for k, v in saved_rt.items():
+            session_mod._RUNTIME_CONF[k] = v
+
+    return restore
+
+
+def sweep_hot_share(root: str, shares=(0.15, 0.35, 0.5)) -> None:
+    """Hot-share crossover sweep: WHERE does explicit salting start to
+    beat the engine's own behavior? The main study found that at 15% /
+    256 initial partitions AQE's coalescer isolates the hot key and plain
+    ≈ salted; this sweep raises the share until the isolated partition
+    itself dominates the stage (the salted join's 8-way split of the hot
+    key is then the only thing that levels it). One relational fixture
+    per share (K=10 replicas of sf0.1 → 6M lineitem rows), join quad at
+    256 initial partitions, 3 reps, checksum equality within each share."""
+    from gen_scale_fixture import generate_relational, skew_hot_keys
+
+    from sdu_hadoop_indexer_spark.operators.joins import join_skew_salted
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    sm = StageMetrics(spark)
+    P256 = {"spark.sql.shuffle.partitions": "256"}
+    variants = [
+        ("plain_shufflehash", plain_join, P256),
+        ("skew_salted", join_skew_salted, P256),
+        ("smj_aqe_skew_on", lambda s, d: plain_join(s, d, "merge"),
+         {**AQE_SKEW_CONF, **P256}),
+        ("smj_aqe_skew_off", lambda s, d: plain_join(s, d, "merge"),
+         {"spark.sql.adaptive.skewJoin.enabled": "false", **P256}),
+    ]
+    rows = []
+    for share in shares:
+        d = os.path.join(root, f"share{int(share * 100)}")
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+            generate_relational("/root/testdata/sf0.1", d, 10)
+            skew_hot_keys(d, share)
+        plain_join(spark, d).write.format("noop").mode("overwrite").save()
+        sums = {}
+        for name, fn, conf in variants:
+            restore = _conf_override(spark, conf)
+            try:
+                reps = []
+                for _ in range(3):
+                    before = sm.snapshot()
+                    t0 = time.monotonic()
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    reps.append(
+                        (round(time.monotonic() - t0, 2), sm.since(before))
+                    )
+                med, metrics = sorted(reps, key=lambda t: t[0])[1]
+                sums[name] = checksum(fn(spark, d))
+            finally:
+                restore()
+            rec = {"share": share, "op": name, "median_s": med,
+                   "walls_s": [w for w, _ in reps], **metrics}
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+        assert len({v for v in sums.values()}) == 1, (
+            f"variants disagree at share={share}: {sums}"
+        )
+    print("\n| hot share | run | median s | max task ms |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['share']:.0%} | `{r['op']}` | {r['median_s']} | "
+              f"{r['max_task_ms']} |")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="/tmp/skew_sf1.0")
     ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="hot-share crossover sweep (15/35/50%) instead of the matrix",
+    )
     args = ap.parse_args()
+    if args.sweep:
+        sweep_hot_share("/tmp/skew_sweep")
+        return 0
     if not os.path.exists(os.path.join(args.fixture, "lineitem.parquet")):
         from gen_scale_fixture import (
             HOT_SHARE,
