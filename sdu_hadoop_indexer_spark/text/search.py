@@ -411,6 +411,104 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared text of the four G² terms (k·ln(k·n/(r·c)), zero-guarded): the
+# Spark expression below mirrors this EXACT shape term for term so both
+# engines fold the same doubles in the same source order (the readability
+# multi-term ROUNDED discipline).
+_LLR_SQL = """
+    CASE WHEN bg.c > 0 THEN bg.c * ln(bg.c * t.n / (lm.ca * rm.cb)) ELSE 0 END
+    + CASE WHEN lm.ca - bg.c > 0 THEN (lm.ca - bg.c) *
+        ln((lm.ca - bg.c) * t.n / (lm.ca * (t.n - rm.cb))) ELSE 0 END
+    + CASE WHEN rm.cb - bg.c > 0 THEN (rm.cb - bg.c) *
+        ln((rm.cb - bg.c) * t.n / ((t.n - lm.ca) * rm.cb)) ELSE 0 END
+    + CASE WHEN t.n - lm.ca - rm.cb + bg.c > 0
+        THEN (t.n - lm.ca - rm.cb + bg.c) *
+        ln((t.n - lm.ca - rm.cb + bg.c) * t.n /
+           ((t.n - lm.ca) * (t.n - rm.cb))) ELSE 0 END
+"""
+
+
+@register(
+    "text_cooccur_llr",
+    oracle=f"""
+    WITH {TOK_SQL},
+    big AS (
+        SELECT term AS w1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ),
+    bg AS (
+        SELECT w1, w2, count(*) AS c FROM big
+        WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM bg),
+    lm AS (SELECT w1, sum(c) AS ca FROM bg GROUP BY w1),
+    rm AS (SELECT w2, sum(c) AS cb FROM bg GROUP BY w2)
+    SELECT w1, w2, c,
+           round(2 * ({_LLR_SQL}), 4) + 0.0 AS llr
+    FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
+    WHERE bg.c >= {MIN_COOCCUR}
+    ORDER BY round(2 * ({_LLR_SQL}), 4) + 0.0 DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def cooccur_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood-ratio collocations (Dunning 1993, "Accurate Methods
+    for the Statistics of Surprise and Coincidence" — public method): G²
+    over the 2×2 bigram contingency table (k11 = c(ab), row = bigrams
+    starting with a, col = bigrams ending with b). The robust companion to
+    `text_cooccur_pmi`: PMI over-ranks rare pairs (its score GROWS as
+    counts shrink at fixed association), while G² is χ²-distributed and
+    scales with evidence — the standard collocation ranker when the
+    corpus is big enough that rare-pair noise matters, i.e. at 100 TB.
+
+    Same plan shape as PMI (one bigram-count shuffle; vocab-sized
+    marginals broadcast under the shared gate; ROUNDED 4dp + 0.0 score;
+    top-50 TakeOrdered with (w1, w2) tie-break). Cross-engine float
+    discipline: all contingency products stay exact in double (counts ×
+    n < 2^53 far beyond fixture scale), each ln argument is built with
+    the identical expression shape on both engines, and the four G² terms
+    fold in the same source order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokenize(spark, sf_dir)
+        .withColumn("w2", F.lead("term").over(w))
+        .where(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2")
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    tot = bg.agg(F.sum("c").cast("double").alias("n"))
+    lm = bg.groupBy("w1").agg(F.sum("c").alias("ca"))
+    rm = bg.groupBy("w2").agg(F.sum("c").alias("cb"))
+    c, ca, cb, n = (F.col(x) for x in ("c", "ca", "cb", "n"))
+
+    def h(k, r, cc):
+        return F.when(k > 0, k * F.log(k * n / (r * cc))).otherwise(F.lit(0))
+
+    g2 = (
+        h(c, ca, cb)
+        + h(ca - c, ca, n - cb)
+        + h(cb - c, n - ca, cb)
+        + h(n - ca - cb + c, n - ca, n - cb)
+    )
+    llr = F.round(2 * g2, 4) + F.lit(0.0)
+    from ..llm.dedup import _arrs_fits_broadcast
+
+    if _arrs_fits_broadcast(spark, sf_dir):
+        lm, rm = F.broadcast(lm), F.broadcast(rm)
+    return (
+        bg.where(F.col("c") >= MIN_COOCCUR)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", llr.alias("llr"))
+        .orderBy(F.desc("llr"), "w1", "w2")
+        .limit(50)
+    )
+
+
 @register(
     "text_fuzzy_term_lookup",
     oracle=f"""

@@ -117,3 +117,63 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
     # fused ordering is by rrf desc with doc_id tiebreak
     scores = [(r.rrf_q8, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cooccur_llr_matches_independent_recompute(spark, tmp_path):
+    """G² recomputed in pure Python from the bigram contingency must match
+    the operator's rounded score, and a planted high-evidence collocation
+    must outrank an equally-PMI'd rare pair (the property LLR exists for)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.text.search import MIN_COOCCUR, cooccur_llr
+
+    # corpus: "alpha beta" x 40 (high-evidence collocation) vs "gamma
+    # delta" x 5 (rare pair with the SAME perfect association — PMI ranks
+    # it equal/higher, G² must rank it lower on evidence); filler words
+    # keep the marginals from being degenerate without touching either
+    # pair
+    docs = ["alpha beta " * 40, "gamma delta " * 5,
+            "filler other widget gadget " * 20]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = cooccur_llr(spark, str(tmp_path)).collect()
+    assert rows, "no collocations above MIN_COOCCUR"
+
+    # independent bigram contingency from the raw texts
+    from collections import Counter
+
+    bg = Counter()
+    for t in docs:
+        toks = [x for x in t.lower().split(" ") if x]
+        bg.update(zip(toks, toks[1:]))
+    n = sum(bg.values())
+    ca = Counter(); cb = Counter()
+    for (a, b), k in bg.items():
+        ca[a] += k
+        cb[b] += k
+
+    def g2(a, b):
+        k = bg[(a, b)]
+        terms = [
+            (k, ca[a], cb[b]),
+            (ca[a] - k, ca[a], n - cb[b]),
+            (cb[b] - k, n - ca[a], cb[b]),
+            (n - ca[a] - cb[b] + k, n - ca[a], n - cb[b]),
+        ]
+        s = sum(kk * math.log(kk * n / (r * c)) for kk, r, c in terms if kk > 0)
+        return round(2 * s, 4) + 0.0
+
+    for r in rows:
+        assert r.c >= MIN_COOCCUR
+        assert abs(r.llr - g2(r.w1, r.w2)) < 1e-9, (r.w1, r.w2)
+    scores = {(r.w1, r.w2): r.llr for r in rows}
+    assert scores[("alpha", "beta")] > scores[("gamma", "delta")] > 0
