@@ -355,7 +355,17 @@ def _ivf_assign_np(e: DataFrame, cents: list[list[int]]) -> DataFrame:
     exists to remove — one BLAS matmul per Arrow batch keeps it at
     memory-bandwidth speed (this is precisely the stage faiss hands to
     GPU at LAION scale). Centroids ride into the closure as a k×d int64
-    ndarray — the broadcast model artifact."""
+    ndarray — the broadcast model artifact.
+
+    Rounding caveat (ADVICE r12): quantization here is binary
+    floor(|v|·SCALE + 0.5) in float64, while the expression/oracle path
+    rounds the decimal repr (F.round / DuckDB round are decimal HALF_UP on
+    the double's shortest repr) — for a product within 1 ulp of an exact
+    half boundary the two rules can in principle disagree by one lattice
+    step, the same caveat documented for `drop_ids`' np.round. Measure-zero
+    on real-valued embeddings; `test_ivf_assign_np_matches_expression_path`
+    pins equality on the fixtures, and the DuckDB gate on the registered
+    auto-cells rows is the standing cross-engine check."""
     import numpy as np
 
     cmat = np.array(cents, dtype=np.int64)
@@ -471,28 +481,14 @@ def _train_ivf_centroids(
     return result
 
 
-def _ivf_train_parts() -> tuple[list[str], str]:
-    """Shared CTE prefix of the IVF oracles (`sim_topk_ivf`,
-    `sim_ivf_cell_stats`): quantize → KMEANS_ITERS unrolled Lloyd rounds
-    (integer sums; centroids re-rounded to the grid; empty cells carry
-    forward). Returns (CTE text parts, name of the final centroid CTE)."""
-    parts = [
-        f"""
-    WITH qv AS MATERIALIZED (
-        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
-               CAST(round(CAST(v AS DOUBLE) * {IVF_SCALE}) AS BIGINT) AS q
-        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
-                     unnest(embedding) AS v
-              FROM embeddings)
-    ),
-    c0 AS (SELECT vec_id AS cell, dim, q AS m FROM qv WHERE vec_id < {N_CELLS}),
-    -- the deterministic TRAIN_CAP-vector training sample (lowest salted
-    -- digests — the Spark trainer's exact twin): Lloyd rounds iterate qs,
-    -- final assignment/probing still scans qv
-    qs AS MATERIALIZED (
-        SELECT * FROM qv WHERE vec_id IN ({_train_sample_ids_sql()}))"""
-    ]
-    prev = "c0"
+def _lloyd_round_ctes(parts: list[str], prev: str) -> str:
+    """Append the KMEANS_ITERS unrolled Lloyd-round CTEs (assign → integer
+    mean re-rounded to the grid → empty cells carry forward) iterating the
+    `qs` training-sample CTE, starting from centroid CTE `prev`. Returns
+    the name of the final centroid CTE. Shared verbatim by the fixed-k
+    (`_ivf_train_parts`) and k ∝ N (`_ivf_train_parts_auto`) oracle
+    prefixes — the round text is identical; only seed/sample CTEs differ,
+    because k is DATA to these rounds, not structure."""
     for k in range(1, KMEANS_ITERS + 1):
         parts.append(
             f""",
@@ -519,6 +515,100 @@ def _ivf_train_parts() -> tuple[list[str], str]:
     )"""
         )
         prev = f"c{k}"
+    return prev
+
+
+def _ivf_train_parts() -> tuple[list[str], str]:
+    """Shared CTE prefix of the IVF oracles (`sim_topk_ivf`,
+    `sim_ivf_cell_stats`): quantize → KMEANS_ITERS unrolled Lloyd rounds
+    (integer sums; centroids re-rounded to the grid; empty cells carry
+    forward). Returns (CTE text parts, name of the final centroid CTE)."""
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(round(CAST(v AS DOUBLE) * {IVF_SCALE}) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cell, dim, q AS m FROM qv WHERE vec_id < {N_CELLS}),
+    -- the deterministic TRAIN_CAP-vector training sample (lowest salted
+    -- digests — the Spark trainer's exact twin): Lloyd rounds iterate qs,
+    -- final assignment/probing still scans qv
+    qs AS MATERIALIZED (
+        SELECT * FROM qv WHERE vec_id IN ({_train_sample_ids_sql()}))"""
+    ]
+    prev = _lloyd_round_ctes(parts, "c0")
+    return parts, prev
+
+
+def _ivf_train_parts_auto(target_cell: int) -> tuple[list[str], str]:
+    """DuckDB twin of `_train_ivf_centroids(n_cells=semantic_auto_cells(N))`
+    — the k ∝ N SemDeDup coarse quantizer (VERDICT r12 item 1). k is a
+    VALUE here, not CTE structure, so the same unrolled Lloyd rounds replay
+    at any corpus size:
+
+    * ``nk``: k = max(N_CELLS, ceil(N / target_cell)) via exact integer
+      arithmetic ((N + t − 1) // t — DuckDB `//` is integer division), the
+      `semantic_auto_cells` rule; cap = max(TRAIN_CAP, TRAIN_PER_CELL·k),
+      the trainer's k-proportional sample bound (the `n_cells <= N_CELLS`
+      branch collapses to the same value: max(512, 16·8) = 512).
+    * ``srk``: every vec_id ranked by the salted-digest sample order —
+      `_train_sample_ids_sql`'s ORDER BY as a row_number so both the
+      sample membership (rk ≤ cap) and the seed slice (rk ≤ k) read it.
+    * ``c0``: the trainer's init branch, replayed exactly — k > N_CELLS
+      seeds from the FIRST k sample vectors in digest order
+      (`cents = x[:k]`), k == N_CELLS keeps the fixed-k path's
+      `vec_id < N_CELLS` init (the trainer's `n_cells == N_CELLS` branch,
+      hit on corpora small enough that ceil(N/target) ≤ N_CELLS — e.g.
+      the 500-vector gate fixtures). The two arms are disjoint on the
+      scalar k, so the UNION ALL is a CASE, not a double-seed.
+
+    Returns (CTE text parts, final centroid CTE name) like
+    `_ivf_train_parts`; the Lloyd rounds are the shared
+    `_lloyd_round_ctes` text."""
+    parts = [
+        f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(round(CAST(v AS DOUBLE) * {IVF_SCALE}) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings)
+    ),
+    nk AS MATERIALIZED (
+        SELECT greatest({N_CELLS},
+                        (count(*) + {target_cell} - 1) // {target_cell}) AS k,
+               greatest({TRAIN_CAP},
+                        {TRAIN_PER_CELL} * greatest({N_CELLS},
+                            (count(*) + {target_cell} - 1) // {target_cell}))
+                   AS cap
+        FROM embeddings
+    ),
+    srk AS MATERIALIZED (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5('{TRAIN_SALT}' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS rk
+        FROM embeddings
+    ),
+    qs AS MATERIALIZED (
+        SELECT qv.vec_id, qv.dim, qv.q, s.rk
+        FROM qv JOIN srk s USING (vec_id)
+        WHERE s.rk <= (SELECT cap FROM nk)
+    ),
+    c0 AS (
+        SELECT CAST(rk - 1 AS BIGINT) AS cell, dim, q AS m
+        FROM qs
+        WHERE rk <= (SELECT k FROM nk) AND (SELECT k FROM nk) > {N_CELLS}
+        UNION ALL
+        SELECT vec_id AS cell, dim, q AS m
+        FROM qv
+        WHERE vec_id < {N_CELLS} AND (SELECT k FROM nk) = {N_CELLS}
+    )"""
+    ]
+    prev = _lloyd_round_ctes(parts, "c0")
     return parts, prev
 
 
