@@ -30,22 +30,19 @@ from sdu_hadoop_indexer_spark import registry  # noqa: E402
 # inert (kept for history, pruned opportunistically). Update this dict in
 # the same commit that changes an operator's join/aggregate shape.
 CHANGED_OPS: dict[str, int] = {
-    # r10 commit 5426d80: seven per-doc broadcast hints moved behind the
-    # shared size gate — these ops' join shapes changed.
-    "text_tf_idf": 10,
-    "text_bm25": 10,
-    "text_cooccur_pmi": 10,
-    "text_keyphrase_rake": 10,
-    "llm_unigram_logprob": 10,
-    "llm_tokenizer_fertility": 10,
-    # r11: loop-invariant relations routed through stage_round (reliable
-    # plumbing; default plan identical, but re-verify the default too).
-    "text_pagerank_keywords": 11,
+    # (r13 housekeeping, VERDICT r12 item 4: the r10/r11 entries —
+    # text_tf_idf, text_bm25, text_cooccur_pmi, text_keyphrase_rake,
+    # llm_unigram_logprob, llm_tokenizer_fertility at 10,
+    # text_pagerank_keywords at 11 — were pruned after their latest driver
+    # samples (r11) passed the recorded change rounds; the git history of
+    # this dict is the authoritative change ledger.)
     # r12: bigram_ppl's persisted C2 routed through memoized_persist
     # (ADVICE r11 medium) — covers the r11 two-stage exact-row broadcast
     # gate too (VERDICT r11 wrong-item 2: the r11 change was recorded a
     # round late; llm_ppl_buckets composes the same relation and its
-    # latest driver row predates both changes).
+    # latest driver row predates both changes). Both sampled green in the
+    # r12 window → inert; kept one round for the r13 gate to re-confirm,
+    # prune at r14.
     "llm_bigram_ppl": 12,
     "llm_ppl_buckets": 12,
 }

@@ -126,6 +126,14 @@ EXTENDED = [
     # round-12 addition: the skew-hardened index form (BASELINE r12 skew
     # study) — tracked from birth; gets a frozen band at the next freeze.
     "text_index_sharded",
+    # round-13 additions: the scale-safe k ∝ N SemDeDup registered point
+    # (runs right after the fixed-k row above, so the pair of numbers IS
+    # the fixed-vs-auto contrast at the protocol SF), and one tracked row
+    # for the bigram-count family (text_cooccur_llr shares the PMI bigram
+    # shuffle; neither had a wall-time anywhere before — VERDICT r12
+    # wrong-item 2).
+    "dedup_semantic_ivf_auto",
+    "text_cooccur_llr",
 ]
 
 
@@ -190,6 +198,13 @@ EXTENDED_BANDS: dict[str, float] = {
     # transition (see WARM_IN note); with one untimed warm-in rep the
     # idle samples read 5.9/5.1/4.8 (fully-warm floor ~4 s) and the
     # within-run spread drops from 7.5 s to ~1 s.
+    # PROTOCOL BREAK (ADVICE r12): medians before r12 include the
+    # cold-code JIT rep this protocol now discards — do NOT compare this
+    # row's numbers across the r12 boundary without that caveat. First
+    # dedicated post-change idle run (r13 fresh-boot open, canary
+    # 36.1 ms, after ~0 GB fixture churn): 3.379 s deflated ratio 0.66 —
+    # the r12 close's elevated draws were the predicted page-cache state,
+    # band holds.
     "dedup_containment": 5.1,
     # 1.0 not the r11 freeze's 0.682 (adjudicated r12): the row warned
     # twice in four idle runs (1.156, 1.267) and passed twice
@@ -223,6 +238,12 @@ EXTENDED_BANDS: dict[str, float] = {
     # r12 birth freeze (idle, canary ~36 ms): median of 5 warm reps at the
     # sf0.1 protocol point, measured standalone at registration.
     "text_index_sharded": 0.826,
+    # r13 birth freeze (idle, canary 37.6-38.2 ms): median of 5 warm reps
+    # standalone at registration. The auto row's first rep pays centroid
+    # training for k=32 (~2.6 s, cached per session after); the median
+    # rests on the cached-trainer reps, same as the other IVF-family rows.
+    "dedup_semantic_ivf_auto": 1.095,
+    "text_cooccur_llr": 1.271,
 }
 EXT_BAND_FACTOR = 1.5
 

@@ -190,8 +190,12 @@ def index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     have). Same information content as the nested index: the union of a
     term's shards IS its postings list (pinned by pytest).
 
-    EXACT oracle: the same GROUP BY with the shard key; doc_id % N on
-    int64 is engine-identical."""
+    EXACT oracle: the same GROUP BY with the shard key. The Spark side
+    shards with F.pmod (non-negative by construction — the right key for
+    bucketing), so the oracle uses the pmod-style ((doc_id % N) + N) % N
+    rather than DuckDB's sign-preserving bare `%` (ADVICE r12: the two
+    diverge on negative ids; fixture ids are non-negative, but the parity
+    contract should not depend on that invariant)."""
     flat = index_flat(spark, sf_dir)
     return (
         flat.withColumn(
@@ -215,11 +219,16 @@ register(
         SELECT term, doc_id, list(pos ORDER BY pos) AS positions
         FROM tok GROUP BY term, doc_id
     )
-    SELECT term, CAST(doc_id % {N_POSTING_SHARDS} AS INTEGER) AS shard,
+    SELECT term,
+           CAST(((doc_id % {N_POSTING_SHARDS}) + {N_POSTING_SHARDS})
+                % {N_POSTING_SHARDS} AS INTEGER) AS shard,
            to_json(list(struct_pack(doc_id := doc_id, positions := positions)
                 ORDER BY doc_id))::VARCHAR AS postings,
            count(DISTINCT doc_id) AS df_shard
-    FROM flat GROUP BY term, CAST(doc_id % {N_POSTING_SHARDS} AS INTEGER)
+    FROM flat
+    GROUP BY term,
+             CAST(((doc_id % {N_POSTING_SHARDS}) + {N_POSTING_SHARDS})
+                  % {N_POSTING_SHARDS} AS INTEGER)
     """,
 )(lambda spark, sf_dir: jsonify_complex(index_sharded(spark, sf_dir)))
 

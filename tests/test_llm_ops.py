@@ -1258,6 +1258,60 @@ def test_semantic_ivf_auto_cells_occupancy_and_soundness(spark, sf_dir):
     assert dropped <= exact_vb  # precision 1 by construction
 
 
+def test_semantic_ivf_auto_registered_query_and_branches(spark, sf_dir, tmp_path):
+    """The r13 gate-verified auto rows (VERDICT r12 item 1): (a) on a
+    corpus small enough that ⌈N/target⌉ ≤ N_CELLS the registered
+    `dedup_semantic_ivf_auto` must EQUAL the fixed-k row verdict-for-
+    verdict (the trainer's collapsed branch — also what makes the two
+    oracles literally agree at the gate SF); (b) on a corpus past the
+    collapse point the auto path must actually spread beyond N_CELLS
+    cells while staying sound (every drop is a true τ-dup); (c) both new
+    names carry oracles in the registry."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.llm.similarity import N_CELLS
+    from sdu_hadoop_indexer_spark.registry import ORACLES
+
+    assert "dedup_semantic_ivf_auto" in ORACLES
+    assert "dedup_semantic_ivf_auto_eval" in ORACLES
+
+    fixed = {
+        (r.vec_id, r.cell, r.dropped)
+        for r in dedup.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    auto = {
+        (r.vec_id, r.cell, r.dropped)
+        for r in dedup.dedup_semantic_ivf_auto(spark, sf_dir).collect()
+    }
+    assert auto == fixed  # 500-vector fixture → k collapses to N_CELLS
+
+    # past the collapse point: 1280 vectors → k = 20 > N_CELLS
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((1180, 64))
+    dups = base[:100] + 0.05 * rng.standard_normal((100, 64))
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+    out = dedup.dedup_semantic_ivf_auto(spark, d).collect()
+    assert len(out) == len(vecs)
+    assert len({r.cell for r in out}) > N_CELLS
+    exact_vb = {r.vb for r in dedup.dedup_embedding_cosine(spark, d).collect()}
+    assert {r.vec_id for r in out if r.dropped} <= exact_vb
+    row = dedup.dedup_semantic_ivf_auto_eval(spark, d).collect()[0]
+    assert row.n_exact > 0 and 0.0 <= row.cocell_recall <= 1.0
+
+
 def test_semantic_ivf_high_cocell_recall_on_clustered_corpus(spark, tmp_path):
     """On a genuinely clustered corpus (tight planted dup pairs among
     random vectors) the cluster blocking must see most of the exact dup
