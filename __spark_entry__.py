@@ -45,6 +45,11 @@ CHANGED_OPS: dict[str, int] = {
     # prune at r14.
     "llm_bigram_ppl": 12,
     "llm_ppl_buckets": 12,
+    # r13: the SemDeDup verify stage factored into _semantic_drop_verdict
+    # (pure code motion, plan identical — the r11 stage_round precedent:
+    # record anyway so the default row gets a post-change driver signal;
+    # mirror re-verified 4/4 at sf0.01 on the refactored path).
+    "dedup_semantic_ivf": 13,
 }
 
 

@@ -1112,17 +1112,12 @@ def _semantic_ivf_acell(prev: str) -> str:
     )"""
 
 
-def _semantic_ivf_drop_tail() -> str:
-    """Shared oracle tail after `acell`: per-cell candidate pairs → rounded
-    cosine → min-id survivorship verdict per vector. Identical for the
-    fixed-k and auto-cells oracles — only the centroid-training prefix
-    (and therefore the cell geometry `acell` reads) differs."""
+def _semantic_ivf_verdict_tail() -> str:
+    """Oracle tail after a `cpair` candidate CTE: rounded cosine per
+    candidate → min-id survivorship verdict per vector. Shared by every
+    SemDeDup oracle (fixed-k / auto / multi-probe) — the variants differ
+    only in how `cpair` is generated."""
     return f""",
-    cpair AS (
-        SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM acell a JOIN acell b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
-    ),
     cos AS (
         SELECT va, vb,
                round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
@@ -1144,6 +1139,22 @@ def _semantic_ivf_drop_tail() -> str:
            (d.vec_id IS NOT NULL) AS dropped
     FROM acell a LEFT JOIN dropped d USING (vec_id)
     """
+
+
+def _semantic_ivf_drop_tail() -> str:
+    """Shared oracle tail after `acell`: per-cell candidate pairs → the
+    verdict tail. Identical for the fixed-k and auto-cells oracles — only
+    the centroid-training prefix (and therefore the cell geometry `acell`
+    reads) differs; the multi-probe oracle swaps in its own `cpair`."""
+    return (
+        """,
+    cpair AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM acell a JOIN acell b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )"""
+        + _semantic_ivf_verdict_tail()
+    )
 
 
 def _semantic_ivf_oracle() -> str:
@@ -1242,6 +1253,19 @@ def dedup_semantic_ivf(
     cand = a.join(b, "cell").where(F.col("va") < F.col("vb")).select(
         "va", "vb"
     )
+    return _semantic_drop_verdict(spark, sf_dir, asg, cand)
+
+
+def _semantic_drop_verdict(
+    spark: SparkSession, sf_dir: str, asg: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shared verify + verdict stage of the SemDeDup family: given the
+    per-vector home-cell assignment ``asg`` (vec_id, cell) and a candidate
+    pair relation ``cand`` (va < vb), score each candidate's exact rounded
+    cosine and emit the (vec_id, cell, dropped) keep-list. Factored out of
+    `dedup_semantic_ivf` (r13) so the multi-probe variant runs the
+    IDENTICAL verify plan on a wider candidate set."""
+    e = table(spark, sf_dir, "embeddings")
     ea = e.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
@@ -1382,6 +1406,136 @@ def dedup_semantic_ivf_auto_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit.alias("n_cocell"),
             ratio(hit, F.count("*")).alias("cocell_recall"),
         )
+    )
+
+
+def _semantic_probe_prefix() -> str:
+    """Shared oracle prefix of the multi-probe rows: auto-cells training →
+    `acell` (home assignment) + `aprobe` (top-N_PROBE cells per vector,
+    the `sim_topk_ivf` probe ranking applied to every vector) + `cpair`
+    (symmetric probe-reach candidates)."""
+    from .similarity import N_PROBE, _ivf_train_parts_auto
+
+    parts, prev = _ivf_train_parts_auto(SEMANTIC_TARGET_CELL)
+    return (
+        "".join(parts)
+        + f""",
+    {_semantic_ivf_acell(prev)},
+    aprobe AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cpair AS (
+        SELECT DISTINCT least(p.vec_id, h.vec_id) AS va,
+               greatest(p.vec_id, h.vec_id) AS vb
+        FROM aprobe p JOIN acell h USING (cell)
+        WHERE p.vec_id <> h.vec_id
+    )"""
+    )
+
+
+def _semantic_ivf_probe_oracle() -> str:
+    return _semantic_probe_prefix() + _semantic_ivf_verdict_tail()
+
+
+@register("dedup_semantic_ivf_probe", oracle=_semantic_ivf_probe_oracle())
+def dedup_semantic_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup on the auto-cells geometry — the standard IVF
+    recall-recovery knob for the co-cell recall that k ∝ N blocking
+    sacrifices (`dedup_semantic_ivf_auto_eval`'s number): a candidate
+    pair exists when EITHER vector's home cell is among the other's
+    N_PROBE nearest cells (probes include the home cell, so this strictly
+    contains the auto row's co-cell pairs — more dup mass seen, verdicts
+    still precision-1 because every candidate is cosine-verified).
+    faiss's nprobe applied to dedup pair generation instead of search.
+
+    Scale shape: candidate volume is ≤ N_PROBE × the co-cell volume —
+    still linear at constant expected occupancy (P·N·E|cell|); the probe
+    ranking is the same one BLAS matmul per Arrow batch (`_ivf_probe_np`,
+    stable-argsort top-P = the oracle's ORDER BY d2, cell rank ≤ P), and
+    the verify stage is the family's shared Arrow einsum plan
+    (`_semantic_drop_verdict`). Output contract unchanged:
+    (vec_id, home cell, dropped).
+
+    EXACT oracle: auto-cells training CTEs → acell + aprobe (rank ≤
+    N_PROBE) → symmetric least/greatest candidate set → shared verdict
+    tail."""
+    from .similarity import N_PROBE, _ivf_probe_np, _train_ivf_centroids
+
+    k = semantic_auto_cells(_table_rows(sf_dir, "embeddings"))
+    cents = _train_ivf_centroids(spark, sf_dir, n_cells=k)
+    e = table(spark, sf_dir, "embeddings")
+    probes = _ivf_probe_np(e, cents, N_PROBE)
+    asg = probes.where(F.col("rk") == 1).select("vec_id", "cell")
+    p = probes.select(F.col("vec_id").alias("pa"), "cell")
+    h = asg.select(F.col("vec_id").alias("hb"), "cell")
+    cand = (
+        p.join(h, "cell")
+        .where(F.col("pa") != F.col("hb"))
+        .select(
+            F.least("pa", "hb").alias("va"),
+            F.greatest("pa", "hb").alias("vb"),
+        )
+        .distinct()
+    )
+    return _semantic_drop_verdict(spark, sf_dir, asg, cand)
+
+
+def _semantic_ivf_probe_eval_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    {_semantic_probe_prefix()}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(c.va) AS BIGINT) AS n_hit,
+           {sql_ratio("count(c.va)", "count(*)")} AS pair_recall
+    FROM ({ORACLES["dedup_embedding_cosine"]}) e
+    LEFT JOIN cpair c ON c.va = e.va AND c.vb = e.vb
+    """
+
+
+@register(
+    "dedup_semantic_ivf_probe_eval", oracle=_semantic_ivf_probe_eval_oracle()
+)
+def dedup_semantic_ivf_probe_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Acceptance gate for the multi-probe candidate generator: the share
+    of exact τ-dup pairs REACHABLE by probe candidates. Read next to
+    `dedup_semantic_ivf_auto_eval`'s co-cell number — the delta is
+    exactly what the extra N_PROBE−1 probes buy, the measured answer to
+    "is nprobe worth its candidate-volume multiplier on this corpus"."""
+    from .similarity import N_PROBE, _ivf_probe_np, _train_ivf_centroids
+
+    k = semantic_auto_cells(_table_rows(sf_dir, "embeddings"))
+    cents = _train_ivf_centroids(spark, sf_dir, n_cells=k)
+    e = table(spark, sf_dir, "embeddings")
+    probes = _ivf_probe_np(e, cents, N_PROBE)
+    asg = probes.where(F.col("rk") == 1).select("vec_id", "cell")
+    p = probes.select(F.col("vec_id").alias("pa"), "cell")
+    h = asg.select(F.col("vec_id").alias("hb"), "cell")
+    cand = (
+        p.join(h, "cell")
+        .where(F.col("pa") != F.col("hb"))
+        .select(
+            F.least("pa", "hb").alias("va"),
+            F.greatest("pa", "hb").alias("vb"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exact = dedup_embedding_cosine(spark, sf_dir).select("va", "vb")
+    # both relations are true-dup-/candidate-sized; join strategy left to
+    # AQE (the dedup_embedding_ann_eval precedent)
+    return exact.join(cand, ["va", "vb"], "left").agg(
+        F.count("*").alias("n_exact"),
+        F.count("hit").alias("n_hit"),
+        ratio(F.count("hit"), F.count("*")).alias("pair_recall"),
     )
 
 

@@ -393,6 +393,45 @@ def _ivf_assign_np(e: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
+def _ivf_probe_np(e: DataFrame, cents: list[list[int]], n_probe: int) -> DataFrame:
+    """(vec_id, cell, rk) for each vector's ``n_probe`` nearest centroids —
+    `_ivf_assign_np`'s BLAS recipe extended from argmin to a rank list.
+    Tie rule matches the oracle's ``ORDER BY d2, cell`` exactly: a STABLE
+    argsort over the int64 d2 row ranks equal distances by cell index
+    (first-min generalized to first-k). rk is 1-based; rk = 1 is the home
+    cell, identical to `_ivf_assign_np`'s verdict. Same ulp rounding
+    caveat as `_ivf_assign_np` (documented there)."""
+    import numpy as np
+
+    cmat = np.array(cents, dtype=np.int64)
+    cc = (cmat * cmat).sum(axis=1)
+    p = min(n_probe, len(cents))
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64) * IVF_SCALE
+            q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            d2 = (q * q).sum(axis=1)[:, None] + cc[None, :] - 2 * (q @ cmat.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    "cell": order.astype(np.int32).ravel(),
+                    "rk": np.tile(np.arange(1, p + 1, dtype=np.int32), n),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        probe, "vec_id bigint, cell int, rk int"
+    )
+
+
 _IVF_CENT_CACHE: dict[tuple[str, str, int], list[list[int]]] = {}
 
 # Training-sample rows per centroid when n_cells exceeds the default: the

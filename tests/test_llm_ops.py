@@ -1312,6 +1312,36 @@ def test_semantic_ivf_auto_registered_query_and_branches(spark, sf_dir, tmp_path
     assert row.n_exact > 0 and 0.0 <= row.cocell_recall <= 1.0
 
 
+def test_semantic_ivf_probe_dominates_auto_and_stays_precise(spark, sf_dir):
+    """Multi-probe SemDeDup (r13): probes include the home cell, so the
+    probe candidate set strictly CONTAINS the auto row's co-cell set —
+    (a) every auto-dropped vector is probe-dropped; (b) probe drops stay
+    precision-1 (every drop is a true τ-dup); (c) the probe recall gate
+    reads ≥ the co-cell gate (the knob only adds reach); (d) home-cell
+    assignment is identical between the two rows."""
+    auto = {
+        r.vec_id: (r.cell, r.dropped)
+        for r in dedup.dedup_semantic_ivf_auto(spark, sf_dir).collect()
+    }
+    probe = {
+        r.vec_id: (r.cell, r.dropped)
+        for r in dedup.dedup_semantic_ivf_probe(spark, sf_dir).collect()
+    }
+    assert set(auto) == set(probe)
+    assert all(auto[v][0] == probe[v][0] for v in auto)  # same home cells
+    a_drop = {v for v, (_, d) in auto.items() if d}
+    p_drop = {v for v, (_, d) in probe.items() if d}
+    assert a_drop <= p_drop
+    exact_vb = {
+        r.vb for r in dedup.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert p_drop <= exact_vb
+    co = dedup.dedup_semantic_ivf_auto_eval(spark, sf_dir).collect()[0]
+    pr = dedup.dedup_semantic_ivf_probe_eval(spark, sf_dir).collect()[0]
+    assert pr.n_exact == co.n_exact
+    assert pr.pair_recall >= co.cocell_recall
+
+
 def test_semantic_ivf_high_cocell_recall_on_clustered_corpus(spark, tmp_path):
     """On a genuinely clustered corpus (tight planted dup pairs among
     random vectors) the cluster blocking must see most of the exact dup
