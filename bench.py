@@ -133,6 +133,14 @@ EXTENDED = [
     # shuffle; neither had a wall-time anywhere before — VERDICT r12
     # wrong-item 2).
     "dedup_semantic_ivf_auto",
+    # round-13 additions (late): the multi-probe recall-recovery pair on
+    # the auto geometry — probe runs right after the auto row (shared
+    # session-cached trainer, same as the bench's other IVF-family rows),
+    # its eval right after it, so the triple (fixed, auto, probe) plus the
+    # probe recall row is the whole SemDeDup cost/recall story in four
+    # adjacent numbers.
+    "dedup_semantic_ivf_probe",
+    "dedup_semantic_ivf_probe_eval",
     "text_cooccur_llr",
 ]
 
@@ -244,6 +252,14 @@ EXTENDED_BANDS: dict[str, float] = {
     # rests on the cached-trainer reps, same as the other IVF-family rows.
     "dedup_semantic_ivf_auto": 1.095,
     "text_cooccur_llr": 1.271,
+    # r13 birth freeze (idle, canary 35-37 ms): median of 5 warm reps
+    # standalone at registration, measured after one untimed auto-row rep
+    # (= the bench's own run order — the probe shares the session-cached
+    # auto trainer). First rep pays the probe-ranking pin warmup (~5.6 s /
+    # ~3.4 s); medians rest on the cached-trainer reps like the other
+    # IVF-family rows.
+    "dedup_semantic_ivf_probe": 1.203,
+    "dedup_semantic_ivf_probe_eval": 1.226,
 }
 EXT_BAND_FACTOR = 1.5
 

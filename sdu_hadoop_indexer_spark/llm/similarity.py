@@ -2794,3 +2794,137 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q(F.col("r_bm25")) + q(F.col("r_vec"))).alias("rrf_q8"),
     )
     return fused.orderBy(F.desc("rrf_q8"), "doc_id").limit(10)
+
+
+RANGE_TAU = 0.3  # cosine radius for range search (bounded non-empty at
+# every fixture SF: 20/18/66 matching pairs at sf0.001/0.01/0.1)
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH cos AS (
+        {_COS_SQL.format(pair_pred=f"a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}")}
+    )
+    SELECT va AS query_id, vb AS neighbor_id, cosine
+    FROM cos WHERE cosine >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (threshold) search: ALL neighbors with cosine >= RANGE_TAU of
+    each query — the other retrieval contract next to top-k (faiss
+    ``range_search``; the shape blocklist screening and near-dup lookup
+    actually need, where "how many are close" matters and k is unknowable
+    in advance).
+
+    Same execution skeleton as `sim_topk_search` (broadcast query set x
+    candidate scan, prenormed JVM-side cosine) but the window/rank stage
+    disappears entirely — the tau predicate is a plain vectorized filter,
+    so the operator is one whole-stage-codegen scan with NO shuffle at
+    all (top-k needs the per-query window exchange). At 100 TB the
+    brute scan is the correctness baseline; the deployed path composes
+    the same predicate over IVF-probed partitions
+    (`sink_ivf_partitioned_ann` is that layout).
+
+    Filtering happens on the ROUNDED cosine (the family's proven 4dp
+    cross-engine form) so the tau boundary cannot drift between engines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= RANGE_TAU)
+    )
+
+
+IVF_SINK_DIR = "/tmp/sdu_spark_sink/ivf_ann"
+
+
+@register("sink_ivf_partitioned_ann", oracle=_ivf_oracle())
+def sink_ivf_partitioned_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED ANN index: embeddings written to parquet PARTITIONED BY
+    their IVF cell, then probed with a partition-pruned read — the
+    `sink_term_bucketed_lookup` story for vectors, and the layout every
+    100 TB ANN deployment actually uses (faiss-on-object-store / LanceDB
+    style: the inverted lists ARE the directory layout). `sim_topk_ivf`
+    re-derives cell assignment per query; here assignment cost is paid
+    ONCE at write time, and a query's N_PROBE cells become a static
+    `cell IN (...)` predicate that prunes at the DIRECTORY level — the
+    scan's PartitionFilters line (pinned in tests/test_plans.py) proves
+    no byte outside the probed cells is read.
+
+    The probe-cell list is a bounded driver collect (<= N_QUERIES x
+    N_PROBE = 10 rows at ANY corpus size — the trainer-collect class);
+    per-query restriction then rides a broadcast join on `cell`. Result
+    contract and oracle are IDENTICAL to `sim_topk_ivf`, so the gate
+    certifies the full store -> prune -> scan round trip against the
+    same unrolled-Lloyd DuckDB twin."""
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    qv = _ivf_qvec("embedding")
+    out = os.environ.get("SPARK_GRAFT_IVF_SINK_DIR", IVF_SINK_DIR)
+    (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .select(
+            "vec_id", "embedding", _ivf_assign(qv, cents).alias("cell")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    q_dists = _ivf_dist2_arr(qv, cents)
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            F.posexplode(q_dists).alias("cell", "d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "qn", F.col("cell").cast("int").alias("cell"))
+    )
+    # bounded collect: the static pruning predicate (<= 10 cell values)
+    cells = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    stored = spark.read.parquet(out).where(F.col("cell").isin(cells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    scored = F.broadcast(probes).join(stored, "cell").select(
+        "query_id",
+        "neighbor_id",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -1645,3 +1645,46 @@ def test_clustering_coeff_consistent_with_global_triangles(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.clustering <= 1.0
         assert r.n_triangles * 2 <= r.degree * (r.degree - 1)
+
+
+def test_range_search_matches_numpy_bruteforce(spark, sf_dir):
+    """sim_range_search = the exact {cosine >= tau} pair set: recompute the
+    full query x candidate cosine matrix in numpy (float64, same rounding)
+    and require set equality — radius semantics leave no rank ambiguity to
+    hide behind, so the whole contract is testable in one shot."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qm, cm = ids < similarity.N_QUERIES, ids >= similarity.N_QUERIES
+    cos = np.round(x[qm] @ x[cm].T, 4)
+    expected = {
+        (int(ids[qm][i]), int(ids[cm][j]))
+        for i, j in zip(*np.where(cos >= similarity.RANGE_TAU))
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sim_range_search(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must make the range result non-empty"
+
+
+def test_ivf_partitioned_ann_equals_topk_ivf(spark, sf_dir):
+    """The stored partition-pruned path must return EXACTLY sim_topk_ivf's
+    rows — same probes, same candidates, same scoring; only the physical
+    route (write -> directory-pruned read) differs."""
+    want = {
+        tuple(r) for r in similarity.sim_topk_ivf(spark, sf_dir).collect()
+    }
+    got = {
+        tuple(r)
+        for r in similarity.sink_ivf_partitioned_ann(spark, sf_dir).collect()
+    }
+    assert got == want and got

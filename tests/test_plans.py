@@ -869,3 +869,27 @@ def test_vocab_relation_broadcast_gates_fall_back_to_shuffle(spark, sf_dir):
             assert df.count() == hinted_counts[op.__name__], op.__name__
     finally:
         spark.conf.set(key, old)
+
+
+def test_ivf_partitioned_ann_prunes_partitions(spark, sf_dir):
+    """The stored ANN index read must prune at the directory level: the
+    probe-cell predicate appears as PartitionFilters on the parquet scan
+    (cell is the Hive partition column), so only N_PROBE'd cells are read."""
+    from sdu_hadoop_indexer_spark.llm.similarity import sink_ivf_partitioned_ann
+
+    explained = _formatted(sink_ivf_partitioned_ann(spark, sf_dir))
+    pf_lines = [
+        line
+        for line in explained.splitlines()
+        if "PartitionFilters" in line and "cell" in line
+    ]
+    assert pf_lines, explained
+
+
+def test_range_search_is_shuffle_free(spark, sf_dir):
+    """Radius search must be ONE broadcast-driven scan: no hash-partitioned
+    exchange anywhere (top-k needs the per-query window shuffle; the tau
+    filter must not)."""
+    from sdu_hadoop_indexer_spark.llm.similarity import sim_range_search
+
+    assert "hashpartitioning" not in _plan(sim_range_search(spark, sf_dir))

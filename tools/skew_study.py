@@ -428,6 +428,85 @@ def sweep_hot_share(root: str, shares=(0.15, 0.35, 0.5)) -> None:
               f"{r['max_task_ms']} |")
 
 
+def p2048_point(fixture: str) -> None:
+    """Third operating point: 2048 shuffle partitions (VERDICT r12 item 6).
+
+    256 partitions was the r12 compromise; 2048 is the true 1000-executor
+    shuffle shape (2-4 reduce partitions per core is the production
+    guideline). On the 6M-row skew fixture the mean reduce partition drops
+    to ~3k rows while the hot supplier key still pins ~912k rows in ONE —
+    a ~300x skew ratio, the regime where per-task overhead (2048 task
+    launches over 32 cores = 64 waves) competes with straggler relief, so
+    the point answers BOTH 100 TB questions: does the mitigation still
+    level the straggler, and does the task-launch overhead at production
+    partition counts swamp local walls (it must not — 1000 executors
+    launch those 2048 tasks 64x wider). Join quad + the hot-reducer index
+    pair, 3 reps, checksum equality within the quad."""
+    from sdu_hadoop_indexer_spark.operators.joins import join_skew_salted
+    from sdu_hadoop_indexer_spark.text import indexer
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    sm = StageMetrics(spark)
+    P2048 = {"spark.sql.shuffle.partitions": "2048"}
+    SPLITS = {
+        "spark.sql.files.maxPartitionBytes": "512kb",
+        "spark.sql.files.openCostInBytes": "128kb",
+    }
+    variants = [
+        ("plain_shufflehash_p2048", plain_join, P2048),
+        ("skew_salted_p2048", join_skew_salted, P2048),
+        ("smj_aqe_skew_on_p2048", lambda s, d: plain_join(s, d, "merge"),
+         {**AQE_SKEW_CONF, **P2048}),
+        ("smj_aqe_skew_off_p2048", lambda s, d: plain_join(s, d, "merge"),
+         {"spark.sql.adaptive.skewJoin.enabled": "false", **P2048}),
+        # the partial-agg-immune hot reducer and its sharded mitigation at
+        # 2048 reduce partitions (equality not asserted across these two —
+        # different output contracts by design; each vs its own 256-point
+        # number is the comparison)
+        ("text_index_nested_p2048", indexer.index_nested,
+         {**SPLITS, **P2048}),
+        ("text_index_sharded_p2048", indexer.index_sharded,
+         {**SPLITS, **P2048}),
+    ]
+    plain_join(spark, fixture).write.format("noop").mode("overwrite").save()
+    sums = {}
+    rows = []
+    for name, fn, conf in variants:
+        restore = _conf_override(spark, conf)
+        try:
+            reps = []
+            for _ in range(3):
+                before = sm.snapshot()
+                t0 = time.monotonic()
+                fn(spark, fixture).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(
+                    (round(time.monotonic() - t0, 2), sm.since(before))
+                )
+            med, metrics = sorted(reps, key=lambda t: t[0])[1]
+            if name.startswith(("plain", "skew", "smj")):
+                sums[name] = checksum(fn(spark, fixture))
+        finally:
+            restore()
+        rec = {"op": name, "median_s": med,
+               "walls_s": [w for w, _ in reps], **metrics}
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+    assert len(set(sums.values())) == 1, (
+        f"join variants disagree at p=2048: {sums}"
+    )
+    print(json.dumps({"p2048_join_quad_equal": True}), flush=True)
+    print("\n| run (p=2048) | median s | reps s | max task ms | "
+          "tasks (max stage) |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        reps_s = "/".join(str(w) for w in r["walls_s"])
+        print(f"| `{r['op']}` | {r['median_s']} | {reps_s} | "
+              f"{r['max_task_ms']} | {r['max_stage_tasks']} |")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixture", default="/tmp/skew_sf1.0")
@@ -435,6 +514,11 @@ def main() -> int:
     ap.add_argument(
         "--sweep", action="store_true",
         help="hot-share crossover sweep (15/35/50%) instead of the matrix",
+    )
+    ap.add_argument(
+        "--p2048", action="store_true",
+        help="2048-shuffle-partition operating point (the 1000-executor "
+        "shuffle shape) over the existing skew fixture",
     )
     args = ap.parse_args()
     if args.sweep:
@@ -456,6 +540,9 @@ def main() -> int:
         generate_embeddings(args.docs * 2 // 5, args.fixture, 43)
         generate_relational("/root/testdata/sf0.1", args.fixture, 10)
         print(f"# hot keys: {skew_hot_keys(args.fixture)}", flush=True)
+    if args.p2048:
+        p2048_point(args.fixture)
+        return 0
     run(args.fixture)
     return 0
 
