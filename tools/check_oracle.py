@@ -109,6 +109,15 @@ def type_fingerprint_findings(name: str, con, sql: str, schema) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    # r13 sf3.0 finding: at DuckDB's default threads=32, the text-index
+    # family's list/JSON aggregates OOM on a 150k-doc corpus with >90 GB
+    # free — the per-thread radix-partitioned aggregate states over-reserve
+    # and the allocator throws at its accounting limit long before real
+    # memory runs out. threads=8 completes the same query in ~26 s.
+    # Thread count cannot change results (the compare is an
+    # order-insensitive multiset), so a capped default is safe for the
+    # gate and required for scale sweeps.
+    ap.add_argument("--duck-threads", type=int, default=8)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -134,11 +143,17 @@ def main() -> int:
     queries, oracles = all_queries(), all_oracles()
     names = args.names or sorted(queries)
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET threads={args.duck_threads}")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{args.sf}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     n_pass = n_fail = 0
     for name in names:
@@ -175,6 +190,15 @@ def main() -> int:
                 n_fail += 1
             continue
         t1 = time.perf_counter()
+        # r13 sf3.0 finding: DuckDB buffer reservations accumulate on a
+        # long-lived connection — after enough heavy queries (or ONE
+        # OutOfMemoryException, which never releases the failed query's
+        # reservation) every later query OOMs at tiny block sizes. 11 of
+        # the sf3.0 text sweep's 16 reds were this cascade, each green in
+        # isolation. A fresh connection per oracle (view re-registration
+        # is milliseconds) makes every row independent.
+        con.close()
+        con = fresh_con()
         try:
             drows = duck_rows(con, oracles[name])
         except Exception as e:
