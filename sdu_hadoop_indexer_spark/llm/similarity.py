@@ -651,10 +651,12 @@ def _ivf_train_parts_auto(target_cell: int) -> tuple[list[str], str]:
     return parts, prev
 
 
-def _ivf_oracle() -> str:
-    """DuckDB twin of the whole IVF pipeline: the shared trained-centroid
-    prefix → final assignment + probe ranking → cosine top-k over probed
-    candidates (the sim_topk_lsh scoring shape)."""
+def _ivf_cos_prefix() -> str:
+    """Shared prefix of the IVF retrieval oracles: trained centroids →
+    per-query probe ranking + per-candidate home cell → rounded cosine of
+    every probed (query, candidate) pair (CTE `cos`). `_ivf_oracle` ranks
+    it into top-k; `_range_ivf_oracle` filters it at RANGE_TAU — same
+    candidate generation, the two retrieval contracts."""
     parts, prev = _ivf_train_parts()
     parts = list(parts)
     parts.append(
@@ -697,7 +699,17 @@ def _ivf_oracle() -> str:
             FROM pairs
         )
         GROUP BY va, vb
-    ),
+    )"""
+    )
+    return "".join(parts)
+
+
+def _ivf_oracle() -> str:
+    """DuckDB twin of the whole IVF pipeline: the shared probed-pair cosine
+    prefix ranked into top-k (the sim_topk_lsh scoring shape)."""
+    return (
+        _ivf_cos_prefix()
+        + f""",
     ranked AS (
         SELECT va AS query_id, vb AS neighbor_id, cosine,
                row_number() OVER (PARTITION BY va
@@ -706,7 +718,6 @@ def _ivf_oracle() -> str:
     )
     SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {TOP_K}"""
     )
-    return "".join(parts)
 
 
 @register("sim_topk_ivf", oracle=_ivf_oracle())
@@ -2927,4 +2938,109 @@ def sink_ivf_partitioned_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def _range_ivf_oracle() -> str:
+    """The shared probed-pair cosine prefix filtered at RANGE_TAU — the
+    radius contract over the IVF-pruned candidate set."""
+    return (
+        _ivf_cos_prefix()
+        + f"""
+    SELECT va AS query_id, vb AS neighbor_id, cosine
+    FROM cos WHERE cosine >= {RANGE_TAU}"""
+    )
+
+
+@register("sim_range_search_ivf", oracle=_range_ivf_oracle())
+def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search over the IVF-probed candidate set — the SCALE path for
+    `sim_range_search` the way `sim_topk_ivf` is for `sim_topk_search`:
+    each query's tau-ball is scanned only inside its N_PROBE nearest cells,
+    so the per-query cost is the probed-list volume instead of the corpus.
+    At deployment scale the probed lists are partition-pruned file reads
+    (`sink_ivf_partitioned_ann` is that layout). Approximate BY DESIGN:
+    a tau-neighbor whose home cell isn't probed is missed — the recall
+    honestly measured by `sim_range_recall_eval` (the family's gate
+    discipline: every approximate path ships with its quality metric).
+
+    Same candidate generation as `sim_topk_ivf` (broadcast probe list,
+    home-cell equi-join, rounded 4dp cosine); only the contract tail
+    differs — a vectorized tau filter instead of the per-query window, so
+    like the brute radius scan it needs NO shuffle after the join."""
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    qv = _ivf_qvec("embedding")
+    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        _ivf_assign(qv, cents).alias("cell"),
+    )
+    q_dists = _ivf_dist2_arr(qv, cents)
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            F.posexplode(q_dists).alias("cell", "d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "qn", "cell")
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    return (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= RANGE_TAU)
+    )
+
+
+def _range_recall_oracle() -> str:
+    """Compose the exact and IVF-pruned radius oracles (both EXACT for
+    their own semantics) — the eval grades the SAME pair sets the
+    operators emit."""
+    from ..operators.parity import sql_ratio
+    from ..registry import ORACLES
+
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_ratio("count(a.neighbor_id)", "count(*)")} AS recall
+    FROM ({ORACLES["sim_range_search"]}) e
+    LEFT JOIN ({ORACLES["sim_range_search_ivf"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    """
+
+
+@register("sim_range_recall_eval", oracle=_range_recall_oracle())
+def sim_range_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the pruned radius search: share of the exact
+    tau-ball mass (`sim_range_search`) reachable inside the probed cells
+    (`sim_range_search_ivf`) — precision is 1 by construction (every
+    emitted pair is cosine-verified), so recall is the ONLY number the
+    approximation trades. Pure composition of the two registered
+    operators; both sides are tau-ball-sized, broadcast join."""
+    exact = sim_range_search(spark, sf_dir).select("query_id", "neighbor_id")
+    pruned = sim_range_search_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return exact.join(
+        F.broadcast(pruned), ["query_id", "neighbor_id"], "left"
+    ).agg(
+        F.count("*").alias("n_exact"),
+        F.count("hit").alias("n_hit"),
+        ratio(F.count("hit"), F.count("*")).alias("recall"),
     )

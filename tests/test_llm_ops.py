@@ -1688,3 +1688,23 @@ def test_ivf_partitioned_ann_equals_topk_ivf(spark, sf_dir):
         for r in similarity.sink_ivf_partitioned_ann(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_range_search_ivf_subset_with_exact_scores(spark, sf_dir):
+    """The pruned radius search must emit a SUBSET of the exact tau-ball
+    (precision 1 by construction) with IDENTICAL rounded cosines, and its
+    misses must be exactly the recall gate's n_exact - n_hit."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_range_search(spark, sf_dir).collect()
+    }
+    pruned = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_range_search_ivf(spark, sf_dir).collect()
+    }
+    assert set(pruned) <= set(exact)
+    assert all(pruned[k] == exact[k] for k in pruned)
+    ev = similarity.sim_range_recall_eval(spark, sf_dir).collect()[0]
+    assert ev.n_exact == len(exact)
+    assert ev.n_hit == len(pruned)
+    assert pruned, "probe cells must reach a non-empty tau-ball share"
