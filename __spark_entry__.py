@@ -30,26 +30,16 @@ from sdu_hadoop_indexer_spark import registry  # noqa: E402
 # inert (kept for history, pruned opportunistically). Update this dict in
 # the same commit that changes an operator's join/aggregate shape.
 CHANGED_OPS: dict[str, int] = {
-    # (r13 housekeeping, VERDICT r12 item 4: the r10/r11 entries —
-    # text_tf_idf, text_bm25, text_cooccur_pmi, text_keyphrase_rake,
-    # llm_unigram_logprob, llm_tokenizer_fertility at 10,
-    # text_pagerank_keywords at 11 — were pruned after their latest driver
-    # samples (r11) passed the recorded change rounds; the git history of
-    # this dict is the authoritative change ledger.)
-    # r12: bigram_ppl's persisted C2 routed through memoized_persist
-    # (ADVICE r11 medium) — covers the r11 two-stage exact-row broadcast
-    # gate too (VERDICT r11 wrong-item 2: the r11 change was recorded a
-    # round late; llm_ppl_buckets composes the same relation and its
-    # latest driver row predates both changes). Both sampled green in the
-    # r12 window → inert; kept one round for the r13 gate to re-confirm,
-    # prune at r14.
-    "llm_bigram_ppl": 12,
-    "llm_ppl_buckets": 12,
-    # r13: the SemDeDup verify stage factored into _semantic_drop_verdict
-    # (pure code motion, plan identical — the r11 stage_round precedent:
-    # record anyway so the default row gets a post-change driver signal;
-    # mirror re-verified 4/4 at sf0.01 on the refactored path).
-    "dedup_semantic_ivf": 13,
+    # (r14 housekeeping, VERDICT r13 wrong-item 1 / next-round item 3: the
+    # inert r12/r13 entries — llm_bigram_ppl, llm_ppl_buckets at 12,
+    # dedup_semantic_ivf at 13 — were pruned after their latest driver
+    # samples (r12/r13 respectively) passed the recorded change rounds;
+    # the git history of this dict is the authoritative change ledger.)
+    # r14: sink_ivf_partitioned_ann's output dir gained the per-app-id
+    # suffix (ADVICE r13 low / VERDICT r13 item 6) — physical path change
+    # only, plan identical, but the stored-layout round trip is the op's
+    # whole contract, so record it for a post-change driver signal.
+    "sink_ivf_partitioned_ann": 14,
 }
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.parity import ratio
 from ..registry import register
+from ..session import app_sink_dir
 from ..xhash import A as XH_A
 from ..xhash import B as XH_B
 from ..xhash import XH_P, extended_planes
@@ -2864,7 +2865,81 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_SINK_DIR = "/tmp/sdu_spark_sink/ivf_ann"
+IVF_SINK_NAME = "ivf_ann"  # under the per-app sink root (session.app_sink_dir)
+
+
+def _ivf_store_write(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]], out: str
+) -> None:
+    """Write the candidate corpus PARTITIONED BY its IVF home cell — the
+    stored inverted-list layout shared by `sink_ivf_partitioned_ann`,
+    `sink_ivf_range_lookup` and (incrementally) `sink_ivf_ann_append`.
+    Assignment cost is paid once here; every reader prunes directories."""
+    e = table(spark, sf_dir, "embeddings")
+    (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+
+
+def _ivf_probe_frame(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]]
+) -> DataFrame:
+    """(query_id, qe, qn, cell): each query replicated onto its N_PROBE
+    nearest cells — the broadcast side of every stored-layout read."""
+    e = table(spark, sf_dir, "embeddings")
+    q_dists = _ivf_dist2_arr(_ivf_qvec("embedding"), cents)
+    return (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            F.posexplode(q_dists).alias("cell", "d2"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("rk") <= N_PROBE)
+        .select("query_id", "qe", "qn", F.col("cell").cast("int").alias("cell"))
+    )
+
+
+def _ivf_stored_scores(
+    spark: SparkSession, sf_dir: str, cents: list[list[int]], out: str
+) -> DataFrame:
+    """Probed cosine scores over the STORED layout: bounded probe-cell
+    collect (<= N_QUERIES x N_PROBE values at any corpus size) becomes a
+    static `cell IN (...)` predicate pruned at the directory level, then
+    per-query restriction rides a broadcast join on `cell`. Shared tail of
+    the stored top-k and stored radius contracts."""
+    probes = _ivf_probe_frame(spark, sf_dir, cents)
+    # bounded collect: the static pruning predicate (<= 10 cell values)
+    cells = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    stored = spark.read.parquet(out).where(F.col("cell").isin(cells)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    return F.broadcast(probes).join(stored, "cell").select(
+        "query_id",
+        "neighbor_id",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+    )
 
 
 @register("sink_ivf_partitioned_ann", oracle=_ivf_oracle())
@@ -2886,53 +2961,10 @@ def sink_ivf_partitioned_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and oracle are IDENTICAL to `sim_topk_ivf`, so the gate
     certifies the full store -> prune -> scan round trip against the
     same unrolled-Lloyd DuckDB twin."""
+    out = app_sink_dir(spark, IVF_SINK_NAME, "SPARK_GRAFT_IVF_SINK_DIR")
     cents = _train_ivf_centroids(spark, sf_dir)
-    e = table(spark, sf_dir, "embeddings")
-    qv = _ivf_qvec("embedding")
-    out = os.environ.get("SPARK_GRAFT_IVF_SINK_DIR", IVF_SINK_DIR)
-    (
-        e.where(F.col("vec_id") >= N_QUERIES)
-        .select(
-            "vec_id", "embedding", _ivf_assign(qv, cents).alias("cell")
-        )
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(out)
-    )
-    q_dists = _ivf_dist2_arr(qv, cents)
-    probes = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            _norm("embedding").alias("qn"),
-            F.posexplode(q_dists).alias("cell", "d2"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("d2", "cell")
-            ),
-        )
-        .where(F.col("rk") <= N_PROBE)
-        .select("query_id", "qe", "qn", F.col("cell").cast("int").alias("cell"))
-    )
-    # bounded collect: the static pruning predicate (<= 10 cell values)
-    cells = sorted(
-        {r.cell for r in probes.select("cell").distinct().collect()}
-    )
-    stored = spark.read.parquet(out).where(F.col("cell").isin(cells)).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        _norm("embedding").alias("cn"),
-        F.col("cell").cast("int").alias("cell"),
-    )
-    cos = _cosine_prenormed(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
-    scored = F.broadcast(probes).join(stored, "cell").select(
-        "query_id",
-        "neighbor_id",
-        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
-    )
+    _ivf_store_write(spark, sf_dir, cents, out)
+    scored = _ivf_stored_scores(spark, sf_dir, cents, out)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -3044,3 +3076,122 @@ def sim_range_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hit"),
         ratio(F.count("hit"), F.count("*")).alias("recall"),
     )
+
+
+@register("sink_ivf_range_lookup", oracle=_range_ivf_oracle())
+def sink_ivf_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search over the STORED partition-pruned ANN layout — the
+    blocklist-screening deployment shape end-to-end (VERDICT r13 item 4):
+    `sink_ivf_partitioned_ann`'s store -> directory-prune -> scan round
+    trip composed with `sim_range_search_ivf`'s tau predicate. Assignment
+    is paid once at write; the probe-cell list is the same bounded
+    (<= N_QUERIES x N_PROBE) collect that becomes a static `cell IN (...)`
+    PartitionFilters predicate (pinned in tests/test_plans.py); and the
+    contract tail is a plain vectorized filter, so past the pruned read
+    there is NO shuffle at all (top-k needs the per-query window).
+
+    Result contract and oracle are IDENTICAL to `sim_range_search_ivf`,
+    so the gate certifies that the physical route through the stored
+    layout changes nothing about the tau-ball semantics."""
+    out = app_sink_dir(spark, IVF_SINK_NAME, "SPARK_GRAFT_IVF_SINK_DIR")
+    cents = _train_ivf_centroids(spark, sf_dir)
+    _ivf_store_write(spark, sf_dir, cents, out)
+    return _ivf_stored_scores(spark, sf_dir, cents, out).where(
+        F.col("cosine") >= RANGE_TAU
+    )
+
+
+APPEND_BATCH = 6  # tail vec_ids appended incrementally (see op docstring)
+
+
+def _ivf_append_oracle() -> str:
+    """DuckDB twin of the post-append stored relation: the frozen-centroid
+    assignment of EVERY candidate (base ∪ batch) — base and batch rows are
+    assigned by the same trained quantizer, so the union read-back equals
+    the full assignment relation (`cand`'s rk=1 rule over all vec_id >=
+    N_QUERIES, cell surfaced)."""
+    parts, prev = _ivf_train_parts()
+    return "".join(parts) + f""",
+    asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY qv.vec_id
+                       ORDER BY sum((qv.q - c.m) * (qv.q - c.m)), c.cell) AS rk
+            FROM qv JOIN {prev} c USING (dim)
+            WHERE qv.vec_id >= {N_QUERIES}
+            GROUP BY qv.vec_id, c.cell
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg"""
+
+
+def sink_ivf_ann_append_steps(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    on_base_written=None,
+) -> DataFrame:
+    """Stepwise body of `sink_ivf_ann_append` with a post-base-write hook so
+    tests can snapshot the untouched-cell files before the append runs."""
+    cents = _train_ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    assigned = e.where(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id",
+        "embedding",
+        _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell"),
+    )
+    # deterministic "new arrivals" batch: the APPEND_BATCH highest vec_ids
+    # (<= APPEND_BATCH cells touched, so untouched cells exist at any SF).
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    is_batch = F.col("vec_id") > F.lit(int(max_id) - APPEND_BATCH)
+    assigned.where(~is_batch).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(out)
+    if on_base_written is not None:
+        on_base_written(out)
+    batch = assigned.where(is_batch)
+    # bounded collect: the touched-cell list (<= APPEND_BATCH values)
+    touched = sorted(
+        {r.cell for r in batch.select("cell").distinct().collect()}
+    )
+    # Restate ONLY the touched cells: existing rows recomputed from the
+    # source relation (never read-modify-write the path being overwritten)
+    # unioned with the batch, written with partitionOverwriteMode=dynamic —
+    # untouched cell directories' files stay byte-identical (pinned in
+    # tests/test_llm_ops.py).
+    restated = assigned.where(
+        F.col("cell").isin(touched) & ~is_batch
+    ).unionByName(batch)
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+
+
+@register("sink_ivf_ann_append", oracle=_ivf_append_oracle())
+def sink_ivf_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the stored ANN index (VERDICT r13 item
+    5): a new embedding batch lands in the `partitionBy(cell)` layout
+    WITHOUT retraining the quantizer and WITHOUT rewriting untouched
+    inverted lists — the `text_index_incremental` story for vectors.
+
+    Mechanics: assign the batch against the FROZEN centroids (the model
+    artifact a cluster would broadcast; the trainer never sees the batch
+    path at append time), derive the touched-cell list from the batch
+    (bounded driver collect, <= batch-cell count values), then restate
+    ONLY those cells via dynamic partition overwrite — the
+    `sink_dynamic_overwrite` machinery, so concurrent appends to disjoint
+    cells compose, and every untouched cell directory is byte-identical
+    afterwards (pinned in tests). At 100 TB this is the difference between
+    an O(batch) nightly index refresh and an O(corpus) rebuild.
+
+    Oracle: the union read-back equals the frozen-quantizer assignment of
+    ALL candidates, so the gate certifies the merged relation, not just
+    the batch."""
+    out = app_sink_dir(spark, "ivf_ann_append", "SPARK_GRAFT_IVF_APPEND_DIR")
+    return sink_ivf_ann_append_steps(spark, sf_dir, out)

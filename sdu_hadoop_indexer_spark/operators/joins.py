@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register_views, table
 from ..registry import register
+from ..session import app_sink_dir
 from .parity import SQL_EVENTS_US
 
 
@@ -357,9 +358,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sink_partitioned_pruned`) can't do it because the day set comes from
     data, not a literal.
     """
-    import os
-
-    out = os.environ.get("SPARK_GRAFT_DPP_DIR", "/tmp/sdu_spark_sink/events_by_day")
+    out = app_sink_dir(spark, "events_by_day", "SPARK_GRAFT_DPP_DIR")
     # keep the day partition column a string on read-back (type inference
     # would widen it to DATE — a silent schema change AND a cast on the DPP
     # join key); runtime-settable, applied defensively like session.tune().

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ..session import app_sink_dir
 
 
 @register("scan_parquet", oracle="SELECT * FROM lineitem")
@@ -79,7 +80,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema-on-read: inference is a two-pass anti-pattern at scale; a real
     pipeline pins the DDL). EXACT oracle against the parquet source proves
     the format conversion is lossless for this schema."""
-    out = os.environ.get("SPARK_GRAFT_CSV_DIR", "/tmp/sdu_spark_sink/nation_csv")
+    out = app_sink_dir(spark, "nation_csv", "SPARK_GRAFT_CSV_DIR")
     src = table(spark, sf_dir, "nation")
     src.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(src.schema).option("header", True).csv(out)
@@ -98,9 +99,7 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters in the scan node — asserted in tests), so a 100 TB
     table scans only the requested partition. EXACT oracle over the source
     proves the round trip."""
-    out = os.environ.get(
-        "SPARK_GRAFT_PART_DIR", "/tmp/sdu_spark_sink/orders_partitioned"
-    )
+    out = app_sink_dir(spark, "orders_partitioned", "SPARK_GRAFT_PART_DIR")
     src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
@@ -184,7 +183,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference deleted its output dir by hand before the job
     (App.scala:261-263); ``mode("overwrite")`` is the engine-level equivalent.
     """
-    out = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/sdu_spark_sink/orders_by_status")
+    out = app_sink_dir(spark, "orders_by_status", "SPARK_GRAFT_SINK_DIR")
     src = table(spark, sf_dir, "orders")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     cols = [
@@ -216,9 +215,7 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the explicit NULL-padded UNION ALL. At cluster scale schema merge is
     a footer-only planning step — no data rewrite — which is exactly why
     column-add is the cheap evolution path for parquet lakes."""
-    out = os.environ.get(
-        "SPARK_GRAFT_MERGE_DIR", "/tmp/sdu_spark_sink/orders_evolving"
-    )
+    out = app_sink_dir(spark, "orders_evolving", "SPARK_GRAFT_MERGE_DIR")
     src = table(spark, sf_dir, "orders")
     v1 = src.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -241,7 +238,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as parquet in Spark's DSv1 path) and is read back with the
     original schema pinned. EXACT oracle against the parquet source proves
     the conversion is lossless for this schema."""
-    out = os.environ.get("SPARK_GRAFT_ORC_DIR", "/tmp/sdu_spark_sink/supplier_orc")
+    out = app_sink_dir(spark, "supplier_orc", "SPARK_GRAFT_ORC_DIR")
     src = table(spark, sf_dir, "supplier")
     src.write.mode("overwrite").orc(out)
     return spark.read.schema(src.schema).orc(out)
@@ -255,7 +252,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass at 100 TB, so a real pipeline always supplies the DDL. Doubles
     survive exactly (shortest-roundtrip serialization both ways). EXACT
     oracle against the parquet source."""
-    out = os.environ.get("SPARK_GRAFT_JSONL_DIR", "/tmp/sdu_spark_sink/customer_jsonl")
+    out = app_sink_dir(spark, "customer_jsonl", "SPARK_GRAFT_JSONL_DIR")
     src = table(spark, sf_dir, "customer")
     src.write.mode("overwrite").json(out)
     return spark.read.schema(src.schema).json(out)
@@ -288,8 +285,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the same plan."""
     from pyspark.sql import Window
 
-    out = os.environ.get("SPARK_GRAFT_MERGE_UPSERT_DIR",
-                         "/tmp/sdu_spark_sink/orders_upsert")
+    out = app_sink_dir(spark, "orders_upsert", "SPARK_GRAFT_MERGE_UPSERT_DIR")
     src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
@@ -490,7 +486,7 @@ def write_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     this is the layout that lets a (part, supplier) point lookup touch a
     handful of files; the pruning factor is asserted from the real file
     footers in tests/test_zorder.py."""
-    out = os.environ.get("SPARK_GRAFT_ZORDER_DIR", "/tmp/sdu_spark_sink/lineitem_zorder")
+    out = app_sink_dir(spark, "lineitem_zorder", "SPARK_GRAFT_ZORDER_DIR")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
@@ -622,9 +618,7 @@ def sink_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only extra cost and is proportional to the violation rate.
     tests/test_quarantine.py asserts the two branches partition the input
     exactly."""
-    out = os.environ.get(
-        "SPARK_GRAFT_QUARANTINE_DIR", "/tmp/sdu_spark_sink/orders_quarantine"
-    )
+    out = app_sink_dir(spark, "orders_quarantine", "SPARK_GRAFT_QUARANTINE_DIR")
     src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -658,9 +652,7 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clobber each other. EXACT oracle over the merged read-back (value*2 is
     exact in binary floating point — no rounding needed).
     """
-    out = os.environ.get(
-        "SPARK_GRAFT_DYNOVR_DIR", "/tmp/sdu_spark_sink/events_dyn_overwrite"
-    )
+    out = app_sink_dir(spark, "events_dyn_overwrite", "SPARK_GRAFT_DYNOVR_DIR")
     base = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
@@ -763,7 +755,7 @@ def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     default), and it is a writer OPTION, not a table property — mixed-codec
     files coexist in one table and readers never care.
     """
-    base = os.environ.get("SPARK_GRAFT_CODEC_DIR", "/tmp/sdu_spark_sink/codecs")
+    base = app_sink_dir(spark, "codecs", "SPARK_GRAFT_CODEC_DIR")
     src = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -852,9 +844,7 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention story."""
     import math
 
-    base = os.environ.get(
-        "SPARK_GRAFT_COMPACT_DIR", "/tmp/sdu_spark_sink/compact"
-    )
+    base = app_sink_dir(spark, "compact", "SPARK_GRAFT_COMPACT_DIR")
     src = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )

@@ -61,6 +61,31 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def app_sink_dir(spark: SparkSession, name: str, env_var: str | None = None) -> str:
+    """Per-application sink directory for write-then-read-back operators.
+
+    The sink ops assume a write-once-read-once lifecycle within ONE Spark
+    application, but a fixed shared default (the old
+    ``/tmp/sdu_spark_sink/<name>``) let two concurrent runs on the same box
+    (e.g. bench reps next to an oracle sweep) overwrite each other between
+    one run's file listing and its collect — task failures or cross-run row
+    mixing (ADVICE r13 low #1 / VERDICT r13 item 6). Suffixing the root with
+    ``applicationId`` scopes the directory to the session that wrote it,
+    which is exactly the lifecycle the ops assume; on a real cluster the
+    same pattern is a per-job prefix under the job's scratch bucket.
+
+    Precedence: the op-specific ``env_var`` (exact path, no suffix — the
+    tests' monkeypatch contract) > ``SPARK_GRAFT_SINK_ROOT`` (root, still
+    app-suffixed) > ``/tmp/sdu_spark_sink``.
+    """
+    if env_var:
+        explicit = os.environ.get(env_var)
+        if explicit:
+            return explicit
+    root = os.environ.get("SPARK_GRAFT_SINK_ROOT", "/tmp/sdu_spark_sink")
+    return f"{root}/{spark.sparkContext.applicationId}/{name}"
+
+
 def get_spark(app_name: str = "sdu-hadoop-indexer-spark") -> SparkSession:
     """Build (or reuse) a local session for tests/bench."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

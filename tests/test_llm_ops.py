@@ -1661,9 +1661,14 @@ def test_range_search_matches_numpy_bruteforce(spark, sf_dir):
     )
     ids = np.array([r.vec_id for r in rows])
     x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # Replay the ENGINE's arithmetic order — dot / (norm_a * norm_b), NOT a
+    # pre-normalized matmul: (a/|a|)@(b/|b|) differs from dot/(na*nb) by
+    # ~1 ulp, and this assert is tolerance-free on the 4dp-rounded value,
+    # so the pre-normalized form could flap on a regenerated fixture whose
+    # true cosine lands on a .00005 boundary (ADVICE r13 low #2).
+    n = np.sqrt((x * x).sum(axis=1))
     qm, cm = ids < similarity.N_QUERIES, ids >= similarity.N_QUERIES
-    cos = np.round(x[qm] @ x[cm].T, 4)
+    cos = np.round((x[qm] @ x[cm].T) / (n[qm][:, None] * n[cm][None, :]), 4)
     expected = {
         (int(ids[qm][i]), int(ids[cm][j]))
         for i, j in zip(*np.where(cos >= similarity.RANGE_TAU))
@@ -1708,3 +1713,95 @@ def test_range_search_ivf_subset_with_exact_scores(spark, sf_dir):
     assert ev.n_exact == len(exact)
     assert ev.n_hit == len(pruned)
     assert pruned, "probe cells must reach a non-empty tau-ball share"
+
+
+def test_sink_range_lookup_matches_pruned_radius(spark, sf_dir):
+    """The stored-layout radius lookup must return EXACTLY
+    sim_range_search_ivf's rows — same probes, same candidates, same tau;
+    only the physical route (write -> directory-pruned read) differs."""
+    want = {
+        tuple(r)
+        for r in similarity.sim_range_search_ivf(spark, sf_dir).collect()
+    }
+    got = {
+        tuple(r)
+        for r in similarity.sink_ivf_range_lookup(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def _md5_tree(path):
+    """{relpath: md5} over every data file under the store's cell dirs."""
+    import hashlib
+    import os
+
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            rel = os.path.relpath(fp, path)
+            with open(fp, "rb") as fh:
+                out[rel] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_ann_append_touches_only_batch_cells(spark, sf_dir, tmp_path):
+    """Incremental index maintenance contract: the union read-back equals
+    the frozen-quantizer assignment of ALL candidates, and every cell
+    directory the batch does NOT land in keeps byte-identical files
+    through the append (no silent O(corpus) rewrite)."""
+    out = str(tmp_path / "ivf_append")
+    before = {}
+
+    def snapshot(path):
+        before.update(_md5_tree(path))
+
+    got = {
+        (r.vec_id, r.cell)
+        for r in similarity.sink_ivf_ann_append_steps(
+            spark, sf_dir, out, on_base_written=snapshot
+        ).collect()
+    }
+
+    cents = similarity._train_ivf_centroids(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = {
+        (r.vec_id, r.cell)
+        for r in e.where(f"vec_id >= {similarity.N_QUERIES}")
+        .select(
+            "vec_id",
+            similarity._ivf_assign(
+                similarity._ivf_qvec("embedding"), cents
+            ).alias("cell"),
+        )
+        .collect()
+    }
+    assert got == assigned and got
+
+    max_id = max(v for v, _ in assigned)
+    batch_ids = {
+        v for v, _ in assigned if v > max_id - similarity.APPEND_BATCH
+    }
+    touched = {f"cell={c}" for v, c in assigned if v in batch_ids}
+    all_cells = {f"cell={c}" for _, c in assigned}
+    untouched = all_cells - touched
+    assert touched, "batch must land somewhere"
+    assert untouched, "fixture must leave at least one cell untouched"
+
+    after = _md5_tree(out)
+    untouched_before = {
+        rel: h
+        for rel, h in before.items()
+        if rel.split("/", 1)[0] in untouched
+    }
+    assert untouched_before, "base store must populate untouched cells"
+    for rel, h in untouched_before.items():
+        assert after.get(rel) == h, f"untouched file rewritten: {rel}"
+    # and the touched cells really were restated (their file set changed)
+    touched_before = {
+        rel for rel in before if rel.split("/", 1)[0] in touched
+    }
+    touched_after = {
+        rel for rel in after if rel.split("/", 1)[0] in touched
+    }
+    assert touched_before != touched_after or not touched_before

@@ -893,3 +893,24 @@ def test_range_search_is_shuffle_free(spark, sf_dir):
     from sdu_hadoop_indexer_spark.llm.similarity import sim_range_search
 
     assert "hashpartitioning" not in _plan(sim_range_search(spark, sf_dir))
+
+
+def test_ivf_range_lookup_prunes_partitions_and_skips_shuffle(spark, sf_dir):
+    """The stored radius lookup must (a) prune the store read at the
+    directory level — the probe-cell predicate appears as PartitionFilters
+    on the parquet scan — and (b) add NO exchange after the pruned read:
+    the tau filter is vectorized, unlike top-k's per-query window."""
+    from sdu_hadoop_indexer_spark.llm.similarity import sink_ivf_range_lookup
+
+    explained = _formatted(sink_ivf_range_lookup(spark, sf_dir))
+    pf_lines = [
+        line
+        for line in explained.splitlines()
+        if "PartitionFilters" in line and "cell" in line
+    ]
+    assert pf_lines, explained
+    # (b): the stored-candidate side joins the broadcast probe frame —
+    # never a shuffle join — and the tau tail adds no window, so the only
+    # exchange keyed on query_id is the N_QUERIES-row probe ranking itself.
+    assert "BroadcastHashJoin" in explained, explained
+    assert "SortMergeJoin" not in explained, explained

@@ -5,11 +5,12 @@ from __future__ import annotations
 
 def test_quarantine_partitions_input(spark, sf_dir):
     from sdu_hadoop_indexer_spark.operators import scans
+    from sdu_hadoop_indexer_spark.session import app_sink_dir
 
     valid = scans.sink_quarantine_split(spark, sf_dir)
     src = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rejected = spark.read.parquet(
-        "/tmp/sdu_spark_sink/orders_quarantine"
+        app_sink_dir(spark, "orders_quarantine", "SPARK_GRAFT_QUARANTINE_DIR")
     )
     n_valid, n_rej, n_src = valid.count(), rejected.count(), src.count()
     assert n_rej > 0, "the price cap must quarantine some fixture rows"

@@ -63,8 +63,12 @@ def numpy_verdict(
     order = np.argsort(d2, axis=1, kind="stable")[:, :p]
     home = order[:, 0]
 
-    unit = vecs.astype(np.float64)
-    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    # Replay the engine's arithmetic order — dot / (norm_a * norm_b), NOT a
+    # pre-normalized matmul: the latter differs by ~1 ulp and the 4dp tau
+    # compare is tolerance-free, so a regenerated fixture landing on a
+    # .00005 boundary could flap the verdict (ADVICE r13 low #2).
+    raw = vecs.astype(np.float64)
+    norms = np.sqrt((raw * raw).sum(axis=1))
 
     # order rows by vec_id so "lower id" = "earlier row"
     idx = np.argsort(vec_ids)
@@ -82,8 +86,10 @@ def numpy_verdict(
             probe_rows = home_rows
         if len(home_rows) == 0 or len(probe_rows) < 2:
             continue
-        g = unit[probe_rows]
-        cos = np.round(g @ unit[home_rows].T, 4)
+        dots = raw[probe_rows] @ raw[home_rows].T
+        cos = np.round(
+            dots / (norms[probe_rows][:, None] * norms[home_rows][None, :]), 4
+        )
         pid = vec_ids[probe_rows][:, None]  # probe-side ids (rows)
         hid = vec_ids[home_rows][None, :]  # home-side ids (cols)
         hit = cos >= tau
