@@ -142,6 +142,19 @@ EXTENDED = [
     "dedup_semantic_ivf_probe",
     "dedup_semantic_ivf_probe_eval",
     "text_cooccur_llr",
+    # round-14 additions: the whole radius-search family (brute baseline,
+    # IVF-pruned path, recall gate) and the stored-layout trio (top-k probe,
+    # radius lookup, incremental append) — the r13/r14 retrieval contracts
+    # had no tracked wall-time anywhere before. The sink rows time the FULL
+    # store->prune->scan round trip (write included — that's the contract);
+    # they run adjacent so the store write cost reads directly against the
+    # pruned-read cost. Bands at the next idle freeze.
+    "sim_range_search",
+    "sim_range_search_ivf",
+    "sim_range_recall_eval",
+    "sink_ivf_partitioned_ann",
+    "sink_ivf_range_lookup",
+    "sink_ivf_ann_append",
 ]
 
 

@@ -1,0 +1,328 @@
+"""Independent (DuckDB-free) verifier for the nested-index family at scales
+where the SQL twin is infeasible — the `semantic_parity.py` / `kcore_parity.py`
+pattern applied to the FLAGSHIP `text_index_nested` contract plus its
+consumer ops (VERDICT r13 next-round item 2).
+
+Why it exists: the flagship held full rows+schema+hash DuckDB parity at sf10
+(500k docs / 25 M tokens), but the twin already cost 54 s there and the
+compare protocol collects both engines' full results into Python — ~GBs per
+row at the next decade. The ENGINE side is a two-level partial agg whose
+output is vocabulary-bound and stays small; only the verification harness
+dies. This tool replaces the SQL twin with TWO independent checks:
+
+1. **Python recomputation** of the whole contract from the raw parquet —
+   tokenize with the contract's exact rule (lowercase, split on Java's
+   ASCII ``\\s+`` class, 0-based ordinals over the RAW split array, empties
+   dropped AFTER enumeration), then rebuild every per-term row
+   ``(term, postings_json, df)`` with numpy sort/group — no Spark plan, no
+   partial aggregation, no to_json codepath. A bug in the two-level agg,
+   the posting sort, or the JSON canonicalization shows up as a mismatch.
+2. **A collect-free compare protocol**: instead of shipping the engine's
+   rows to Python, the engine reduces its OWN output to five scalars
+   DISTRIBUTEDLY — row count, sum+bit_xor of a per-row crc32 over the
+   canonical row string, sum(df), sum(len(postings_json)) — and the
+   verifier computes the same five numbers from its recomputation
+   (zlib.crc32 is the same CRC-32 Spark's `crc32` computes, bit-exact).
+   This is the verification protocol that survives ANY corpus size: the
+   driver-side traffic is five longs, not the index.
+
+The tokenization rule itself is shared by design — it IS the contract
+(same caveat semantic_parity documents: independence is in the evaluation
+strategy, not in respecifying the op). Self-validate with ``--rows`` at a
+gate-green SF (sf0.1, where the registered DuckDB oracle independently
+certifies the same rows) before trusting the scalar protocol above it.
+
+Checks: ``text_index_nested`` (rows and/or scalars), ``text_wordcount`` and
+``text_doclen`` (scalars — doclen shows the protocol is not limited to
+vocabulary-bound outputs), ``text_term_lookup`` + ``text_term_lookup_sharded``
+(rows — the consumer contract, df('join')-bounded).
+
+Usage::
+
+    python tools/index_parity.py --sf /root/testdata/sf0.1 --rows   # validate
+    python tools/index_parity.py --sf /tmp/spark_graft_sf30         # scale
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# Java regex \s is ASCII-only: [ \t\n\x0B\f\r]. Python's \s would add the
+# Unicode whitespace set — replay the engine's class exactly.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+LOOKUP_TERM = "join"  # text_term_lookup's registered literal
+
+
+def recompute(sf_dir: str):
+    """Tokenize the documents table per the contract and return the flat
+    (term_id, doc_id, pos) relation sorted by (term, doc, pos), plus the
+    id->term vocabulary — everything downstream derives from this."""
+    import pyarrow.parquet as pq
+
+    vocab: dict[str, int] = {}
+    t_ids: list[np.ndarray] = []
+    d_ids: list[np.ndarray] = []
+    p_arr: list[np.ndarray] = []
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    for batch in pf.iter_batches(columns=["doc_id", "text"]):
+        docs = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        bt, bd, bp = [], [], []
+        for doc, text in zip(docs, texts):
+            for pos, term in enumerate(_JAVA_WS.split(text.lower())):
+                if term == "":
+                    continue
+                tid = vocab.get(term)
+                if tid is None:
+                    tid = vocab[term] = len(vocab)
+                bt.append(tid)
+                bd.append(doc)
+                bp.append(pos)
+        t_ids.append(np.array(bt, dtype=np.int64))
+        d_ids.append(np.array(bd, dtype=np.int64))
+        p_arr.append(np.array(bp, dtype=np.int64))
+    t = np.concatenate(t_ids)
+    d = np.concatenate(d_ids)
+    p = np.concatenate(p_arr)
+    order = np.lexsort((p, d, t))
+    terms = np.empty(len(vocab), dtype=object)
+    for term, tid in vocab.items():
+        terms[tid] = term
+    return t[order], d[order], p[order], terms
+
+
+def nested_rows(t, d, p, terms):
+    """Yield (term, postings_json, df) in the contract's canonical form —
+    postings sorted by doc_id, positions sorted, compact JSON byte-identical
+    to Spark to_json / DuckDB to_json::VARCHAR (verified by --rows)."""
+    term_starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+    term_ends = np.r_[term_starts[1:], len(t)]
+    for s, e in zip(term_starts, term_ends):
+        dd, pp = d[s:e], p[s:e]
+        doc_starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        doc_ends = np.r_[doc_starts[1:], len(dd)]
+        postings = [
+            {"doc_id": int(dd[a]), "positions": pp[a:b].tolist()}
+            for a, b in zip(doc_starts, doc_ends)
+        ]
+        yield (
+            str(terms[t[s]]),
+            json.dumps(postings, separators=(",", ":")),
+            len(postings),
+        )
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def _scalars(rows) -> dict[str, int]:
+    """The collect-free fingerprint: 5 longs over canonical row strings."""
+    n = h_sum = h_xor = aux_sum = len_sum = 0
+    for canonical, aux, jlen in rows:
+        h = _crc(canonical)
+        n += 1
+        h_sum += h
+        h_xor ^= h
+        aux_sum += aux
+        len_sum += jlen
+    return {
+        "rows": n,
+        "crc_sum": h_sum,
+        "crc_xor": h_xor,
+        "aux_sum": aux_sum,
+        "len_sum": len_sum,
+    }
+
+
+def spark_scalars(df, cols: list[str], aux_col: str, json_col: str | None):
+    """The engine-side reduction of its OWN result to the same 5 longs —
+    computed distributedly; the driver receives one row."""
+    from pyspark.sql import functions as F
+
+    canonical = F.concat_ws(
+        "\x01", *[F.col(c).cast("string") for c in cols]
+    )
+    h = F.crc32(F.encode(canonical, "UTF-8"))
+    jlen = (
+        F.length(F.col(json_col)) if json_col is not None else F.lit(0)
+    )
+    r = df.select(
+        h.alias("h"),
+        F.col(aux_col).cast("long").alias("aux"),
+        jlen.cast("long").alias("jl"),
+    ).agg(
+        F.count("*").alias("rows"),
+        F.sum("h").alias("crc_sum"),
+        F.expr("bit_xor(h)").alias("crc_xor"),
+        F.sum("aux").alias("aux_sum"),
+        F.sum("jl").alias("len_sum"),
+    ).collect()[0]
+    return {
+        "rows": r.rows,
+        "crc_sum": r.crc_sum,
+        "crc_xor": r.crc_xor,
+        "aux_sum": r.aux_sum,
+        "len_sum": r.len_sum,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--rows", action="store_true",
+        help="ALSO do the full per-row compare of text_index_nested "
+        "(collects the engine result — small-SF self-validation mode)",
+    )
+    args = ap.parse_args()
+
+    from sdu_hadoop_indexer_spark.registry import all_queries
+    from sdu_hadoop_indexer_spark.session import get_spark
+
+    QUERIES = all_queries()
+    spark = get_spark("index-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[str] = []
+
+    t0 = time.monotonic()
+    t, d, p, terms = recompute(args.sf)
+    print(
+        f"# recompute: {len(t)} tokens, {len(terms)} terms, "
+        f"{time.monotonic() - t0:.1f}s",
+        flush=True,
+    )
+
+    # --- text_index_nested: the flagship -------------------------------
+    t0 = time.monotonic()
+    expected = _scalars(
+        (f"{term}\x01{pj}\x01{df}", df, len(pj))
+        for term, pj, df in nested_rows(t, d, p, terms)
+    )
+    t_np = time.monotonic() - t0
+    t0 = time.monotonic()
+    got = spark_scalars(
+        QUERIES["text_index_nested"](spark, args.sf),
+        ["term", "postings", "df"],
+        "df",
+        "postings",
+    )
+    t_eng = time.monotonic() - t0
+    ok = got == expected
+    print(
+        f"text_index_nested scalars: {'PASS' if ok else 'FAIL'} "
+        f"rows={got['rows']} engine={t_eng:.1f}s numpy={t_np:.1f}s"
+    )
+    if not ok:
+        failures.append(f"text_index_nested scalars: {expected} != {got}")
+
+    if args.rows:
+        eng = {
+            r.term: (r.postings, r.df)
+            for r in QUERIES["text_index_nested"](spark, args.sf).collect()
+        }
+        ref = {
+            term: (pj, df) for term, pj, df in nested_rows(t, d, p, terms)
+        }
+        diff = {
+            k
+            for k in set(eng) | set(ref)
+            if eng.get(k) != ref.get(k)
+        }
+        print(
+            f"text_index_nested rows: {'PASS' if not diff else 'FAIL'} "
+            f"({len(ref)} terms)"
+        )
+        if diff:
+            k = sorted(diff)[0]
+            failures.append(
+                f"text_index_nested rows: {len(diff)} differ; first "
+                f"{k!r}: engine={eng.get(k)!r} recompute={ref.get(k)!r}"
+            )
+
+    # --- text_wordcount: vocabulary-bound scalar check ------------------
+    cnt = np.bincount(t, minlength=len(terms))
+    expected = _scalars(
+        (f"{terms[i]}\x01{int(cnt[i])}", int(cnt[i]), 0)
+        for i in range(len(terms))
+    )
+    got = spark_scalars(
+        QUERIES["text_wordcount"](spark, args.sf),
+        ["term", "cnt"],
+        "cnt",
+        None,
+    )
+    ok = got == expected
+    print(f"text_wordcount scalars: {'PASS' if ok else 'FAIL'} rows={got['rows']}")
+    if not ok:
+        failures.append(f"text_wordcount scalars: {expected} != {got}")
+
+    # --- text_doclen: corpus-sized output, still 5 longs of traffic -----
+    docs, dl = np.unique(d, return_counts=True)
+    expected = _scalars(
+        (f"{int(docs[i])}\x01{int(dl[i])}", int(dl[i]), 0)
+        for i in range(len(docs))
+    )
+    got = spark_scalars(
+        QUERIES["text_doclen"](spark, args.sf), ["doc_id", "dl"], "dl", None
+    )
+    ok = got == expected
+    print(f"text_doclen scalars: {'PASS' if ok else 'FAIL'} rows={got['rows']}")
+    if not ok:
+        failures.append(f"text_doclen scalars: {expected} != {got}")
+
+    # --- term lookup (+ sharded scatter-gather): consumer contract ------
+    join_rows = {}
+    tid = {str(terms[i]): i for i in range(len(terms))}.get(LOOKUP_TERM)
+    if tid is not None:
+        s, e = np.searchsorted(t, [tid, tid + 1])
+        dd, pp = d[s:e], p[s:e]
+        doc_starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        doc_ends = np.r_[doc_starts[1:], len(dd)]
+        join_rows = {
+            int(dd[a]): (
+                json.dumps(pp[a:b].tolist(), separators=(",", ":")),
+                int(b - a),
+            )
+            for a, b in zip(doc_starts, doc_ends)
+        }
+    for op in ("text_term_lookup", "text_term_lookup_sharded"):
+        eng = {
+            r.doc_id: (r.positions, r.tf)
+            for r in QUERIES[op](spark, args.sf).collect()
+        }
+        ok = eng == join_rows
+        print(f"{op} rows: {'PASS' if ok else 'FAIL'} ({len(eng)} docs)")
+        if not ok:
+            ks = sorted(
+                k
+                for k in set(eng) | set(join_rows)
+                if eng.get(k) != join_rows.get(k)
+            )
+            failures.append(
+                f"{op}: {len(ks)} docs differ; first {ks[0]}: "
+                f"engine={eng.get(ks[0])!r} recompute={join_rows.get(ks[0])!r}"
+            )
+
+    if failures:
+        print("FAIL:")
+        for f in failures:
+            print("  " + f[:500])
+        return 1
+    print("PASS: engine == independent recomputation on every check")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
