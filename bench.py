@@ -273,6 +273,22 @@ EXTENDED_BANDS: dict[str, float] = {
     # IVF-family rows.
     "dedup_semantic_ivf_probe": 1.203,
     "dedup_semantic_ivf_probe_eval": 1.226,
+    # r14 birth freeze: pooled median of TWO back-to-back standalone 5-rep
+    # runs (canaries 40-55 ms — mildly elevated vs the 36-38 idle class;
+    # pooling 10 samples and sitting at the cross-run median errs slightly
+    # HIGH, which for a 1.5x regression envelope trades a little
+    # sensitivity for no false-warn churn — the lsh_quality_eval /
+    # sim_nearest_pairs_ann adjudication direction, applied at birth).
+    # The sink rows include the full store write each rep (that's the
+    # contract); first samples pay the session trainer + pin warmup, so
+    # like the other IVF-family rows the medians rest on cached-trainer
+    # reps.
+    "sim_range_search": 0.67,
+    "sim_range_search_ivf": 2.78,
+    "sim_range_recall_eval": 3.46,
+    "sink_ivf_partitioned_ann": 3.82,
+    "sink_ivf_range_lookup": 3.08,
+    "sink_ivf_ann_append": 3.04,
 }
 EXT_BAND_FACTOR = 1.5
 

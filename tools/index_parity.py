@@ -32,9 +32,10 @@ strategy, not in respecifying the op). Self-validate with ``--rows`` at a
 gate-green SF (sf0.1, where the registered DuckDB oracle independently
 certifies the same rows) before trusting the scalar protocol above it.
 
-Checks: ``text_index_nested`` (rows and/or scalars), ``text_wordcount`` and
-``text_doclen`` (scalars — doclen shows the protocol is not limited to
-vocabulary-bound outputs), ``text_term_lookup`` + ``text_term_lookup_sharded``
+Checks: ``text_index_nested`` (rows and/or scalars), ``text_index_flat``
+(scalars — corpus-ROW-level, ~75 M rows at sf30: the protocol is not limited
+to vocabulary-bound outputs), ``text_index_sharded``, ``text_wordcount``,
+``text_doclen`` (scalars), ``text_term_lookup`` + ``text_term_lookup_sharded``
 (rows — the consumer contract, df('join')-bounded).
 
 Usage::
@@ -121,6 +122,53 @@ def nested_rows(t, d, p, terms):
             json.dumps(postings, separators=(",", ":")),
             len(postings),
         )
+
+
+def flat_rows(t, d, p, terms):
+    """Yield (term, doc_id, positions_json, tf) — the corpus-row-level flat
+    index. At sf30 this is a ~75 M-row relation; the scalar protocol still
+    verifies it with five longs of driver traffic on the engine side."""
+    starts = np.flatnonzero(
+        np.r_[True, (t[1:] != t[:-1]) | (d[1:] != d[:-1])]
+    )
+    ends = np.r_[starts[1:], len(t)]
+    for a, b in zip(starts, ends):
+        yield (
+            str(terms[t[a]]),
+            int(d[a]),
+            json.dumps(p[a:b].tolist(), separators=(",", ":")),
+            int(b - a),
+        )
+
+
+N_POSTING_SHARDS = 8  # text_index_sharded's registered constant
+
+
+def sharded_rows(t, d, p, terms):
+    """Yield (term, shard, postings_json, df_shard) — the skew-hardened
+    document-sharded index (shard = pmod(doc_id, 8)); within a term slice
+    docs ascend, so filtering by shard preserves the postings order."""
+    term_starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+    term_ends = np.r_[term_starts[1:], len(t)]
+    for s_, e in zip(term_starts, term_ends):
+        dd, pp = d[s_:e], p[s_:e]
+        doc_starts = np.flatnonzero(np.r_[True, dd[1:] != dd[:-1]])
+        doc_ends = np.r_[doc_starts[1:], len(dd)]
+        by_shard: dict[int, list] = {}
+        for a, b in zip(doc_starts, doc_ends):
+            sh = int(dd[a]) % N_POSTING_SHARDS
+            if sh < 0:
+                sh += N_POSTING_SHARDS
+            by_shard.setdefault(sh, []).append(
+                {"doc_id": int(dd[a]), "positions": pp[a:b].tolist()}
+            )
+        for sh in sorted(by_shard):
+            yield (
+                str(terms[t[s_]]),
+                sh,
+                json.dumps(by_shard[sh], separators=(",", ":")),
+                len(by_shard[sh]),
+            )
 
 
 def _crc(s: str) -> int:
@@ -267,6 +315,45 @@ def main() -> int:
     print(f"text_wordcount scalars: {'PASS' if ok else 'FAIL'} rows={got['rows']}")
     if not ok:
         failures.append(f"text_wordcount scalars: {expected} != {got}")
+
+    # --- text_index_flat: corpus-ROW-level check (75 M rows at sf30) ----
+    t0 = time.monotonic()
+    expected = _scalars(
+        (f"{term}\x01{doc}\x01{pj}\x01{tf}", tf, len(pj))
+        for term, doc, pj, tf in flat_rows(t, d, p, terms)
+    )
+    t_np = time.monotonic() - t0
+    t0 = time.monotonic()
+    got = spark_scalars(
+        QUERIES["text_index_flat"](spark, args.sf),
+        ["term", "doc_id", "positions", "tf"],
+        "tf",
+        "positions",
+    )
+    t_eng = time.monotonic() - t0
+    ok = got == expected
+    print(
+        f"text_index_flat scalars: {'PASS' if ok else 'FAIL'} "
+        f"rows={got['rows']} engine={t_eng:.1f}s numpy={t_np:.1f}s"
+    )
+    if not ok:
+        failures.append(f"text_index_flat scalars: {expected} != {got}")
+
+    # --- text_index_sharded: the skew-hardened variant -------------------
+    expected = _scalars(
+        (f"{term}\x01{sh}\x01{pj}\x01{dfs}", dfs, len(pj))
+        for term, sh, pj, dfs in sharded_rows(t, d, p, terms)
+    )
+    got = spark_scalars(
+        QUERIES["text_index_sharded"](spark, args.sf),
+        ["term", "shard", "postings", "df_shard"],
+        "df_shard",
+        "postings",
+    )
+    ok = got == expected
+    print(f"text_index_sharded scalars: {'PASS' if ok else 'FAIL'} rows={got['rows']}")
+    if not ok:
+        failures.append(f"text_index_sharded scalars: {expected} != {got}")
 
     # --- text_doclen: corpus-sized output, still 5 longs of traffic -----
     docs, dl = np.unique(d, return_counts=True)
