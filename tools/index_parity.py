@@ -299,6 +299,26 @@ def main() -> int:
                 f"{k!r}: engine={eng.get(k)!r} recompute={ref.get(k)!r}"
             )
 
+    # --- text_index_incremental: merge path, same final relation --------
+    # (base+delta merge must equal the from-scratch index — the registered
+    # oracle's own rule; expected scalars are the nested check's, reused.)
+    t0 = time.monotonic()
+    got = spark_scalars(
+        QUERIES["text_index_incremental"](spark, args.sf),
+        ["term", "postings", "df"],
+        "df",
+        "postings",
+    )
+    ok = got == expected
+    print(
+        f"text_index_incremental scalars: {'PASS' if ok else 'FAIL'} "
+        f"rows={got['rows']} engine={time.monotonic() - t0:.1f}s"
+    )
+    if not ok:
+        failures.append(
+            f"text_index_incremental scalars: {expected} != {got}"
+        )
+
     # --- text_wordcount: vocabulary-bound scalar check ------------------
     cnt = np.bincount(t, minlength=len(terms))
     expected = _scalars(
