@@ -83,7 +83,37 @@ def app_sink_dir(spark: SparkSession, name: str, env_var: str | None = None) -> 
         if explicit:
             return explicit
     root = os.environ.get("SPARK_GRAFT_SINK_ROOT", "/tmp/sdu_spark_sink")
+    _sweep_stale_app_dirs(root)
     return f"{root}/{spark.sparkContext.applicationId}/{name}"
+
+
+_SINK_TTL_S = 24 * 3600
+_swept_roots: set[str] = set()
+
+
+def _sweep_stale_app_dirs(root: str) -> None:
+    """Bound /tmp growth under per-app sink dirs: opportunistically remove
+    SIBLING app directories untouched for >24 h (no legitimate run spans
+    that; a TTL sweep cannot reintroduce the concurrent-overwrite race the
+    app-id suffix closed). Once per process per root; errors ignored — the
+    sweep is hygiene, never correctness."""
+    if root in _swept_roots:
+        return
+    _swept_roots.add(root)
+    import shutil
+    import time
+
+    try:
+        cutoff = time.time() - _SINK_TTL_S
+        for entry in os.scandir(root):
+            if entry.is_dir(follow_symlinks=False):
+                try:
+                    if entry.stat().st_mtime < cutoff:
+                        shutil.rmtree(entry.path, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 def get_spark(app_name: str = "sdu-hadoop-indexer-spark") -> SparkSession:
