@@ -2990,8 +2990,14 @@ def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_range_search` the way `sim_topk_ivf` is for `sim_topk_search`:
     each query's tau-ball is scanned only inside its N_PROBE nearest cells,
     so the per-query cost is the probed-list volume instead of the corpus.
-    At deployment scale the probed lists are partition-pruned file reads
-    (`sink_ivf_partitioned_ann` is that layout). Approximate BY DESIGN:
+    Measured caveat (sf3.0 study, BASELINE.md r14): THIS on-the-fly form
+    re-derives every candidate's cell per invocation — O(corpus)
+    assignment that loses to the brute scan at small query batches (9.2 s
+    vs 1.2 s at 60k vectors / 5 queries); it is the right shape only when
+    assignment is already materialized in-pipeline (the SemDeDup flows).
+    The DEPLOYMENT radius path is `sink_ivf_range_lookup`, where
+    assignment is paid once at write and the recurring pruned read
+    measured 7x under this op. Approximate BY DESIGN:
     a tau-neighbor whose home cell isn't probed is missed — the recall
     honestly measured by `sim_range_recall_eval` (the family's gate
     discipline: every approximate path ships with its quality metric).
