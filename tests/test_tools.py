@@ -127,3 +127,55 @@ def test_generate_hot_term_share(tmp_path):
         """
     ).fetchone()[0]
     assert zipf_head < 0.15, zipf_head
+
+
+def test_index_parity_scalar_protocol_crc_and_fingerprint(spark, sf_dir):
+    """tools/index_parity.py's collect-free protocol rests on two facts —
+    pin both: (a) Spark `crc32(encode(s,'UTF-8'))` == zlib.crc32 bit-exact
+    on the canonical-string alphabet (unicode, control chars, the \\x01
+    field separator, digits); (b) the engine-side five-scalar reduction of
+    text_index_nested equals the independent numpy recomputation on the
+    gate fixture (the tool's --rows self-validation, in CI form)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from tools.index_parity import (
+        _scalars,
+        nested_rows,
+        recompute,
+        spark_scalars,
+    )
+
+    probes = [
+        "plain",
+        "a\x01b\x011",  # the canonical field separator
+        "ünïcødé-ﬆring",  # multi-byte UTF-8
+        '[{"doc_id":3,"positions":[0,5]}]',
+        "",
+        "tab\tnl\n",
+    ]
+    df = spark.createDataFrame([(s,) for s in probes], ["s"])
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s", F.crc32(F.encode("s", "UTF-8")).alias("h")
+        ).collect()
+    }
+    for s in probes:
+        assert got[s] == (zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF), s
+
+    t, d, p, terms = recompute(sf_dir)
+    expected = _scalars(
+        (f"{term}\x01{pj}\x01{df_}", df_, len(pj))
+        for term, pj, df_ in nested_rows(t, d, p, terms)
+    )
+    from sdu_hadoop_indexer_spark.registry import all_queries
+
+    engine = spark_scalars(
+        all_queries()["text_index_nested"](spark, sf_dir),
+        ["term", "postings", "df"],
+        "df",
+        "postings",
+    )
+    assert engine == expected
