@@ -65,22 +65,21 @@ _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 LOOKUP_TERM = "join"  # text_term_lookup's registered literal
 
 
-def recompute(sf_dir: str):
-    """Tokenize the documents table per the contract and return the flat
-    (term_id, doc_id, pos) relation sorted by (term, doc, pos), plus the
-    id->term vocabulary — everything downstream derives from this."""
+def _tokenize_rowgroups(path: str, lo: int, hi: int):
+    """Tokenize row groups [lo, hi) with a LOCAL vocabulary — the unit of
+    parallel tokenize work. Local term ids are remapped by the caller."""
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(path)
     vocab: dict[str, int] = {}
-    t_ids: list[np.ndarray] = []
-    d_ids: list[np.ndarray] = []
-    p_arr: list[np.ndarray] = []
-    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
-    for batch in pf.iter_batches(columns=["doc_id", "text"]):
-        docs = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        bt, bd, bp = [], [], []
-        for doc, text in zip(docs, texts):
+    bt: list[int] = []
+    bd: list[int] = []
+    bp: list[int] = []
+    for rg in range(lo, hi):
+        tbl = pf.read_row_group(rg, columns=["doc_id", "text"])
+        for doc, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
             for pos, term in enumerate(_JAVA_WS.split(text.lower())):
                 if term == "":
                     continue
@@ -90,9 +89,65 @@ def recompute(sf_dir: str):
                 bt.append(tid)
                 bd.append(doc)
                 bp.append(pos)
-        t_ids.append(np.array(bt, dtype=np.int64))
-        d_ids.append(np.array(bd, dtype=np.int64))
-        p_arr.append(np.array(bp, dtype=np.int64))
+    terms_local = [None] * len(vocab)
+    for term, tid in vocab.items():
+        terms_local[tid] = term
+    return (
+        terms_local,
+        np.array(bt, dtype=np.int64),
+        np.array(bd, dtype=np.int64),
+        np.array(bp, dtype=np.int64),
+    )
+
+
+def _tok_task(args):
+    return _tokenize_rowgroups(*args)
+
+
+def recompute(sf_dir: str, procs: int = 1):
+    """Tokenize the documents table per the contract and return the flat
+    (term_id, doc_id, pos) relation sorted by (term, doc, pos), plus the
+    id->term vocabulary — everything downstream derives from this.
+
+    ``procs > 1`` fans the per-doc tokenize loop out over row-group slices
+    in a SPAWN pool (safe next to a live JVM parent — children never touch
+    py4j); per-worker local vocabularies are remapped into one global
+    vocabulary on merge. Term-id VALUES differ from the serial path's
+    first-occurrence order, which is immaterial: ids are internal, every
+    downstream artifact keys on the term STRING, and the scalar
+    fingerprints are order-insensitive by construction."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    if procs <= 1 or n_rg < 2:
+        chunks = [(path, 0, n_rg)]
+        results = [_tok_task(c) for c in chunks]
+    else:
+        import multiprocessing as mp
+
+        n_chunks = min(n_rg, procs * 3)
+        step = (n_rg + n_chunks - 1) // n_chunks
+        chunks = [
+            (path, lo, min(lo + step, n_rg)) for lo in range(0, n_rg, step)
+        ]
+        with mp.get_context("spawn").Pool(procs) as pool:
+            results = pool.map(_tok_task, chunks)
+
+    vocab: dict[str, int] = {}
+    t_ids: list[np.ndarray] = []
+    d_ids: list[np.ndarray] = []
+    p_arr: list[np.ndarray] = []
+    for terms_local, tl, dl, pl in results:
+        gmap = np.empty(max(len(terms_local), 1), dtype=np.int64)
+        for i, term in enumerate(terms_local):
+            gid = vocab.get(term)
+            if gid is None:
+                gid = vocab[term] = len(vocab)
+            gmap[i] = gid
+        t_ids.append(gmap[tl] if len(terms_local) else tl)
+        d_ids.append(dl)
+        p_arr.append(pl)
     t = np.concatenate(t_ids)
     d = np.concatenate(d_ids)
     p = np.concatenate(p_arr)
@@ -194,6 +249,118 @@ def _scalars(rows) -> dict[str, int]:
     }
 
 
+def _canon_rows(kind: str, t, d, p, terms):
+    """Canonical (string, aux, json_len) tuples for one index contract —
+    the single place the per-kind row formats live, shared by the serial
+    and parallel scalar paths."""
+    if kind == "nested":
+        for term, pj, df in nested_rows(t, d, p, terms):
+            yield (f"{term}\x01{pj}\x01{df}", df, len(pj))
+    elif kind == "flat":
+        for term, doc, pj, tf in flat_rows(t, d, p, terms):
+            yield (f"{term}\x01{doc}\x01{pj}\x01{tf}", tf, len(pj))
+    elif kind == "sharded":
+        for term, sh, pj, dfs in sharded_rows(t, d, p, terms):
+            yield (f"{term}\x01{sh}\x01{pj}\x01{dfs}", dfs, len(pj))
+    else:  # pragma: no cover
+        raise ValueError(kind)
+
+
+_W: dict = {}
+
+
+def _init_scalar_worker(meta, terms):
+    """Spawn-pool initializer: attach the parent's shared-memory token
+    arrays once per worker (zero-copy views; the 6 GB relation is never
+    pickled)."""
+    from multiprocessing import shared_memory
+
+    _W["shms"] = []
+    arrs = []
+    for name, shape, dtype in meta:
+        shm = shared_memory.SharedMemory(name=name)
+        _W["shms"].append(shm)
+        arrs.append(np.ndarray(shape, dtype=dtype, buffer=shm.buf))
+    _W["t"], _W["d"], _W["p"] = arrs
+    _W["terms"] = np.array(terms, dtype=object)
+
+
+def _scalar_task(args):
+    kind, lo, hi = args
+    t, d, p, terms = _W["t"], _W["d"], _W["p"], _W["terms"]
+    return _scalars(_canon_rows(kind, t[lo:hi], d[lo:hi], p[lo:hi], terms))
+
+
+def _merge_scalars(parts):
+    out = {"rows": 0, "crc_sum": 0, "crc_xor": 0, "aux_sum": 0, "len_sum": 0}
+    for s_ in parts:
+        out["rows"] += s_["rows"]
+        out["crc_sum"] += s_["crc_sum"]
+        out["crc_xor"] ^= s_["crc_xor"]
+        out["aux_sum"] += s_["aux_sum"]
+        out["len_sum"] += s_["len_sum"]
+    return out
+
+
+class ScalarPool:
+    """Parallel canonical-build over TERM-ALIGNED chunks of the sorted
+    token relation. Arrays live in shared memory; workers are spawned (no
+    fork of the JVM parent) and attach zero-copy. The merged five-scalar
+    fingerprint is identical to the serial one because every aggregate is
+    order-insensitive (sum/xor/count) and chunks cut only at term
+    boundaries, so no canonical row is ever split."""
+
+    def __init__(self, t, d, p, terms, procs: int):
+        from multiprocessing import shared_memory
+
+        self.procs = procs
+        self.t, self.d, self.p, self.terms = t, d, p, terms
+        self.pool = None
+        self.shms = []
+        if procs <= 1:
+            return
+        import multiprocessing as mp
+
+        meta = []
+        for arr in (t, d, p):
+            shm = shared_memory.SharedMemory(create=True, size=arr.nbytes)
+            np.ndarray(arr.shape, dtype=arr.dtype, buffer=shm.buf)[:] = arr
+            self.shms.append(shm)
+            meta.append((shm.name, arr.shape, arr.dtype.str))
+        self.pool = mp.get_context("spawn").Pool(
+            procs, initializer=_init_scalar_worker,
+            initargs=(meta, list(terms)),
+        )
+
+    def scalars(self, kind: str) -> dict[str, int]:
+        if self.pool is None:
+            return _scalars(
+                _canon_rows(kind, self.t, self.d, self.p, self.terms)
+            )
+        term_starts = np.flatnonzero(
+            np.r_[True, self.t[1:] != self.t[:-1]]
+        )
+        n_chunks = min(len(term_starts), self.procs * 4)
+        step = (len(term_starts) + n_chunks - 1) // n_chunks
+        bounds = list(term_starts[::step]) + [len(self.t)]
+        tasks = [
+            (kind, int(lo), int(hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        return _merge_scalars(self.pool.map(_scalar_task, tasks))
+
+    def close(self):
+        if self.pool is not None:
+            self.pool.terminate()
+            self.pool.join()
+        for shm in self.shms:
+            try:
+                shm.close()
+                shm.unlink()
+            except OSError:
+                pass
+
+
 def spark_scalars(df, cols: list[str], aux_col: str, json_col: str | None):
     """The engine-side reduction of its OWN result to the same 5 longs —
     computed distributedly; the driver receives one row."""
@@ -234,6 +401,13 @@ def main() -> int:
         help="ALSO do the full per-row compare of text_index_nested "
         "(collects the engine result — small-SF self-validation mode)",
     )
+    ap.add_argument(
+        "--procs", type=int,
+        default=max(1, min(16, (os.cpu_count() or 2) - 2)),
+        help="parallelism for the tokenize + canonical-build phases "
+        "(spawn pool + shared-memory arrays; 1 = the fully serial path "
+        "the small-SF self-validation also exercises)",
+    )
     args = ap.parse_args()
 
     from sdu_hadoop_indexer_spark.registry import all_queries
@@ -245,19 +419,17 @@ def main() -> int:
     failures: list[str] = []
 
     t0 = time.monotonic()
-    t, d, p, terms = recompute(args.sf)
+    t, d, p, terms = recompute(args.sf, procs=args.procs)
     print(
         f"# recompute: {len(t)} tokens, {len(terms)} terms, "
-        f"{time.monotonic() - t0:.1f}s",
+        f"{time.monotonic() - t0:.1f}s (procs={args.procs})",
         flush=True,
     )
+    pool = ScalarPool(t, d, p, terms, args.procs)
 
     # --- text_index_nested: the flagship -------------------------------
     t0 = time.monotonic()
-    expected = _scalars(
-        (f"{term}\x01{pj}\x01{df}", df, len(pj))
-        for term, pj, df in nested_rows(t, d, p, terms)
-    )
+    expected = pool.scalars("nested")
     t_np = time.monotonic() - t0
     t0 = time.monotonic()
     got = spark_scalars(
@@ -338,10 +510,7 @@ def main() -> int:
 
     # --- text_index_flat: corpus-ROW-level check (75 M rows at sf30) ----
     t0 = time.monotonic()
-    expected = _scalars(
-        (f"{term}\x01{doc}\x01{pj}\x01{tf}", tf, len(pj))
-        for term, doc, pj, tf in flat_rows(t, d, p, terms)
-    )
+    expected = pool.scalars("flat")
     t_np = time.monotonic() - t0
     t0 = time.monotonic()
     got = spark_scalars(
@@ -360,10 +529,7 @@ def main() -> int:
         failures.append(f"text_index_flat scalars: {expected} != {got}")
 
     # --- text_index_sharded: the skew-hardened variant -------------------
-    expected = _scalars(
-        (f"{term}\x01{sh}\x01{pj}\x01{dfs}", dfs, len(pj))
-        for term, sh, pj, dfs in sharded_rows(t, d, p, terms)
-    )
+    expected = pool.scalars("sharded")
     got = spark_scalars(
         QUERIES["text_index_sharded"](spark, args.sf),
         ["term", "shard", "postings", "df_shard"],
@@ -422,6 +588,7 @@ def main() -> int:
                 f"engine={eng.get(ks[0])!r} recompute={join_rows.get(ks[0])!r}"
             )
 
+    pool.close()
     if failures:
         print("FAIL:")
         for f in failures:
