@@ -1805,3 +1805,31 @@ def test_ann_append_touches_only_batch_cells(spark, sf_dir, tmp_path):
         rel for rel in after if rel.split("/", 1)[0] in touched
     }
     assert touched_before != touched_after or not touched_before
+
+
+def test_ann_append_store_serves_identical_topk(spark, sf_dir, tmp_path):
+    """The OPERATIONAL guarantee of incremental maintenance: a top-k probe
+    against the post-append store returns exactly sim_topk_ivf's rows —
+    appending a batch neither loses nor distorts what the index serves
+    (union relation == full assignment, same frozen quantizer)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ivf_append_serve")
+    similarity.sink_ivf_ann_append_steps(spark, sf_dir, out).collect()
+    cents = similarity._train_ivf_centroids(spark, sf_dir)
+    scored = similarity._ivf_stored_scores(spark, sf_dir, cents, out)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    got = {
+        tuple(r)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= similarity.TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .collect()
+    }
+    want = {
+        tuple(r) for r in similarity.sim_topk_ivf(spark, sf_dir).collect()
+    }
+    assert got == want and got
