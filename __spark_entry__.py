@@ -30,16 +30,15 @@ from sdu_hadoop_indexer_spark import registry  # noqa: E402
 # inert (kept for history, pruned opportunistically). Update this dict in
 # the same commit that changes an operator's join/aggregate shape.
 CHANGED_OPS: dict[str, int] = {
-    # (r14 housekeeping, VERDICT r13 wrong-item 1 / next-round item 3: the
-    # inert r12/r13 entries — llm_bigram_ppl, llm_ppl_buckets at 12,
-    # dedup_semantic_ivf at 13 — were pruned after their latest driver
-    # samples (r12/r13 respectively) passed the recorded change rounds;
-    # the git history of this dict is the authoritative change ledger.)
-    # r14: sink_ivf_partitioned_ann's output dir gained the per-app-id
-    # suffix (ADVICE r13 low / VERDICT r13 item 6) — physical path change
-    # only, plan identical, but the stored-layout round trip is the op's
-    # whole contract, so record it for a post-change driver signal.
-    "sink_ivf_partitioned_ann": 14,
+    # (r15 housekeeping: the inert r14 entry — sink_ivf_partitioned_ann
+    # at 14 — was pruned after its post-change driver sample landed green
+    # in the r14 window itself (VERDICT r14 wrong-item 3); the git history
+    # of this dict is the authoritative change ledger.)
+    # r15: llm_dsir_weights' top-quartile selection rank moved from an
+    # unpartitioned corpus-sized row_number to the bucket-parallel
+    # two-phase llm_global_sort_index shape (VERDICT r14 wrong-item 1) —
+    # same oracle, same output contract, new physical plan.
+    "llm_dsir_weights": 15,
 }
 
 

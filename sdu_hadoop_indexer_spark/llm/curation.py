@@ -1803,9 +1803,10 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: distinct-feature hash (vocab-sized, not corpus-sized) →
     broadcast bucket map → two bucket hash-aggs ({DSIR_B} rows) → λ
-    broadcast back → one doc hash-agg. The global top-quartile rank is the
-    one ordered stage — at 100 TB it becomes the two-phase distributed
-    sort-index (`llm_global_sort_index`'s shape) or a quantile cutoff."""
+    broadcast back → one doc hash-agg. The global top-quartile rank runs
+    the two-phase `llm_global_sort_index` shape (range-bucket pivots →
+    bucket-partitioned row_number + prefix offsets) — no unpartitioned
+    WindowExec anywhere in the plan (r14 verdict #1)."""
     from ..text.indexer import tokenize
     from ..xhash import xh1
 
@@ -1886,18 +1887,48 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lam_q").cast("decimal(38,0)")).alias("wq"),
         )
     )
-    nd = dw.agg(F.count("*").cast("long").alias("nd"))
-    rn = F.row_number().over(Window.orderBy(F.desc("wq"), "doc_id"))
-    return (
-        dw.withColumn("rn", rn)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "n_feats",
-            (
-                F.round(F.col("wq").cast("double") / DSIR_SCALE, 4)
-                + F.lit(0.0)
-            ).alias("dsir_weight"),
-            (F.col("rn") <= (F.col("nd") + 3) / 4).alias("selected"),
+    # Top-quartile selection WITHOUT a corpus-sized single-partition sort
+    # (r14 verdict #1): the oracle's row_number() OVER (ORDER BY wq DESC,
+    # doc_id) total order is reproduced by the llm_global_sort_index
+    # two-phase shape — approx_percentile pivots range-bucket the per-doc
+    # weights (pivots only balance the fan-out; the double cast of the
+    # decimal key is monotone, so cross-bucket order is exact and ties
+    # share a bucket), bucket counts collect to ≤ SORT_IDX_PARTS longs,
+    # and the global rank is a prefix offset + a row_number over a window
+    # PARTITIONED by bucket (exact decimal wq, doc_id tiebreak). Every
+    # exchange/sort stays bucket-parallel at any corpus size; nd falls out
+    # of the same collected counts for free.
+    dw = stage_round(dw, False)  # feeds pivots, bucket counts, final select
+    key = -F.col("wq").cast("double")  # ascending == wq DESC
+    pcts = [i / SORT_IDX_PARTS for i in range(1, SORT_IDX_PARTS)]
+    pivots = (
+        dw.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
+        or []
+    )
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+    b = dw.withColumn("_b", bexpr)
+    offsets, nd = {}, 0
+    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
+        offsets[r._b] = nd
+        nd += r.c
+    off = (
+        F.coalesce(
+            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
+            F.lit(0),
         )
+        if offsets
+        else F.lit(0)
+    )
+    w_rank = Window.partitionBy("_b").orderBy(F.desc("wq"), F.asc("doc_id"))
+    rn = off + F.row_number().over(w_rank)
+    return b.select(
+        "doc_id",
+        "n_feats",
+        (
+            F.round(F.col("wq").cast("double") / DSIR_SCALE, 4)
+            + F.lit(0.0)
+        ).alias("dsir_weight"),
+        (rn <= F.lit((nd + 3) // 4)).alias("selected"),
     )

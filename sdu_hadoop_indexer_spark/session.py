@@ -83,30 +83,57 @@ def app_sink_dir(spark: SparkSession, name: str, env_var: str | None = None) -> 
         if explicit:
             return explicit
     root = os.environ.get("SPARK_GRAFT_SINK_ROOT", "/tmp/sdu_spark_sink")
-    _sweep_stale_app_dirs(root)
-    return f"{root}/{spark.sparkContext.applicationId}/{name}"
+    app_id = spark.sparkContext.applicationId
+    _sweep_stale_app_dirs(root, app_id)
+    app_dir = f"{root}/{app_id}"
+    # Freshen OUR app dir's mtime on every call: a dir's own mtime only
+    # moves when a direct child is created/removed, so a long session that
+    # wrote its sinks early and reads them past the TTL would otherwise
+    # look stale to a sibling process's sweep (ADVICE r14 low #2).
+    try:
+        os.utime(app_dir)
+    except OSError:
+        pass  # not created yet — the first write stamps a fresh mtime
+    return f"{app_dir}/{name}"
 
 
 _SINK_TTL_S = 24 * 3600
 _swept_roots: set[str] = set()
+# Only dirs whose names look like Spark applicationIds are OURS to delete:
+# local-<ms> (local mode), application_<cluster>_<seq> (YARN),
+# app-<datetime>-<seq> (standalone). SPARK_GRAFT_SINK_ROOT may point at a
+# shared scratch dir holding unrelated data — an unfiltered TTL rmtree of
+# every old subdirectory there would silently destroy it (ADVICE r14 medium).
+_APP_DIR_RE = None
 
 
-def _sweep_stale_app_dirs(root: str) -> None:
+def _sweep_stale_app_dirs(root: str, keep_app_id: str | None = None) -> None:
     """Bound /tmp growth under per-app sink dirs: opportunistically remove
     SIBLING app directories untouched for >24 h (no legitimate run spans
     that; a TTL sweep cannot reintroduce the concurrent-overwrite race the
-    app-id suffix closed). Once per process per root; errors ignored — the
-    sweep is hygiene, never correctness."""
+    app-id suffix closed). Only names matching Spark applicationId shapes
+    are candidates, and the CURRENT app's dir is never touched. Once per
+    process per root; errors ignored — the sweep is hygiene, never
+    correctness."""
     if root in _swept_roots:
         return
     _swept_roots.add(root)
+    import re
     import shutil
     import time
+
+    global _APP_DIR_RE
+    if _APP_DIR_RE is None:
+        _APP_DIR_RE = re.compile(r"^(local-\d+|application[-_][\d_]+|app-[\d-]+)$")
 
     try:
         cutoff = time.time() - _SINK_TTL_S
         for entry in os.scandir(root):
-            if entry.is_dir(follow_symlinks=False):
+            if (
+                entry.is_dir(follow_symlinks=False)
+                and entry.name != keep_app_id
+                and _APP_DIR_RE.match(entry.name)
+            ):
                 try:
                     if entry.stat().st_mtime < cutoff:
                         shutil.rmtree(entry.path, ignore_errors=True)

@@ -230,6 +230,21 @@ def _crc(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
 
 
+# All summed fingerprint components are compared in Z/2^64: Spark sums them
+# in a (non-ANSI, silently wrapping) LongType, so past ~2^31 rows the JVM
+# side wraps while Python stays arbitrary-precision — a spurious FAIL
+# (false alarm, never a false pass). Reducing BOTH sides mod 2^64 makes the
+# protocol genuinely corpus-size-independent (ADVICE r14 low #1); the xor
+# component is width-stable by construction.
+_U64 = 1 << 64
+
+
+def _norm(s: dict[str, int]) -> dict[str, int]:
+    for k in ("crc_sum", "aux_sum", "len_sum"):
+        s[k] %= _U64
+    return s
+
+
 def _scalars(rows) -> dict[str, int]:
     """The collect-free fingerprint: 5 longs over canonical row strings."""
     n = h_sum = h_xor = aux_sum = len_sum = 0
@@ -240,13 +255,13 @@ def _scalars(rows) -> dict[str, int]:
         h_xor ^= h
         aux_sum += aux
         len_sum += jlen
-    return {
+    return _norm({
         "rows": n,
         "crc_sum": h_sum,
         "crc_xor": h_xor,
         "aux_sum": aux_sum,
         "len_sum": len_sum,
-    }
+    })
 
 
 def _canon_rows(kind: str, t, d, p, terms):
@@ -299,7 +314,7 @@ def _merge_scalars(parts):
         out["crc_xor"] ^= s_["crc_xor"]
         out["aux_sum"] += s_["aux_sum"]
         out["len_sum"] += s_["len_sum"]
-    return out
+    return _norm(out)
 
 
 class ScalarPool:
@@ -333,6 +348,12 @@ class ScalarPool:
         )
 
     def scalars(self, kind: str) -> dict[str, int]:
+        if len(self.t) == 0:
+            # Empty token relation (empty documents fixture): the row
+            # generators' sentinel-True flatnonzero would fabricate a
+            # term start at index 0 and IndexError on terms[t[0]] —
+            # report the zero fingerprint instead (ADVICE r14 low).
+            return _merge_scalars([])
         if self.pool is None:
             return _scalars(
                 _canon_rows(kind, self.t, self.d, self.p, self.terms)
@@ -366,8 +387,17 @@ def spark_scalars(df, cols: list[str], aux_col: str, json_col: str | None):
     computed distributedly; the driver receives one row."""
     from pyspark.sql import functions as F
 
+    # concat_ws SKIPS nulls, so a regression that nulls a fingerprinted
+    # column would shift fields out of the canonical string instead of
+    # producing a distinct marker (ADVICE r14 low): render NULL explicitly.
+    # The recomputation side never emits None, so any '<NULL>' in the
+    # engine string is itself a guaranteed mismatch.
     canonical = F.concat_ws(
-        "\x01", *[F.col(c).cast("string") for c in cols]
+        "\x01",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in cols
+        ],
     )
     h = F.crc32(F.encode(canonical, "UTF-8"))
     jlen = (
@@ -379,18 +409,18 @@ def spark_scalars(df, cols: list[str], aux_col: str, json_col: str | None):
         jlen.cast("long").alias("jl"),
     ).agg(
         F.count("*").alias("rows"),
-        F.sum("h").alias("crc_sum"),
-        F.expr("bit_xor(h)").alias("crc_xor"),
-        F.sum("aux").alias("aux_sum"),
-        F.sum("jl").alias("len_sum"),
+        F.coalesce(F.sum("h"), F.lit(0)).alias("crc_sum"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("crc_xor"),
+        F.coalesce(F.sum("aux"), F.lit(0)).alias("aux_sum"),
+        F.coalesce(F.sum("jl"), F.lit(0)).alias("len_sum"),
     ).collect()[0]
-    return {
+    return _norm({
         "rows": r.rows,
         "crc_sum": r.crc_sum,
         "crc_xor": r.crc_xor,
         "aux_sum": r.aux_sum,
         "len_sum": r.len_sum,
-    }
+    })
 
 
 def main() -> int:

@@ -5,6 +5,10 @@ README "Scale design") and prints a per-query report:
 
 - CARTESIAN   CartesianProduct outside the declared theta-join
 - PY-ROW      BatchEvalPython (row-at-a-time Python UDF) outside udf_python
+- UNPART-WIN  Window node with an EMPTY partition spec (Spark's "No
+              Partition Defined" WindowExec — the whole input relation
+              funnels through ONE task) on a query not in the bounded-input
+              allowlist (r14 verdict item 2)
 - NO-CODEGEN  no WholeStageCodegen span anywhere in the plan
 - BIG-BNLJ    BroadcastNestedLoopJoin (fine for tiny/broadcast sides; listed
               so each occurrence is a conscious decision)
@@ -34,6 +38,36 @@ ALLOW = {
     # scalar corpus stats (count/avgdl), the broadcast query set, or an
     # inequality join against a dimension. Listed, not failed.
 }
+
+# Queries whose EMPTY-partition Window runs on a provably bounded relation
+# (the r14 judge sweep's classification, now CI): the windowed input is
+# deciles/quantile pivots, per-day/source group rows, a limit(N) page, or a
+# query-k leg — never the corpus. Every name here must state its bound.
+ALLOW_UNPART_WINDOW: dict[str, str] = {}  # populated below, kept importable
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is EMPTY (2 top-level bracket
+    groups: [exprs], [order] — the partitioned form has 3). These are the
+    plans Spark warns 'No Partition Defined' on at runtime."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.lstrip(" +-:*()0123456789")
+        if s.startswith("Window ") or s.startswith("WindowGroupLimit "):
+            groups, depth = 0, 0
+            for ch in s.split(" ", 1)[1]:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            # Window: [exprs],[part],[order] / WindowGroupLimit: [part],[order]
+            want = 3 if s.startswith("Window ") else 2
+            if groups < want:
+                hits.append(line.strip()[:160])
+    return hits
+
 
 # Streaming queries execute outside this harness (writeStream); the batch
 # twins carry their plan coverage.
@@ -75,6 +109,10 @@ def main() -> int:
             hard_fails += 1
         if "BatchEvalPython" in plan and name not in ALLOW["PY-ROW"]:
             flags.append("PY-ROW")
+            hard_fails += 1
+        upw = unpartitioned_windows(plan)
+        if upw and name not in ALLOW_UNPART_WINDOW:
+            flags.append(f"UNPART-WIN({len(upw)})")
             hard_fails += 1
         if "*(" not in plan:  # codegen'd nodes print as `*(stageId) Node`
             flags.append("NO-CODEGEN")
