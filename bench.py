@@ -384,7 +384,64 @@ def run_once(fn, spark, sf_dir: str, name: str | None = None) -> float:
     return time.perf_counter() - t0
 
 
+def probe_main(names: list[str]) -> int:
+    """Targeted idle re-read of specific extended/probe rows — the ADVICE
+    r12 band-adjudication protocol as a command instead of a full suite:
+
+        python bench.py --probes graph_kcore,minhash_sig_portable
+
+    Runs ONLY the named rows (5 reps each after the standard warm-in),
+    brackets them with both canaries, and prints one JSON line with
+    per-row medians, deflated values, and band verdicts. Never touches
+    bench_out.json — the frozen-suite record stays the driver's."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    spark = get_spark("bench-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    run_once(queries["text_index_nested"], spark, sf_dir)
+    run_once(queries["sim_nearest_pairs"], spark, sf_dir)
+    canary = [round(canary_spin_ms(), 1)]
+    membw = [round(canary_membw_ms(), 1)]
+    rows: dict[str, dict] = {}
+    for name in names:
+        if name.startswith("minhash_sig_"):
+            fam = bench_minhash_family(spark, sf_dir, reps)
+            times = fam[name]
+        else:
+            fn = queries[name]
+            if name in WARM_IN:
+                run_once(fn, spark, sf_dir, name)
+            times = [run_once(fn, spark, sf_dir, name) for _ in range(reps)]
+        canary.append(round(canary_spin_ms(), 1))
+        membw.append(round(canary_membw_ms(), 1))
+        rows[name] = {"median": round(statistics.median(times), 3),
+                      "samples": [round(t, 3) for t in times]}
+        print(f"# probe {name}: {rows[name]['median']}s {times}", file=sys.stderr)
+    canary_median = statistics.median(canary)
+    deflate = CANARY_CALIBRATION_MS / canary_median if canary_median else 1.0
+    # bands are frozen at the sf0.1 protocol point (same guard as the
+    # suite) — another SF's rows would "warn" by construction
+    at_protocol_sf = sf_dir.rstrip("/").endswith("sf0.1")
+    for name, r in rows.items():
+        ref = EXTENDED_BANDS.get(name)
+        r["deflated"] = round(r["median"] * deflate, 3)
+        if ref is not None and at_protocol_sf:
+            r["frozen"] = ref
+            r["in_band"] = r["deflated"] <= ref * EXT_BAND_FACTOR
+    print(json.dumps({
+        "probe_rows": rows,
+        "canary_median_ms": round(canary_median, 1),
+        "canary_membw_median_ms": round(statistics.median(membw), 1),
+        "deflate": round(deflate, 4),
+        "sf_dir": sf_dir,
+    }))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--probes":
+        return probe_main(sys.argv[2].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))

@@ -811,15 +811,24 @@ def test_semantic_ivf_assignment_is_map_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
 
-def test_dsir_weight_join_broadcasts_bucket_map(spark, sf_dir):
+def test_dsir_weight_join_broadcasts_bucket_map(spark, sf_dir, monkeypatch):
     """DSIR's lambda relation is 1024 rows — it must come back to the
     per-occurrence stream as a broadcast, never a shuffle join keyed on
-    the bucket id."""
+    the bucket id. The op stages its per-doc weight relation (it feeds the
+    rank pivots, the bucket counts, AND the final select), which truncates
+    the visible plan — so the test neutralizes staging to pin the FULL
+    lineage, including (r14 verdict #1) that the top-quartile rank's only
+    Window is partitioned by the range bucket, never global."""
+    from sdu_hadoop_indexer_spark import iteration
     from sdu_hadoop_indexer_spark.llm import curation
 
+    monkeypatch.setattr(iteration, "stage_round", lambda df, *a, **k: df)
     plan = _plan(curation.llm_dsir_weights(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    from tools.plan_audit import unpartitioned_windows
+
+    assert not unpartitioned_windows(plan)
 
 
 def test_vocab_relation_broadcast_gates_fall_back_to_shuffle(spark, sf_dir):
@@ -914,3 +923,52 @@ def test_ivf_range_lookup_prunes_partitions_and_skips_shuffle(spark, sf_dir):
     # exchange keyed on query_id is the N_QUERIES-row probe ranking itself.
     assert "BroadcastHashJoin" in explained, explained
     assert "SortMergeJoin" not in explained, explained
+
+
+def test_no_corpus_scale_unpartitioned_window_anywhere(spark, sf_dir):
+    """Registry-wide contract (r14 verdict item 2): EVERY registered
+    query's physical plan is swept for Window nodes that have an ORDER
+    spec but NO partition spec — Spark's "No Partition Defined" WindowExec,
+    which funnels its whole input through one task. Any hit must be on the
+    explicit bounded-input allowlist in tools/plan_audit.py (deciles, per-
+    day/source series, limit(N) pages, query-k legs — each entry states
+    its bound). llm_dsir_weights' corpus-sized selection rank was the one
+    real offender; it is fixed (bucket-parallel two-phase rank), NOT
+    allowlisted, and must stay clean.
+
+    The sweep also fails on allowlist rot: a name whose plan no longer has
+    an unpartitioned window must be removed from the list, so the list
+    can only ever shrink to match reality.
+    """
+    from tools.plan_audit import (
+        ALLOW_UNPART_WINDOW,
+        SKIP,
+        unpartitioned_windows,
+    )
+    from sdu_hadoop_indexer_spark.registry import all_queries
+
+    queries = all_queries()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    violations, confirmed_allowed = [], set()
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for name in sorted(queries):
+            if name in SKIP:
+                continue
+            df = queries[name](spark, sf_dir)
+            hits = unpartitioned_windows(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+            if not hits:
+                continue
+            if name in ALLOW_UNPART_WINDOW:
+                confirmed_allowed.add(name)
+            else:
+                violations.append((name, hits))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert not violations, "corpus-scale unpartitioned WindowExec:\n" + "\n".join(
+        f"  {n}: {h}" for n, hs in violations for h in hs
+    )
+    rotted = set(ALLOW_UNPART_WINDOW) - confirmed_allowed
+    assert not rotted, f"allowlist entries no longer needed: {sorted(rotted)}"

@@ -43,29 +43,58 @@ ALLOW = {
 # (the r14 judge sweep's classification, now CI): the windowed input is
 # deciles/quantile pivots, per-day/source group rows, a limit(N) page, or a
 # query-k leg — never the corpus. Every name here must state its bound.
-ALLOW_UNPART_WINDOW: dict[str, str] = {}  # populated below, kept importable
+# Enumerated from the r15 full-registry plan sweep at sf0.001 (9 queries);
+# llm_dsir_weights was the one corpus-scale entry and is FIXED, not listed.
+ALLOW_UNPART_WINDOW: dict[str, str] = {
+    "diag_key_skew": "window over .limit(SKEW_TOP_N) heavy-key rows",
+    "events_survival_km": "windows over DISTINCT death times (groupBy t "
+    "of day-resolution events — calendar-bounded)",
+    "llm_token_apportion": "largest-remainder rank over the per-SOURCE "
+    "token totals (distinct sources, a handful)",
+    "search_hybrid_rrf": "rank leg over text_bm25's top-10 output "
+    "(≤ k rows by construction)",
+    "text_heaps_curve": "prefix sum over corpus DECILES (10 rows)",
+    "text_zipf_slope": "rank over .limit(ZIPF_TOP) most-frequent terms",
+    "ts_cusum_changepoint": "running stats over the per-DAY series "
+    "(calendar-bounded groupBy day)",
+    "ts_holt_smoothing": "lag over the per-DAY series (calendar-bounded)",
+    "ts_max_drawdown": "running max over the per-DAY series "
+    "(calendar-bounded)",
+}
 
 
 def unpartitioned_windows(plan: str) -> list[str]:
-    """Window nodes whose partition spec is EMPTY (2 top-level bracket
-    groups: [exprs], [order] — the partitioned form has 3). These are the
-    plans Spark warns 'No Partition Defined' on at runtime."""
+    """Window nodes with an ORDER spec but an EMPTY partition spec — the
+    plans Spark warns 'No Partition Defined' on at runtime (the whole input
+    sorts through one task). Textual forms (verified on this Spark build):
+
+        Window [exprs], [part], [order]   partitioned + ordered  — fine
+        Window [exprs], [part]            partition-only agg     — fine
+        Window [exprs], [order]           UNPARTITIONED ordered  — flagged
+
+    The 2-group forms are disambiguated by the second group's content: an
+    order spec always prints sort directions (ASC/DESC), a partition spec
+    never does. WindowGroupLimit nodes are skipped — each rides the Window
+    node that carries the same spec."""
     hits = []
     for line in plan.splitlines():
         s = line.lstrip(" +-:*()0123456789")
-        if s.startswith("Window ") or s.startswith("WindowGroupLimit "):
-            groups, depth = 0, 0
-            for ch in s.split(" ", 1)[1]:
-                if ch == "[":
-                    if depth == 0:
-                        groups += 1
-                    depth += 1
-                elif ch == "]":
-                    depth -= 1
-            # Window: [exprs],[part],[order] / WindowGroupLimit: [part],[order]
-            want = 3 if s.startswith("Window ") else 2
-            if groups < want:
-                hits.append(line.strip()[:160])
+        if not s.startswith("Window "):
+            continue
+        groups, depth, start = [], 0, -1
+        for i, ch in enumerate(s):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(s[start : i + 1])
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            hits.append(line.strip()[:160])
+        elif len(groups) == 1:  # defensive: bare global window
+            hits.append(line.strip()[:160])
     return hits
 
 
