@@ -841,6 +841,51 @@ def mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SORT_IDX_PARTS = 8  # range-bucket fan-out for the global ordering
 
 
+def _two_phase_rank(df, key, order, parts=SORT_IDX_PARTS):
+    """Distributed ``row_number() OVER (ORDER BY <order>)`` (1-based)
+    WITHOUT a single-partition sort — the shape `llm_global_sort_index`
+    certified, shared by every global-rank consumer (`llm_ppl_buckets`,
+    `llm_dsir_weights`) so the pattern is single-sourced (r15; the r14
+    verdict's DSIR finding was exactly a site that had NOT adopted it).
+
+    ``key`` is a double-valued expression that must order rows monotonely
+    with ``order``'s leading column (e.g. ``-col.cast('double')`` for a
+    DESC decimal key — double rounding is monotone, so distinct values
+    never cross buckets and collisions merely share one). Pivots from a
+    deterministic ``approx_percentile`` sketch only balance the fan-out;
+    ties share a bucket by construction, so correctness never depends on
+    the sketch. Bucket counts collect to ≤ ``parts`` longs; the rank is
+    prefix offset + ``row_number`` over a window PARTITIONED by bucket —
+    every exchange and sort stays bucket-parallel at any corpus size.
+
+    Returns ``(bucketed_df, rank_column, total_rows)``; the bucketed frame
+    carries a ``_b`` helper column callers drop via their explicit select.
+    """
+    pcts = [i / parts for i in range(1, parts)]
+    pivots = (
+        df.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
+        or []
+    )
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+    b = df.withColumn("_b", bexpr)
+    offsets, n = {}, 0
+    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
+        offsets[r._b] = n
+        n += r.c
+    off = (
+        F.coalesce(
+            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_b").orderBy(*order)
+    return b, off + F.row_number().over(w), n
+
+
 @register(
     "llm_global_sort_index",
     oracle="""
@@ -868,25 +913,13 @@ def global_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     key = -F.col("n_chars").cast("double")  # ascending == n_chars DESC
-    pcts = [i / SORT_IDX_PARTS for i in range(1, SORT_IDX_PARTS)]
-    pivots = d.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
-    bexpr = F.lit(0)
-    for pv in pivots:
-        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
-    b = d.withColumn("_b", bexpr)
-    offsets, acc = {}, 0
-    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
-        offsets[r._b] = acc
-        acc += r.c
-    off = F.coalesce(
-        *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("_b").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    b, rank, _ = _two_phase_rank(
+        d, key, [F.desc("n_chars"), F.asc("doc_id")]
+    )
     return b.select(
         "doc_id",
         "n_chars",
-        (off + F.row_number().over(w) - 1).cast("bigint").alias("global_idx"),
+        (rank - 1).cast("bigint").alias("global_idx"),
     )
 
 
@@ -1200,33 +1233,16 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank key (avg_neg_logprob, doc_id) is the EXACT-oracled 4dp score).
     """
     p = bigram_ppl(spark, sf_dir)
-    key = F.col("avg_neg_logprob")
-    pcts = [i / PPL_BUCKET_PARTS for i in range(1, PPL_BUCKET_PARTS)]
-    pivots = p.agg(
-        F.percentile_approx(key, pcts, 10_000).alias("p")
-    ).first()["p"]
-    bexpr = F.lit(0)
-    for pv in pivots:
-        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
-    b = p.withColumn("_b", bexpr)
-    offsets, acc = {}, 0
-    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
-        offsets[r._b] = acc
-        acc += r.c
-    n = acc
-    off = (
-        F.coalesce(
-            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
+    b, rank, n = _two_phase_rank(
+        p,
+        F.col("avg_neg_logprob"),
+        ["avg_neg_logprob", "doc_id"],
+        parts=PPL_BUCKET_PARTS,
     )
-    w = Window.partitionBy("_b").orderBy("avg_neg_logprob", "doc_id")
     ranked = b.select(
         "n_bigrams",
         "ppl",
-        (off + F.row_number().over(w) - 1).cast("long").alias("rk"),
+        (rank - 1).cast("long").alias("rk"),
     )
     return (
         ranked.withColumn(
@@ -1900,29 +1916,9 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the same collected counts for free.
     dw = stage_round(dw, False)  # feeds pivots, bucket counts, final select
     key = -F.col("wq").cast("double")  # ascending == wq DESC
-    pcts = [i / SORT_IDX_PARTS for i in range(1, SORT_IDX_PARTS)]
-    pivots = (
-        dw.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
-        or []
+    b, rn, nd = _two_phase_rank(
+        dw, key, [F.desc("wq"), F.asc("doc_id")]
     )
-    bexpr = F.lit(0)
-    for pv in pivots:
-        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
-    b = dw.withColumn("_b", bexpr)
-    offsets, nd = {}, 0
-    for r in sorted(b.groupBy("_b").agg(F.count("*").alias("c")).collect()):
-        offsets[r._b] = nd
-        nd += r.c
-    off = (
-        F.coalesce(
-            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in offsets.items()],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    w_rank = Window.partitionBy("_b").orderBy(F.desc("wq"), F.asc("doc_id"))
-    rn = off + F.row_number().over(w_rank)
     return b.select(
         "doc_id",
         "n_feats",
