@@ -155,6 +155,12 @@ EXTENDED = [
     "sink_ivf_partitioned_ann",
     "sink_ivf_range_lookup",
     "sink_ivf_ann_append",
+    # round-15 addition: the Gumbel-top-k importance-resampling draw —
+    # same staged DSIR weight core as llm_dsir_weights (already tracked)
+    # plus the keying/TakeOrdered tail; tracked from birth. Its cheap
+    # sibling dedup_url_canonical is a one-agg map op and doesn't need a
+    # tracked wall-time. Band at the birth freeze below.
+    "llm_dsir_resample",
 ]
 
 

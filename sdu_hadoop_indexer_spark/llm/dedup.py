@@ -145,6 +145,114 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+URL_GROUPS = 23  # synthetic path/id collision modulus (see docstring)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+               || '.Example.COM'
+               || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+               || '/docs' || (CASE WHEN doc_id % 11 = 0 THEN '//' ELSE '/' END)
+               || 'item-' || CAST(doc_id % {URL_GROUPS} AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+               || '?id=' || CAST(doc_id % {URL_GROUPS} AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed' ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0 THEN '&fbclid=x1' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END) AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, url,
+               'https://'
+               || lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#:]+)', 1))
+               || regexp_replace(regexp_replace(
+                      regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                      '/{{2,}}', '/', 'g'), '/$', '')
+               || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1)
+                   AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM c GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the CommonCrawl-pipeline first pass
+    BEFORE content dedup: the same page is typically crawled under many
+    raw URL spellings (scheme/host case, explicit default port, duplicate
+    or trailing slashes, tracking parameters, fragments), and collapsing
+    them at the STRING level costs one projection instead of a content
+    hash over the body. Canonical form: lowercase host, drop `:443`,
+    collapse `//` runs, strip the trailing slash, drop the fragment and
+    the tracking params (utm_*/fbclid), keep the id param — the explicit
+    keep-list approach production crawlers use (a generic param sort
+    would canonicalize `?b=2&a=1`, but silently keeps session junk).
+
+    The fixture has no URL column, so raw URLs are synthesized
+    deterministically from (doc_id, source) with all six dirt classes
+    injected on residue classes — docs sharing (source, doc_id % 23)
+    collapse to one canonical URL, so the op demonstrably merges
+    variants (n_raw_variants > 1) rather than hashing distinct strings.
+
+    Scale shape: identical to `dedup_exact` — the canonicalization is
+    map-side regex work fused into the scan, then ONE hash agg keyed on
+    the canonical string; combinable, linear, skew bounded by true
+    duplicate mass. EXACT oracle: both engines run byte-identical ASCII
+    regexes (RE2/Java agree on these classes) over the identically
+    synthesized string."""
+    d = table(spark, sf_dir, "documents")
+
+    def m(k: int):
+        return F.col("doc_id") % k
+
+    gid = m(URL_GROUPS).cast("string")
+    url = F.concat(
+        F.when(m(7) == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(m(3) == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(m(5) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs"),
+        F.when(m(11) == 0, F.lit("//")).otherwise(F.lit("/")),
+        F.lit("item-"),
+        gid,
+        F.when(m(2) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        gid,
+        F.when(m(3) == 1, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(m(13) == 0, F.lit("&fbclid=x1")).otherwise(F.lit("")),
+        F.when(m(4) == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    host = F.lower(F.regexp_extract(url, "^[a-zA-Z]+://([^/?#:]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url, "^[a-zA-Z]+://[^/?#]*([^?#]*)", 1),
+            "/{2,}",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    pid = F.regexp_extract(url, "[?&]id=([0-9]+)", 1)
+    canon = F.concat(F.lit("https://"), host, path, F.lit("?id="), pid)
+    return (
+        d.select("doc_id", url.alias("url"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+    )
+
+
 def _parse_size_bytes(v: str) -> int:
     """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
     s = str(v).strip().lower().removesuffix("b")

@@ -1833,3 +1833,52 @@ def test_ann_append_store_serves_identical_topk(spark, sf_dir, tmp_path):
         tuple(r) for r in similarity.sim_topk_ivf(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_dsir_resample_is_weighted_without_replacement(spark, sf_dir):
+    """Gumbel-top-k invariants: exactly RESAMPLE_K distinct docs; the
+    sample key decomposes as weight + gumbel (4dp lattice); the draw is
+    biased toward high DSIR weight (sampled mean weight > corpus mean —
+    the importance-resampling point); and re-running the op reproduces
+    the identical draw (the noise is hash-seeded, not RNG state)."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = curation.llm_dsir_resample(spark, sf_dir).collect()
+    assert len(rows) == curation.RESAMPLE_K
+    assert len({r.doc_id for r in rows}) == curation.RESAMPLE_K
+    for r in rows:
+        assert abs((r.dsir_weight + r.gumbel) - r.sample_key) < 2e-4
+    wrows = curation.llm_dsir_weights(spark, sf_dir).collect()
+    corpus_mean = sum(r.dsir_weight for r in wrows) / len(wrows)
+    sample_mean = sum(r.dsir_weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    again = curation.llm_dsir_resample(spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.sample_key) for r in again) == sorted(
+        (r.doc_id, r.sample_key) for r in rows
+    )
+
+
+def test_url_canonical_merges_all_dirt_classes(spark, sf_dir):
+    """Every canonical URL is in normal form (lowercase https, no :443,
+    no //, no trailing slash, no fragment, no tracking params); groups
+    merge >1 raw spelling somewhere (the op does real work); and total
+    copies equals the corpus (partition property of a dedup)."""
+    import re
+
+    from sdu_hadoop_indexer_spark.llm import dedup as dd
+
+    rows = dd.dedup_url_canonical(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_copies for r in rows) == n_docs
+    pat = re.compile(r"^https://[a-z0-9.\-]+/[^?#]*\?id=\d+$")
+    for r in rows:
+        assert pat.match(r.canonical_url), r.canonical_url
+        assert "//" not in r.canonical_url.split("://", 1)[1]
+        assert ":443" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
+        assert "fbclid" not in r.canonical_url
+        assert not r.canonical_url.split("?")[0].endswith("/")
+        assert r.n_raw_variants <= r.n_copies
+    assert any(r.n_raw_variants > 1 for r in rows)
+    # collision design: groups key on (source, doc_id % URL_GROUPS)
+    assert len(rows) <= 20 * dd.URL_GROUPS
