@@ -1946,7 +1946,9 @@ GUMBEL_M = 1 << 20  # Gumbel uniform lattice: u = (xh1 % M + 1) / (M + 2)
 RESAMPLE_K = 100  # docs drawn per resample batch
 
 
-def _dsir_resample_oracle() -> str:
+def _dsir_keyed_ctes() -> str:
+    """dw + the Gumbel-keyed relation — shared by the resample oracle and
+    its composition-eval twin."""
     from ..xhash import xh1_sql
 
     u = (
@@ -1960,7 +1962,14 @@ def _dsir_resample_oracle() -> str:
         SELECT doc_id, n_feats, wq,
                CAST(round(-ln(-ln({u})) * {DSIR_SCALE}) AS BIGINT) AS g_q
         FROM dw
+    )"""
     )
+
+
+def _dsir_resample_oracle() -> str:
+    return (
+        _dsir_keyed_ctes()
+        + f"""
     SELECT doc_id, n_feats,
            round(CAST(wq AS DOUBLE) / {DSIR_SCALE}, 4) + 0.0 AS dsir_weight,
            round(CAST(g_q AS DOUBLE) / {DSIR_SCALE}, 4) + 0.0 AS gumbel,
@@ -1999,12 +2008,7 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     from ..xhash import xh1
 
-    dw = _dsir_doc_weights(spark, sf_dir)
-    u = (
-        F.pmod(xh1(F.col("doc_id").cast("string")), F.lit(GUMBEL_M)) + 1
-    ) / F.lit(float(GUMBEL_M + 2))
-    g_q = F.round(-F.log(-F.log(u)) * DSIR_SCALE, 0).cast("long")
-    keyed = dw.withColumn("g_q", g_q)
+    keyed = _dsir_keyed(spark, sf_dir)
     skey = F.col("wq") + F.col("g_q")
     return (
         keyed.orderBy(skey.desc(), F.asc("doc_id"))
@@ -2024,4 +2028,78 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(skey.cast("double") / DSIR_SCALE, 4) + F.lit(0.0)
             ).alias("sample_key"),
         )
+    )
+
+
+def _dsir_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gumbel-keyed weight relation (Spark twin of `_dsir_keyed_ctes`)."""
+    from ..xhash import xh1
+
+    dw = _dsir_doc_weights(spark, sf_dir)
+    u = (
+        F.pmod(xh1(F.col("doc_id").cast("string")), F.lit(GUMBEL_M)) + 1
+    ) / F.lit(float(GUMBEL_M + 2))
+    g_q = F.round(-F.log(-F.log(u)) * DSIR_SCALE, 0).cast("long")
+    return dw.withColumn("g_q", g_q)
+
+
+def _dsir_resample_eval_oracle() -> str:
+    from ..operators.parity import sql_ratio
+
+    return (
+        _dsir_keyed_ctes()
+        + f""",
+    samp AS (
+        SELECT doc_id FROM keyed
+        ORDER BY wq + g_q DESC, doc_id LIMIT {RESAMPLE_K}
+    ),
+    corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(count(s.doc_id) AS BIGINT) AS n_sample,
+           {sql_ratio("count(*)", "min(corp.n_docs)")} AS corpus_share,
+           {sql_ratio("count(s.doc_id)", str(RESAMPLE_K))} AS sample_share
+    FROM documents d CROSS JOIN corp LEFT JOIN samp s USING (doc_id)
+    GROUP BY d.lang
+    """
+    )
+
+
+@register("llm_dsir_resample_eval", oracle=_dsir_resample_eval_oracle())
+def llm_dsir_resample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition gate for `llm_dsir_resample` — the measurement that
+    says the importance draw actually DID something: per-language corpus
+    share vs sampled share. DSIR's target on this fixture is
+    lang='{DSIR_TARGET_LANG}', so the sampled {DSIR_TARGET_LANG} share
+    must sit ABOVE its corpus share (pinned in tests) — the
+    distribution-shift evidence a curation run records next to every
+    resampled batch (the `dedup_lsh_quality_eval` / recall-gate pattern:
+    every stochastic op ships with its own eval twin).
+
+    Scale shape: the draw is the registered bounded top-k (k rows);
+    membership joins back to the corpus as a BROADCAST k-row side on the
+    doc_id scan, then one lang hash-agg + a 1-row total cross join —
+    nothing corpus-sized moves."""
+    samp = (
+        llm_dsir_resample(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("in_s", F.lit(1))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tot = d.agg(F.count("*").cast("long").alias("n_docs"))
+    per = (
+        d.join(F.broadcast(samp), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus"),
+            F.sum(F.coalesce("in_s", F.lit(0))).cast("long").alias("n_sample"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return per.select(
+        "lang",
+        "n_corpus",
+        "n_sample",
+        ratio(F.col("n_corpus"), F.col("n_docs")).alias("corpus_share"),
+        ratio(F.col("n_sample"), F.lit(RESAMPLE_K)).alias("sample_share"),
     )

@@ -1882,3 +1882,20 @@ def test_url_canonical_merges_all_dirt_classes(spark, sf_dir):
     assert any(r.n_raw_variants > 1 for r in rows)
     # collision design: groups key on (source, doc_id % URL_GROUPS)
     assert len(rows) <= 20 * dd.URL_GROUPS
+
+
+def test_dsir_resample_eval_shifts_toward_target(spark, sf_dir):
+    """The composition gate's own gate: the target language's sampled
+    share exceeds its corpus share (the draw is weighted toward the
+    target domain), shares are consistent with the counts, and the
+    sample column sums to RESAMPLE_K."""
+    from sdu_hadoop_indexer_spark.llm import curation
+
+    rows = {r.lang: r for r in curation.llm_dsir_resample_eval(spark, sf_dir).collect()}
+    tgt = rows[curation.DSIR_TARGET_LANG]
+    assert tgt.sample_share > tgt.corpus_share
+    assert sum(r.n_sample for r in rows.values()) == curation.RESAMPLE_K
+    n_docs = sum(r.n_corpus for r in rows.values())
+    for r in rows.values():
+        assert abs(r.corpus_share - r.n_corpus / n_docs) < 1e-3
+        assert abs(r.sample_share - r.n_sample / curation.RESAMPLE_K) < 1e-3
