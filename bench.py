@@ -291,6 +291,14 @@ EXTENDED_BANDS: dict[str, float] = {
     # reps.
     "sim_range_search": 0.67,
     "sim_range_search_ivf": 2.78,
+    # r15 birth freeze: pooled median of THREE standalone 5-rep probe runs
+    # on a volatile evening host (brackets 25-107 ms membw — the r15
+    # BASELINE addenda document the swings; no clean window appeared all
+    # evening). Pooling 15 samples and sitting at the cross-run median
+    # errs HIGH like the r14 sink freezes — first samples pay the staged
+    # DSIR-core warmup (5.5-10.7 s), steady-state class ~2.5-2.6 s even
+    # contended. Revisit downward from an idle read if one lands.
+    "llm_dsir_resample": 2.74,
     "sim_range_recall_eval": 3.46,
     "sink_ivf_partitioned_ann": 3.82,
     "sink_ivf_range_lookup": 3.08,
