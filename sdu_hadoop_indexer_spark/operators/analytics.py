@@ -3475,3 +3475,351 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("mad") > 0) & (F.abs(rz) > 3.5)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend / rank statistics over the daily event-rate series (round 15
+# continuation). All three ops reduce the corpus to a CALENDAR-BOUNDED daily
+# relation first (one map-side-combinable hash agg), so every window below
+# runs on days × types rows — cost independent of raw event volume, the same
+# discipline as `ts_ewma` / `events_anomaly_mad`.
+# ---------------------------------------------------------------------------
+
+# Shared daily rollup: (event_type, d, dd = epoch-day int, n = count,
+# v = exact cent-scaled value sum). `ev` (ns→µs CTE) must precede it.
+SQL_DAILY = """daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM ev GROUP BY event_type, CAST(ts AS DATE)
+    )"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of SQL_DAILY."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("v"),
+        )
+        .withColumn("dd", F.datediff("d", F.lit("1970-01-01")))
+    )
+
+
+TS_SLOPE_SCALE = 10_000  # Theil–Sen slope quantization lattice (1e-4)
+
+
+@register(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    {SQL_DAILY},
+    q AS (
+        SELECT a.event_type, b.n - a.n AS dn, b.dd - a.dd AS gap,
+               a.dd AS d1, b.dd AS d2,
+               CAST(floor(CAST((b.n - a.n) * {2 * TS_SLOPE_SCALE}
+                               + (b.dd - a.dd) AS DOUBLE)
+                          / (2 * (b.dd - a.dd))) AS BIGINT) AS slope_i
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.dd > a.dd
+    ),
+    st AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dn > 0 THEN 1 WHEN dn < 0 THEN -1
+                             ELSE 0 END) AS BIGINT) AS mk_s
+        FROM q GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type, slope_i,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_i, d1, d2) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS c
+        FROM q
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(sum(slope_i * (CASE WHEN c % 2 = 1 THEN 2 ELSE 1 END))
+                    AS BIGINT) AS med_x2
+        FROM r WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+        GROUP BY event_type
+    ),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT nd.event_type, nd.n_days, st.n_pairs, st.mk_s,
+           CAST(med.med_x2 AS DOUBLE) / {2.0 * TS_SLOPE_SCALE!r}
+               AS theil_slope
+    FROM nd JOIN st USING (event_type) JOIN med USING (event_type)
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event rate per type — the
+    median of all pairwise slopes (n_j − n_i)/(d_j − d_i) — plus the
+    Mann–Kendall S statistic Σ sign(Δn) from the same pair relation (the
+    standard nonparametric trend test the slope estimate ships with).
+    Up to ~29% outlier days cannot move the estimate, unlike
+    `agg_linreg`'s OLS slope (one logging spike tilts the whole fit).
+
+    EXACT: each pair slope is an int64/int64 ratio quantized ONCE to the
+    {TS_SLOPE_SCALE}-lattice via the boundary-proof floor((2·S·Δn + Δd) /
+    (2Δd)) half-away form (the `ratio` helper's shape, sign included);
+    the median is a POSITION-PICKED integer pair-average (odd counts
+    double the middle element), so the only float op is one exact
+    int→double division by 2S — bit-identical on both engines.
+
+    Scale shape: the corpus reduces to the calendar-bounded daily
+    relation first, so the pair self-join is days²-bounded PER TYPE
+    (equi-join on event_type + range predicate — never a corpus
+    cartesian), and the ranking window runs partitioned on that bounded
+    relation. At 10 years of days the pair relation is ~6.7M rows per
+    type — still executor-trivial and independent of raw event volume."""
+    daily = _daily(spark, sf_dir)
+    a = daily.select(
+        "event_type",
+        F.col("dd").alias("d1"),
+        F.col("n").alias("n1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("dd").alias("d2"),
+        F.col("n").alias("n2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("d2") > F.col("d1")),
+    ).select(
+        "event_type",
+        (F.col("n2") - F.col("n1")).alias("dn"),
+        (F.col("d2") - F.col("d1")).alias("gap"),
+        "d1",
+        "d2",
+    )
+    q = pairs.withColumn(
+        "slope_i",
+        F.floor(
+            (
+                F.col("dn") * F.lit(2 * TS_SLOPE_SCALE) + F.col("gap")
+            ).cast("double")
+            / (2 * F.col("gap"))
+        ).cast("long"),
+    )
+    st = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("dn") > 0, 1)
+            .when(F.col("dn") < 0, -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("mk_s"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("slope_i", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    r = q.select(
+        "event_type",
+        "slope_i",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wc).alias("c"),
+    )
+    med = (
+        r.where(
+            (F.col("rn") == F.expr("(c + 1) div 2"))
+            | (F.col("rn") == F.expr("(c + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("slope_i")
+                * F.when(F.col("c") % 2 == 1, 2).otherwise(1)
+            )
+            .cast("long")
+            .alias("med_x2")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return (
+        nd.join(F.broadcast(st), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "mk_s",
+            (
+                F.col("med_x2").cast("double")
+                / F.lit(2.0 * TS_SLOPE_SCALE)
+            ).alias("theil_slope"),
+        )
+    )
+
+
+# Shared Spearman ρ text: identical expression evaluated by both engines
+# over double-cast integer rank sums (the `_CC_FORMULAS` discipline), with
+# the zero-variance guard decided on EXACT int64 products (a float epsilon
+# test could disagree at the boundary).
+_SPEARMAN_RHO = (
+    "CASE WHEN vx > 0 AND vy > 0 THEN"
+    " round((sxy - sx * sy / nd)"
+    " / sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd)), 4) + 0.0 END"
+)
+
+
+@register(
+    "agg_spearman_rank",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    {SQL_DAILY},
+    rk AS (
+        SELECT event_type,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+                 + count(*) OVER (PARTITION BY event_type, n) - 1 AS rx2,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+                 + count(*) OVER (PARTITION BY event_type, v) - 1 AS ry2
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(rx2) AS DOUBLE) AS sx,
+               CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+               CAST(sum(ry2) AS DOUBLE) AS sy,
+               CAST(sum(ry2 * ry2) AS DOUBLE) AS syy,
+               CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy,
+               count(*) * sum(rx2 * rx2) - sum(rx2) * sum(rx2) AS vx,
+               count(*) * sum(ry2 * ry2) - sum(ry2) * sum(ry2) AS vy
+        FROM rk GROUP BY event_type
+    )
+    SELECT event_type, n_days, {_SPEARMAN_RHO} AS spearman_rho
+    FROM s
+    """,
+)
+def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event VOLUME and daily
+    event VALUE per type — "do busy days also move more value, in any
+    monotone way?". The rank-based twin of `agg_corr_cov`'s Pearson:
+    immune to outliers and to any monotone transform of either series;
+    together with `ts_theil_sen`'s Mann–Kendall S this is the standard
+    nonparametric toolkit over rate series.
+
+    EXACT with midrank ties entirely in int64: the average rank of a
+    tied run equals min-rank + (ties−1)/2, so TWICE it — 2·rank() +
+    count(ties) − 1 — is an integer; Pearson on ranks is scale-invariant,
+    so ρ over the doubled ranks is ρ over the true average ranks. All
+    sums are exact int64 (days ≤ 10⁴ → every product < 2⁶³), the shared
+    `_SPEARMAN_RHO` text is the only float expression, and degenerate
+    (zero-rank-variance) groups emit NULL by exact integer test.
+
+    Scale shape: corpus → calendar-bounded daily relation (one hash
+    agg), rank windows partitioned by event_type over days-sized input,
+    one final types-sized agg. No corpus-scale window or sort anywhere."""
+    daily = _daily(spark, sf_dir)
+    def r2(col: str) -> Column:
+        wr = Window.partitionBy("event_type").orderBy(col)
+        wt = Window.partitionBy("event_type", col)
+        return 2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+
+    rk = daily.select(
+        "event_type",
+        r2("n").alias("rx2"),
+        r2("v").alias("ry2"),
+    )
+    s = rk.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+        (
+            F.count("*") * F.sum(F.col("rx2") * F.col("rx2"))
+            - F.sum("rx2") * F.sum("rx2")
+        ).alias("vx"),
+        (
+            F.count("*") * F.sum(F.col("ry2") * F.col("ry2"))
+            - F.sum("ry2") * F.sum("ry2")
+        ).alias("vy"),
+    )
+    return s.select(
+        "event_type", "n_days", F.expr(_SPEARMAN_RHO).alias("spearman_rho")
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    {SQL_DAILY},
+    ma AS (
+        SELECT event_type, d, dd, n,
+               isodow(d) - 1 AS dow,
+               sum(n) OVER w7 AS t7,
+               count(*) OVER w7 AS c7,
+               lag(dd, 3) OVER wo AS dd_m3,
+               lead(dd, 3) OVER wo AS dd_p3
+        FROM daily
+        WINDOW wo AS (PARTITION BY event_type ORDER BY dd),
+               w7 AS (PARTITION BY event_type ORDER BY dd
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    valid AS (
+        SELECT event_type, dow, n, 7 * n - t7 AS detr_x7
+        FROM ma WHERE c7 = 7 AND dd_p3 - dd_m3 = 6
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           {sql_ratio("sum(n)", "count(*)")} AS mean_n,
+           {sql_sratio("sum(detr_x7)", "7 * count(*)")} AS seasonal
+    FROM valid
+    GROUP BY event_type, dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event rate:
+    trend = centered 7-day moving average, seasonal index per (type,
+    day-of-week) = mean of the detrended residual — the "is Monday
+    really our slow day, net of growth" profile that `events_hour_heatmap`
+    gives for hours and this op gives for the weekly cycle, with the
+    trend removed so a growing corpus doesn't masquerade as seasonality.
+
+    EXACT: the MA is kept as the integer 7-day sum (detrended_x7 =
+    7·n − Σ₇n, no division until the final report), centers are only
+    accepted when all 7 CALENDAR days are present (window count = 7 AND
+    lead₃ − lag₃ = 6 — a row count alone would silently span gaps), and
+    the per-dow means are boundary-proof signed integer quotients
+    (`sratio`). Day-of-week is Spark `weekday` == DuckDB `isodow − 1`
+    (0 = Monday), pinned here since the engines' default dow differ.
+
+    Scale shape: corpus → calendar-bounded daily relation, ONE ordered
+    window pass per type (both specs share the (type | dd) sort), one
+    types×7-sized final agg. Cost independent of raw event volume."""
+    daily = _daily(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("dd")
+    w7 = wo.rowsBetween(-3, 3)
+    ma = daily.select(
+        "event_type",
+        F.weekday("d").alias("dow"),
+        "n",
+        F.sum("n").over(w7).alias("t7"),
+        F.count("*").over(w7).alias("c7"),
+        F.lag("dd", 3).over(wo).alias("dd_m3"),
+        F.lead("dd", 3).over(wo).alias("dd_p3"),
+    )
+    valid = ma.where(
+        (F.col("c7") == 7) & (F.col("dd_p3") - F.col("dd_m3") == 6)
+    ).select(
+        "event_type", "dow", "n", (7 * F.col("n") - F.col("t7")).alias("detr_x7")
+    )
+    return valid.groupBy("event_type", F.col("dow").cast("int").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        ratio(F.sum("n"), F.count("*")).alias("mean_n"),
+        sratio(F.sum("detr_x7"), 7 * F.count("*")).alias("seasonal"),
+    )

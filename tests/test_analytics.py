@@ -745,3 +745,128 @@ def test_mad_anomaly_matches_python_medians(spark, sf_dir):
                 assert r.is_anomaly == (abs(rz) > 3.5)
             else:
                 assert r.robust_z is None and r.is_anomaly is False
+
+
+def _write_daily(tmp_path, name, days):
+    """events.parquet with controlled daily composition.
+
+    days: list of (day_idx, n_events, per_event_value) — one entry per
+    calendar day starting 2024-01-01 (a Monday, so dow == day_idx % 7)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    eid, ts, uid, typ, val = [], [], [], [], []
+    i = 0
+    for day, n, v in days:
+        for k in range(n):
+            eid.append(i)
+            ts.append(t0 + dt.timedelta(days=day, seconds=k))
+            uid.append(k % 5)
+            typ.append("view")
+            val.append(float(v))
+            i += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(typ, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array(["{}"] * len(eid), pa.string()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_theil_sen_planted_linear_trend(spark, tmp_path):
+    """n_d = 10 + 3d for 15 days: every pairwise slope is exactly 3, so
+    the median slope is 3.0, Mann–Kendall S saturates at n_pairs, and
+    n_pairs = C(15,2)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_theil_sen
+
+    d = _write_daily(
+        tmp_path, "tsen", [(i, 10 + 3 * i, 1.0) for i in range(15)]
+    )
+    r = ts_theil_sen(spark, d).collect()[0]
+    assert r.n_days == 15
+    assert r.n_pairs == 15 * 14 // 2
+    assert r.mk_s == r.n_pairs  # strictly increasing everywhere
+    assert r.theil_slope == 3.0
+
+
+def test_theil_sen_outlier_resistant(spark, tmp_path):
+    """One 100× spike day in an otherwise flat series must leave the
+    median slope at 0 (the estimator's whole point; OLS would tilt)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_theil_sen
+
+    days = [(i, 20, 1.0) for i in range(21)]
+    days[10] = (10, 2000, 1.0)  # spike
+    d = _write_daily(tmp_path, "tsen_out", days)
+    r = ts_theil_sen(spark, d).collect()[0]
+    assert r.theil_slope == 0.0
+    # spike contributes +10 rises then -10 falls: S nets to zero too
+    assert r.mk_s == 0
+
+
+def test_spearman_perfect_antimonotone(spark, tmp_path):
+    """Daily value totals ranked exactly opposite to daily counts →
+    ρ = −1.0 (and the monotone twin → +1.0)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        agg_spearman_rank,
+    )
+
+    # counts [5,8,2,10,4] rank [3,4,1,5,2]; per-event values chosen so
+    # daily SUMS are [30,20,50,10,40] dollars — v ranks [3,2,5,1,4],
+    # the exact reverse (6 − rank) of the count ranks
+    n = [5, 8, 2, 10, 4]
+    per = [6.0, 2.5, 25.0, 1.0, 10.0]
+    d = _write_daily(
+        tmp_path, "sp_anti", [(i, n[i], per[i]) for i in range(5)]
+    )
+    r = agg_spearman_rank(spark, d).collect()[0]
+    assert r.n_days == 5
+    assert r.spearman_rho == -1.0
+
+    d2 = _write_daily(
+        tmp_path, "sp_mono", [(i, n[i], 1.0) for i in range(5)]
+    )
+    r2 = agg_spearman_rank(spark, d2).collect()[0]
+    assert r2.spearman_rho == 1.0
+
+
+def test_spearman_constant_series_is_null(spark, tmp_path):
+    """Zero rank variance (all days identical) → NULL, not NaN/±inf."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        agg_spearman_rank,
+    )
+
+    d = _write_daily(tmp_path, "sp_const", [(i, 7, 1.0) for i in range(6)])
+    r = agg_spearman_rank(spark, d).collect()[0]
+    assert r.spearman_rho is None
+
+
+def test_seasonal_decompose_planted_weekly_bump(spark, tmp_path):
+    """Flat 100/day with a +7 Monday bump over 4 full weeks: trend MA is
+    constant, so seasonal recovers exactly +6.0 on Monday and −1.0 on
+    the other six days (indices sum to zero per week)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        ts_seasonal_decompose,
+    )
+
+    days = [(i, 100 + (7 if i % 7 == 0 else 0), 1.0) for i in range(28)]
+    d = _write_daily(tmp_path, "seas", days)
+    rows = {r.dow: r for r in ts_seasonal_decompose(spark, d).collect()}
+    assert set(rows) == set(range(7))
+    # 2024-01-01 is a Monday → dow 0 carries the bump
+    assert rows[0].seasonal == 6.0
+    for k in range(1, 7):
+        assert rows[k].seasonal == -1.0
+    # valid centers are days 3..24 → at least 3 full weeks per dow
+    assert all(r.n_weeks >= 3 for r in rows.values())
+    assert rows[0].mean_n == 107.0 and rows[1].mean_n == 100.0
