@@ -29,7 +29,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .parity import SQL_EVENTS_US, ratio, sql_epoch_s, sql_ratio, sql_sratio, sratio
+from .parity import (
+    SQL_EVENTS_US,
+    ratio,
+    ravg,
+    sql_epoch_s,
+    sql_ratio,
+    sql_ravg,
+    sql_sratio,
+    sratio,
+)
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 
@@ -3822,4 +3831,253 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_weeks"),
         ratio(F.sum("n"), F.count("*")).alias("mean_n"),
         sratio(F.sum("detr_x7"), 7 * F.count("*")).alias("seasonal"),
+    )
+
+
+# --- Deterministic Poisson bootstrap ---------------------------------------
+BOOT_B = 40  # bootstrap replicates (≤ 64, the xhash family size)
+_BOOT_M = 1 << 20  # uniform lattice: u = (h % M + 1) / (M + 2)
+# P(Poisson(1) ≤ k) for k = 0..5, computed ONCE in Python and embedded as
+# identical literal text in both engines (tail mass beyond 6 ≈ 1e-4 — the
+# standard truncation; both engines compare the same double to the same
+# literal, so the drawn counts are bit-identical).
+import math as _math
+
+_POIS_CDF = [
+    _math.exp(-1.0) * sum(1.0 / _math.factorial(i) for i in range(k + 1))
+    for k in range(6)
+]
+
+
+def _boot_oracle() -> str:
+    from ..xhash import A as _XA, B as _XB, C as _XC, XH_P
+    from ..xhash import xh1_sql, xh2_sql
+
+    key = "l_orderkey || '|' || l_linenumber"
+    vals = ", ".join(
+        f"({b}, {_XA[b]}, {_XC[b]}, {_XB[b]})" for b in range(BOOT_B)
+    )
+    u = (
+        f"((((ab * x1 + cb * x2 + bb) % {XH_P}) % {_BOOT_M}) + 1)"
+        f" / {float(_BOOT_M + 2)!r}"
+    )
+    w = " + ".join(
+        f"(CASE WHEN {u} > {c!r} THEN 1 ELSE 0 END)" for c in _POIS_CDF
+    )
+    return f"""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               {xh1_sql(key)} AS x1,
+               {xh2_sql(key)} AS x2
+        FROM lineitem
+    ),
+    reps AS (SELECT * FROM (VALUES {vals}) AS t(b, ab, cb, bb)),
+    drawn AS (
+        SELECT l_returnflag, b, q, ({w}) AS w
+        FROM base CROSS JOIN reps
+    ),
+    means AS (
+        SELECT l_returnflag, b,
+               CAST(sum(w * q) AS BIGINT) AS swq,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM drawn GROUP BY l_returnflag, b
+        HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT l_returnflag,
+               {sql_ratio("swq", "100 * sw")} AS mean_b,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY {sql_ratio("swq", "100 * sw")}, b)
+                   AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS c
+        FROM means
+    ),
+    boot AS (
+        SELECT l_returnflag,
+               CAST(max(c) AS BIGINT) AS n_reps,
+               max(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+               max(CASE WHEN rn = c - 1 THEN mean_b END) AS boot_hi
+        FROM ranked GROUP BY l_returnflag
+    ),
+    pt AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_ravg("l_quantity", "mean_qty")}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT pt.l_returnflag, pt.n_rows, pt.mean_qty,
+           boot.n_reps, boot.boot_lo, boot.boot_hi
+    FROM pt JOIN boot USING (l_returnflag)
+    """
+
+
+@register("agg_bootstrap_ci", oracle=_boot_oracle())
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean
+    quantity — DERANDOMIZED: replicate b resamples each row with a
+    Poisson(1) count drawn from the b-th xhash family member of the row
+    key, so the interval is uniform-hash-random yet reproducible across
+    runs, engines and re-shards (the `agg_reservoir_hash_sample`
+    discipline applied to the resampling-inference primitive; Poisson
+    bootstrap is the standard streaming/distributed form — per-row
+    independent draws need no global n, Chamandy et al., Google 2012,
+    public method).
+
+    Parity: the uniform is the same lattice form as the DSIR Gumbel
+    (identical int hash → identical double), the Poisson inverse-CDF is
+    {BOOT_B} comparisons against Python-literal thresholds shared by both
+    engines, replicate means are boundary-proof integer quotients
+    (`ratio`), and the CI endpoints are POSITION-PICKED replicate means
+    (rank 2 / rank B−1 of {BOOT_B} — a ~[2.6%, 97.4%] interval), never an
+    interpolated percentile.
+
+    Scale shape: ONE char-fold per row, then the {BOOT_B}× expansion is a
+    map-side Generate feeding a partial-aggregable (group, b) hash agg —
+    shuffled rows = groups × {BOOT_B}, independent of corpus size; the
+    ranking window runs on that bounded relation. At 100 TB with
+    `SPARK_GRAFT_XXHASH=1` the fold becomes one native xxhash64 call."""
+    from ..xhash import A as _XA, B as _XB, C as _XC, XH_P, xh1, xh2
+
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q"),
+        xh1(key).alias("x1"),
+        xh2(key).alias("x2"),
+    )
+    reps = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.lit(_XA[b]).alias("ab"),
+                    F.lit(_XC[b]).alias("cb"),
+                    F.lit(_XB[b]).alias("bb"),
+                )
+                for b in range(BOOT_B)
+            ]
+        )
+    ).alias("r")
+    drawn = base.select("l_returnflag", "q", "x1", "x2", reps).select(
+        "l_returnflag",
+        "q",
+        F.col("r.b").alias("b"),
+        (
+            (
+                (
+                    F.col("r.ab") * F.col("x1")
+                    + F.col("r.cb") * F.col("x2")
+                    + F.col("r.bb")
+                )
+                % F.lit(XH_P)
+                % F.lit(_BOOT_M)
+                + 1
+            )
+            / F.lit(float(_BOOT_M + 2))
+        ).alias("u"),
+    )
+    w = sum(
+        (
+            F.when(F.col("u") > F.lit(c), 1).otherwise(0)
+            for c in _POIS_CDF
+        ),
+        start=F.lit(0),
+    )
+    means = (
+        drawn.withColumn("w", w)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("q")).cast("long").alias("swq"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "l_returnflag",
+            "b",
+            ratio(F.col("swq"), 100 * F.col("sw")).alias("mean_b"),
+        )
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy("mean_b", "b")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = means.select(
+        "l_returnflag",
+        "mean_b",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("c"),
+    )
+    boot = ranked.groupBy("l_returnflag").agg(
+        F.max("c").cast("long").alias("n_reps"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("boot_lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("c") - 1, F.col("mean_b"))
+        ).alias("boot_hi"),
+    )
+    pt = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        ravg("l_quantity", "mean_qty"),
+    )
+    return pt.join(F.broadcast(boot), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "mean_qty",
+        "n_reps",
+        "boot_lo",
+        "boot_hi",
+    )
+
+
+@register(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    seq AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1 || ' > ' || t2 || ' > ' || t3
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral path mining: every consecutive event-type
+    trigram per user, counted corpus-wide — the "what do users actually
+    do around a purchase" sequence table one order up from
+    `events_markov_transitions`' 2-step transition matrix (a first-order
+    Markov chain cannot distinguish view→click→purchase from
+    search→click→purchase; the trigram table can).
+
+    Scale shape: ONE window pass per user — both lead() calls share the
+    (user_id | ts, event_id) spec, the same single Exchange the
+    sessionize/funnel/attribution family rides — then a hash agg keyed on
+    the trigram whose output is bounded by |type vocabulary|³, with the
+    per-path distinct-user count shuffling (path, user) pairs at most
+    once. No joins, no corpus-scale sort."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "t1", "t2", "t3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
     )

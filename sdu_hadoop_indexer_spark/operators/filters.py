@@ -188,3 +188,109 @@ def sub_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# --- CIDR blocklist screening (round 15) -----------------------------------
+# The standard crawl-ingest blocklist: private/reserved IPv4 space plus a
+# CGNAT band. Parsed ONCE in Python (stdlib ipaddress) into inclusive
+# [lo, hi] uint32 ranges embedded as literals in both engines.
+import ipaddress as _ipaddress
+
+CIDR_BLOCKLIST = [
+    ("bogon-0", "0.0.0.0/8"),
+    ("private-10", "10.0.0.0/8"),
+    ("cgnat-100.64", "100.64.0.0/10"),
+    ("loopback-127", "127.0.0.0/8"),
+    ("linklocal-169.254", "169.254.0.0/16"),
+    ("private-172.16", "172.16.0.0/12"),
+    ("private-192.168", "192.168.0.0/16"),
+    ("multicast-224", "224.0.0.0/4"),
+]
+_CIDR_RANGES = [
+    (
+        name,
+        int(_ipaddress.ip_network(cidr)[0]),
+        int(_ipaddress.ip_network(cidr)[-1]),
+    )
+    for name, cidr in CIDR_BLOCKLIST
+]
+
+
+def _ip_blocklist_oracle() -> str:
+    from ..xhash import XH_P, xh1_sql, xh2_sql
+
+    key = "user_id || '|ip'"
+    vals = ", ".join(
+        f"('{n}', {lo}::BIGINT, {hi}::BIGINT)" for n, lo, hi in _CIDR_RANGES
+    )
+    return f"""
+    WITH ips AS (
+        SELECT user_id,
+               ({xh1_sql(key)} * {XH_P} + {xh2_sql(key)}) % 4294967296
+                   AS ip
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    ranges AS (SELECT * FROM (VALUES {vals}) AS t(block, lo, hi)),
+    tagged AS (
+        SELECT e.user_id, coalesce(r.block, 'allowed') AS block
+        FROM events e
+        JOIN ips USING (user_id)
+        LEFT JOIN ranges r ON ips.ip BETWEEN r.lo AND r.hi
+    )
+    SELECT block, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tagged GROUP BY block
+    """
+
+
+@register("filter_ip_blocklist", oracle=_ip_blocklist_oracle())
+def filter_ip_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR blocklist screening — the crawl-ingest gate that drops or
+    quarantines traffic from reserved/private IPv4 space before any
+    content processing. Client IPs are SYNTHESIZED deterministically from
+    user_id (the fixture carries no IP column — the `dedup_url_canonical`
+    synthesis pattern: two independent xhash folds packed and folded onto
+    the full 2³² address space, identical integers in both engines), then
+    screened against a Python-literal blocklist of [lo, hi] uint32 ranges.
+
+    Scale shape: the blocklist is 8 rows BROADCAST into a range join —
+    a BroadcastNestedLoopJoin whose build side is constant-sized, i.e. a
+    map-side interval probe, NOT a corpus×corpus cartesian (the ranges
+    are disjoint, so the left join emits exactly one row per input and
+    the probe could equally compile to a bsearch; at 8 ranges the linear
+    probe is already cheaper than the shuffle a repartition-range join
+    would pay). Per-user fold computed once on the users-sized distinct
+    relation, joined back user-keyed. Output bounded by |blocklist| + 1."""
+    from ..xhash import XH_P, xh1, xh2
+
+    ev = table(spark, sf_dir, "events")
+    key = F.concat(F.col("user_id").cast("string"), F.lit("|ip"))
+    ips = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((xh1(key) * F.lit(XH_P) + xh2(key)) % F.lit(2**32)).alias(
+                "ip"
+            ),
+        )
+    )
+    ranges = spark.createDataFrame(
+        _CIDR_RANGES, "block string, lo long, hi long"
+    )
+    tagged = (
+        ev.select("user_id")
+        .join(ips, "user_id")
+        .join(
+            F.broadcast(ranges),
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+            "left",
+        )
+        .select(
+            "user_id", F.coalesce("block", F.lit("allowed")).alias("block")
+        )
+    )
+    return tagged.groupBy("block").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

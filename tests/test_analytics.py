@@ -870,3 +870,94 @@ def test_seasonal_decompose_planted_weekly_bump(spark, tmp_path):
     # valid centers are days 3..24 → at least 3 full weeks per dow
     assert all(r.n_weeks >= 3 for r in rows.values())
     assert rows[0].mean_n == 107.0 and rows[1].mean_n == 100.0
+
+
+def test_bootstrap_ci_brackets_and_orders(spark, sf_dir):
+    """CI endpoints bracket the full-sample mean on the fixture, are
+    ordered, and the replicate count is the declared B."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        BOOT_B,
+        agg_bootstrap_ci,
+    )
+
+    rows = agg_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_reps == BOOT_B
+        assert r.boot_lo <= r.boot_hi
+        # B=40 hash-Poisson replicate means around a ~2000-row group mean:
+        # the 2.6–97.4% interval bracketing the point estimate is the
+        # expected behavior this op exists to report
+        assert r.boot_lo <= r.mean_qty <= r.boot_hi
+
+
+def test_bootstrap_ci_constant_column_degenerate(spark, tmp_path):
+    """All-constant quantity → every replicate mean is that constant, so
+    the interval collapses to [c, c] exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_bootstrap_ci
+
+    n = 500
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(n), pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([1] * n, pa.int32()),
+            "l_quantity": pa.array([7.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["A"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "boot_const"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    r = agg_bootstrap_ci(spark, str(d)).collect()[0]
+    assert r.mean_qty == 7.0
+    assert r.boot_lo == 7.0 and r.boot_hi == 7.0
+
+
+def test_path_trigrams_mass_conservation(spark, sf_dir):
+    """Each user with c events contributes exactly max(0, c−2) trigrams,
+    and per-path distinct users never exceed occurrences."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        events_path_trigrams,
+    )
+
+    tri = events_path_trigrams(spark, sf_dir).collect()
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    expected = sum(max(0, r["count"] - 2) for r in per_user)
+    assert sum(r.n_occurrences for r in tri) == expected
+    assert all(1 <= r.n_users <= r.n_occurrences for r in tri)
+    assert all(len(r.path.split(" > ")) == 3 for r in tri)
+
+
+def test_ip_blocklist_partition_and_determinism(spark, sf_dir):
+    """The screen is a partition of the corpus (disjoint CIDRs → every
+    event counted exactly once) over the declared label vocabulary, and
+    the hash-synthesized IPs make it bit-reproducible."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.filters import (
+        CIDR_BLOCKLIST,
+        filter_ip_blocklist,
+    )
+
+    rows = filter_ip_blocklist(spark, sf_dir).collect()
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    names = {n for n, _ in CIDR_BLOCKLIST} | {"allowed"}
+    assert {r.block for r in rows} <= names
+    again = {r.block: r.n_events for r in filter_ip_blocklist(spark, sf_dir).collect()}
+    assert again == {r.block: r.n_events for r in rows}
