@@ -3106,3 +3106,119 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+CN_MIN = 2  # common-neighbor evidence floor for a predicted link
+
+
+def _common_neighbors_oracle() -> str:
+    return f"""
+    WITH {DSET_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    e0 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v
+        FROM pairs
+        JOIN tsize sa ON doc_a = sa.doc_id
+        JOIN tsize sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {JACCARD_TAU}
+    ),
+    dg0 AS MATERIALIZED (
+        SELECT d, count(*) AS dg FROM (
+            SELECT u AS d FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY d
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v FROM e0
+        JOIN dg0 du ON e0.u = du.d JOIN dg0 dv ON e0.v = dv.d
+        WHERE du.dg <= 64 AND dv.dg <= 64
+    ),
+    deg AS MATERIALIZED (
+        SELECT d, CAST(count(*) AS BIGINT) AS dg FROM (
+            SELECT u AS d FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY d
+    ),
+    adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    cn AS (
+        SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common_n
+        FROM adj n1 JOIN adj n2 ON n1.a = n2.a AND n1.b < n2.b
+        GROUP BY n1.b, n2.b
+    ),
+    pred AS (
+        SELECT cn.x AS doc_a, cn.y AS doc_b, cn.common_n
+        FROM cn LEFT JOIN e ON cn.x = e.u AND cn.y = e.v
+        WHERE e.u IS NULL AND cn.common_n >= {CN_MIN}
+    )
+    SELECT p.doc_a, p.doc_b, p.common_n,
+           da.dg AS deg_a, db.dg AS deg_b,
+           {sql_ratio("p.common_n", "da.dg + db.dg - p.common_n")}
+               AS nbr_jaccard
+    FROM pred p JOIN deg da ON p.doc_a = da.d JOIN deg db ON p.doc_b = db.d
+    """
+
+
+@register("graph_common_neighbors", oracle=_common_neighbors_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the degree-capped τ=0.9
+    similarity graph (Liben-Nowell & Kleinberg 2003, the baseline the
+    link-prediction literature measures against): NON-adjacent pairs
+    sharing ≥ {CN_MIN} neighbors, scored by neighborhood Jaccard
+    |Γa∩Γb| / |Γa∪Γb|. On a dedup graph these are the "about to be
+    duplicates" pairs — two docs each near-identical to the same third
+    doc(s) but falling just under τ between themselves — the review
+    queue a curation run reads next to the hard `dedup_near_jaccard`
+    edges.
+
+    EXACT all-integer: wedge counts and degrees are int64, the score is
+    the boundary-proof `ratio` quotient (|Γa∪Γb| = dga + dgb − cn by
+    inclusion-exclusion on the capped graph).
+
+    Scale shape: reuses the memoized capped edge relation; the wedge
+    self-join fans out ≤ 64 per center node by the degree cap (the
+    triangle counter's bound — ≤ m×64 wedge rows at ANY corpus size);
+    the existing-edge screen is a left-anti equi-join; degree joins are
+    node-keyed equi-joins. No cartesian, no window."""
+    e = _capped_edges_persisted(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("d"))
+        .unionAll(e.select(F.col("v").alias("d")))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    n1 = adj.select(F.col("a"), F.col("b").alias("x"))
+    n2 = adj.select(F.col("a"), F.col("b").alias("y"))
+    cn = (
+        n1.join(n2, "a")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("common_n"))
+        .where(F.col("common_n") >= CN_MIN)
+    )
+    pred = cn.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("d").alias("x"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("d").alias("y"), F.col("dg").alias("deg_b"))
+    return (
+        pred.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "common_n",
+            "deg_a",
+            "deg_b",
+            ratio(
+                F.col("common_n"),
+                F.col("deg_a") + F.col("deg_b") - F.col("common_n"),
+            ).alias("nbr_jaccard"),
+        )
+    )

@@ -4081,3 +4081,98 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# Shared one-way ANOVA texts (the `_CC_FORMULAS` discipline): the
+# between-group sum Σ s_g²/n_g is written as an EXPLICIT fixed-order
+# three-term expression — a cross-group float sum() would be
+# partial-order-dependent across engines, an enumerated a+n+r chain is
+# evaluated left-to-right identically by both. k = 3 (the TPC-H
+# returnflag domain {A, N, R}, asserted by the n_a/n_n/n_r guard).
+_ANOVA_SSB = (
+    "(sa * sa / na + sn * sn / nn + sr * sr / nr"
+    " - (sa + sn + sr) * (sa + sn + sr) / (na + nn + nr))"
+)
+_ANOVA_SSW = "(ssq - (sa * sa / na + sn * sn / nn + sr * sr / nr))"
+_ANOVA_F = (
+    f"CASE WHEN na > 0 AND nn > 0 AND nr > 0 AND {_ANOVA_SSW} > 0 THEN"
+    f" round(({_ANOVA_SSB} / 2) / ({_ANOVA_SSW} / (na + nn + nr - 3)), 4)"
+    " + 0.0 END"
+)
+_ANOVA_ETA = (
+    f"CASE WHEN na > 0 AND nn > 0 AND nr > 0"
+    f" AND {_ANOVA_SSB} + {_ANOVA_SSW} > 0 THEN"
+    f" round({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6) + 0.0 END"
+)
+
+
+@register(
+    "agg_anova_oneway",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(count(*) FILTER (l_returnflag = 'A') AS DOUBLE) AS na,
+               CAST(count(*) FILTER (l_returnflag = 'N') AS DOUBLE) AS nn,
+               CAST(count(*) FILTER (l_returnflag = 'R') AS DOUBLE) AS nr,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    FILTER (l_returnflag = 'A') AS DOUBLE) AS sa,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    FILTER (l_returnflag = 'N') AS DOUBLE) AS sn,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    FILTER (l_returnflag = 'R') AS DOUBLE) AS sr,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                   AS ssq
+        FROM lineitem
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nn AS BIGINT) AS n_n,
+           CAST(nr AS BIGINT) AS n_r,
+           {_ANOVA_F} AS f_stat,
+           {_ANOVA_ETA} AS eta_sq
+    FROM s
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of mean quantity across the three returnflag
+    populations — the k-group generalization of `agg_welch_ttest`'s
+    two-sample comparison, plus η² (SSB/SST), the standard effect-size
+    readout ("how much of the variance is BETWEEN groups").
+
+    EXACT: quantities are fixture-integer, so every accumulated sum
+    (n_g, Σq, Σq², via decimal partials that cannot overflow at 100 TB)
+    is exact; the F and η² expressions are SHARED formula text over those
+    sums cast to double, with the between-group term an enumerated
+    fixed-order three-term chain (a float sum() across groups would be
+    partial-order-dependent; a+n+r left-to-right is engine-identical).
+    Degenerate inputs (a missing group, zero within-variance) emit NULL
+    by exact predicate, not ±inf.
+
+    Scale shape: ONE partial→final HashAggregate over the corpus with
+    FILTER clauses doing the group pivot map-side — no groupBy+collect,
+    no second pass, output is a single row at any corpus size."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity"), 0).cast("long")
+    dec = "decimal(38,0)"
+
+    def fsum(col: Column, flag: str) -> Column:
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, col)
+            .otherwise(F.lit(0))
+            .cast(dec)
+        ).cast("double")
+
+    s = li.agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).cast("double").alias("na"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).cast("double").alias("nn"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("double").alias("nr"),
+        fsum(q, "A").alias("sa"),
+        fsum(q, "N").alias("sn"),
+        fsum(q, "R").alias("sr"),
+        F.sum((q * q).cast(dec)).cast("double").alias("ssq"),
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nn").cast("long").alias("n_n"),
+        F.col("nr").cast("long").alias("n_r"),
+        F.expr(_ANOVA_F).alias("f_stat"),
+        F.expr(_ANOVA_ETA).alias("eta_sq"),
+    )

@@ -961,3 +961,76 @@ def test_ip_blocklist_partition_and_determinism(spark, sf_dir):
     assert {r.block for r in rows} <= names
     again = {r.block: r.n_events for r in filter_ip_blocklist(spark, sf_dir).collect()}
     assert again == {r.block: r.n_events for r in rows}
+
+
+def test_anova_matches_numpy_reference(spark, sf_dir):
+    """F and η² must equal an independent numpy recomputation of the
+    textbook one-way decomposition on the same data."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_anova_oneway
+
+    import numpy as np
+
+    r = agg_anova_oneway(spark, sf_dir).collect()[0]
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    groups = {}
+    for x in rows:
+        groups.setdefault(x.l_returnflag, []).append(round(x.l_quantity))
+    assert {r.n_a, r.n_n, r.n_r} == {len(groups[g]) for g in "ANR"}
+    arrs = [np.array(groups[g], dtype=np.float64) for g in "ANR"]
+    allv = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - allv.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f_ref = (ssb / 2) / (ssw / (len(allv) - 3))
+    eta_ref = ssb / (ssb + ssw)
+    assert abs(r.f_stat - round(f_ref, 4)) < 5e-4
+    assert abs(r.eta_sq - round(eta_ref, 6)) < 5e-6
+
+
+def test_anova_planted_separation_and_degenerate(spark, tmp_path):
+    """Fully separated constant groups → SSW = 0 → F is NULL by guard
+    while η² = 1.0 exactly; a single shared constant everywhere → both
+    NULL (no 0/0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_anova_oneway
+
+    def li_table(quantities, flags):
+        n = len(quantities)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(range(n), pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([float(q) for q in quantities]),
+                "l_extendedprice": pa.array([1.0] * n),
+                "l_discount": pa.array([0.0] * n),
+                "l_tax": pa.array([0.0] * n),
+                "l_returnflag": pa.array(flags, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+            }
+        )
+
+    d1 = tmp_path / "sep"
+    d1.mkdir()
+    pq.write_table(
+        li_table([10] * 4 + [20] * 4 + [30] * 4, ["A"] * 4 + ["N"] * 4 + ["R"] * 4),
+        str(d1 / "lineitem.parquet"),
+    )
+    r = agg_anova_oneway(spark, str(d1)).collect()[0]
+    assert r.f_stat is None and r.eta_sq == 1.0
+
+    d2 = tmp_path / "flat"
+    d2.mkdir()
+    pq.write_table(
+        li_table([7] * 12, ["A", "N", "R"] * 4), str(d2 / "lineitem.parquet")
+    )
+    r2 = agg_anova_oneway(spark, str(d2)).collect()[0]
+    assert r2.f_stat is None and r2.eta_sq is None

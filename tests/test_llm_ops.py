@@ -1899,3 +1899,38 @@ def test_dsir_resample_eval_shifts_toward_target(spark, sf_dir):
     for r in rows.values():
         assert abs(r.corpus_share - r.n_corpus / n_docs) < 1e-3
         assert abs(r.sample_share - r.n_sample / curation.RESAMPLE_K) < 1e-3
+
+
+def test_common_neighbors_matches_python_recompute(spark, sf_dir):
+    """Predicted links recomputed from the SAME capped edge relation in
+    plain Python (adjacency dict → wedge count → non-edge screen) must
+    match the op exactly — pairs, counts, degrees, and the Jaccard
+    quotient's half-away rounding."""
+    from sdu_hadoop_indexer_spark.llm.dedup import (
+        CN_MIN,
+        _capped_edges_persisted,
+        graph_common_neighbors,
+    )
+
+    edges = {
+        (r.u, r.v) for r in _capped_edges_persisted(spark, sf_dir).collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = {}
+    for a, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, x in enumerate(ns):
+            for y in ns[i + 1 :]:
+                if (x, y) not in edges:
+                    expected[(x, y)] = expected.get((x, y), 0) + 1
+    expected = {p: c for p, c in expected.items() if c >= CN_MIN}
+
+    got = graph_common_neighbors(spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b): r.common_n for r in got} == expected
+    for r in got:
+        assert r.deg_a == len(adj[r.doc_a]) and r.deg_b == len(adj[r.doc_b])
+        den = r.deg_a + r.deg_b - r.common_n
+        assert r.nbr_jaccard == (r.common_n * 20000 + den) // (2 * den) / 10000
