@@ -4176,3 +4176,161 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ANOVA_F).alias("f_stat"),
         F.expr(_ANOVA_ETA).alias("eta_sq"),
     )
+
+
+# Shared lag-1 Granger texts over the ten exact sums cast to double
+# (n, sy, su, sv, syy, suu, svv, syu, syv, suv) — y = today's purchase
+# count, u = yesterday's purchase count, v = yesterday's click count.
+# Centered moments, the 2×2 normal-equation solve (Cramer), and the
+# R²/F-change readouts are ONE expression text evaluated by both engines;
+# every guard reads the same computed doubles, so the NULL boundary can
+# never disagree between engines.
+_GR_C = {
+    "cyy": "(syy - sy * sy / n)",
+    "cuu": "(suu - su * su / n)",
+    "cvv": "(svv - sv * sv / n)",
+    "cyu": "(syu - sy * su / n)",
+    "cyv": "(syv - sy * sv / n)",
+    "cuv": "(suv - su * sv / n)",
+}
+_GR_DET = f"({_GR_C['cuu']} * {_GR_C['cvv']} - {_GR_C['cuv']} * {_GR_C['cuv']})"
+_GR_B = (
+    f"(({_GR_C['cyu']} * {_GR_C['cvv']} - {_GR_C['cyv']} * {_GR_C['cuv']})"
+    f" / {_GR_DET})"
+)
+_GR_CC = (
+    f"(({_GR_C['cyv']} * {_GR_C['cuu']} - {_GR_C['cyu']} * {_GR_C['cuv']})"
+    f" / {_GR_DET})"
+)
+_GR_SSRF = f"({_GR_B} * {_GR_C['cyu']} + {_GR_CC} * {_GR_C['cyv']})"
+_GR_RSSR = f"({_GR_C['cyy']} - {_GR_C['cyu']} * {_GR_C['cyu']} / {_GR_C['cuu']})"
+_GR_RSSF = f"({_GR_C['cyy']} - {_GR_SSRF})"
+_GR_OK = (
+    f"n > 3 AND {_GR_C['cyy']} > 0 AND {_GR_C['cuu']} > 0"
+    f" AND {_GR_DET} > 0 AND {_GR_RSSF} > 0"
+)
+_GR_OUT = {
+    "coef_self": f"CASE WHEN {_GR_OK} THEN round({_GR_B}, 4) + 0.0 END",
+    "coef_cross": f"CASE WHEN {_GR_OK} THEN round({_GR_CC}, 4) + 0.0 END",
+    "r2_restricted": (
+        f"CASE WHEN {_GR_OK} THEN"
+        f" round({_GR_C['cyu']} * {_GR_C['cyu']}"
+        f" / ({_GR_C['cuu']} * {_GR_C['cyy']}), 6) + 0.0 END"
+    ),
+    "r2_full": (
+        f"CASE WHEN {_GR_OK} THEN"
+        f" round({_GR_SSRF} / {_GR_C['cyy']}, 6) + 0.0 END"
+    ),
+    "f_change": (
+        f"CASE WHEN {_GR_OK} THEN"
+        f" round(({_GR_RSSR} - {_GR_RSSF}) * (n - 3) / {_GR_RSSF}, 4)"
+        " + 0.0 END"
+    ),
+}
+
+
+@register(
+    "ts_granger_lag1",
+    oracle=f"""
+    WITH {SQL_EVENTS_US},
+    {SQL_DAILY},
+    d2 AS (
+        SELECT dd,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN n
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN n
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM daily WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY dd
+    ),
+    p AS (
+        SELECT c.y AS yt, pv.y AS u, pv.x AS v
+        FROM d2 c JOIN d2 pv ON c.dd = pv.dd + 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(yt) AS DOUBLE) AS sy,
+               CAST(sum(u) AS DOUBLE) AS su,
+               CAST(sum(v) AS DOUBLE) AS sv,
+               CAST(sum(yt * yt) AS DOUBLE) AS syy,
+               CAST(sum(u * u) AS DOUBLE) AS suu,
+               CAST(sum(v * v) AS DOUBLE) AS svv,
+               CAST(sum(yt * u) AS DOUBLE) AS syu,
+               CAST(sum(yt * v) AS DOUBLE) AS syv,
+               CAST(sum(u * v) AS DOUBLE) AS suv
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           {_GR_OUT['coef_self']} AS coef_self,
+           {_GR_OUT['coef_cross']} AS coef_cross,
+           {_GR_OUT['r2_restricted']} AS r2_restricted,
+           {_GR_OUT['r2_full']} AS r2_full,
+           {_GR_OUT['f_change']} AS f_change
+    FROM s
+    """,
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-style predictability screen (Granger 1969, public
+    method): does yesterday's CLICK rate help predict today's PURCHASE
+    rate beyond purchase's own history? Fits the restricted AR(1)
+    y_t ~ y_{{t-1}} and the full y_t ~ y_{{t-1}} + x_{{t-1}} in closed
+    form and reports both R²s, the cross coefficient, and the F-change
+    statistic — the standard "does the leading indicator lead" readout
+    over two rate series (the causal-direction companion to
+    `ts_autocorr`'s self-similarity and `agg_spearman_rank`'s
+    contemporaneous association).
+
+    EXACT: the lag pairing is a self-equi-join on dd = dd+1 over the
+    calendar-bounded pivoted daily relation (gap-robust — a ROWS-frame
+    lag would silently pair across missing days; `ts_autocorr`'s
+    device), the ten sufficient sums accumulate exactly (decimal
+    partials), and every model quantity — Cramer solve, R², F — is ONE
+    shared expression text over those sums, guarded by predicates on the
+    same computed doubles (NULL, never ±inf, on degenerate/collinear
+    series).
+
+    Scale shape: corpus → daily relation (one map-combinable hash agg) →
+    days-sized pivot + self-join → a 10-sum single-row reduce. Cost
+    independent of raw event volume; nothing corpus-sized past the first
+    aggregation."""
+    daily = _daily(spark, sf_dir)
+    d2 = (
+        daily.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy("dd")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == KS_TYPE_A, F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == KS_TYPE_B, F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    cur = d2.select(F.col("dd"), F.col("y").alias("yt"))
+    prev = d2.select(
+        (F.col("dd") + 1).alias("dd"),
+        F.col("y").alias("u"),
+        F.col("x").alias("v"),
+    )
+    p = cur.join(prev, "dd")
+    dec = "decimal(38,0)"
+    s = p.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("yt").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("u").cast(dec)).cast("double").alias("su"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("sv"),
+        F.sum((F.col("yt") * F.col("yt")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("u") * F.col("u")).cast(dec)).cast("double").alias("suu"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).cast("double").alias("svv"),
+        F.sum((F.col("yt") * F.col("u")).cast(dec)).cast("double").alias("syu"),
+        F.sum((F.col("yt") * F.col("v")).cast(dec)).cast("double").alias("syv"),
+        F.sum((F.col("u") * F.col("v")).cast(dec)).cast("double").alias("suv"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_obs"),
+        *[F.expr(txt).alias(name) for name, txt in _GR_OUT.items()],
+    )

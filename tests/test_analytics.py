@@ -1034,3 +1034,55 @@ def test_anova_planted_separation_and_degenerate(spark, tmp_path):
     )
     r2 = agg_anova_oneway(spark, str(d2)).collect()[0]
     assert r2.f_stat is None and r2.eta_sq is None
+
+
+def test_granger_lag1_matches_numpy_ols(spark, sf_dir):
+    """Both models refit with numpy least squares on independently
+    rebuilt (y_t, y_{t-1}, x_{t-1}) triples must reproduce every output
+    column."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+        ts_granger_lag1,
+    )
+
+    r = ts_granger_lag1(spark, sf_dir).collect()[0]
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .select(F.to_date("ts").alias("d"), "event_type")
+        .collect()
+    )
+    days = {}
+    for x in ev:
+        a, b = days.setdefault(x.d, [0, 0])
+        if x.event_type == KS_TYPE_A:
+            days[x.d][0] += 1
+        else:
+            days[x.d][1] += 1
+    ds = sorted(days)
+    triples = [
+        (days[d][0], days[p][0], days[p][1])
+        for d, p in zip(ds[1:], ds[:-1])
+        if (d - p).days == 1
+    ]
+    assert r.n_obs == len(triples) > 3
+    yt = np.array([t[0] for t in triples], dtype=float)
+    u = np.array([t[1] for t in triples], dtype=float)
+    v = np.array([t[2] for t in triples], dtype=float)
+    Xr = np.column_stack([np.ones_like(u), u])
+    Xf = np.column_stack([np.ones_like(u), u, v])
+    br, rss_r = np.linalg.lstsq(Xr, yt, rcond=None)[:2]
+    bf, rss_f = np.linalg.lstsq(Xf, yt, rcond=None)[:2]
+    cyy = ((yt - yt.mean()) ** 2).sum()
+    assert abs(r.coef_self - round(bf[1], 4)) < 5e-4
+    assert abs(r.coef_cross - round(bf[2], 4)) < 5e-4
+    assert abs(r.r2_restricted - round(1 - rss_r[0] / cyy, 6)) < 5e-6
+    assert abs(r.r2_full - round(1 - rss_f[0] / cyy, 6)) < 5e-6
+    f_ref = (rss_r[0] - rss_f[0]) * (len(triples) - 3) / rss_f[0]
+    assert abs(r.f_change - round(f_ref, 4)) < 5e-4
+    # the full model can never fit worse than its nested restriction
+    assert r.r2_full >= r.r2_restricted
