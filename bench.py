@@ -161,6 +161,17 @@ EXTENDED = [
     # sibling dedup_url_canonical is a one-agg map op and doesn't need a
     # tracked wall-time. Band at the birth freeze below.
     "llm_dsir_resample",
+    # round-15 continuation additions — the three nontrivial-cost ops of
+    # the batch (the rest of the continuation's nine are calendar-bounded
+    # daily-series reductions or type³-bounded aggs, all sub-second class
+    # and not worth a tracked row): the 40× Poisson-bootstrap expansion,
+    # the wedge join over the capped near-dup graph (runs AFTER the
+    # near-jaccard family rows, so the memoized edge relation is warm and
+    # the row isolates the wedge+screen itself, like graph_kcore), and
+    # the days²-pair Theil–Sen median. Bands at the birth freeze below.
+    "agg_bootstrap_ci",
+    "ts_theil_sen",
+    "graph_common_neighbors",
 ]
 
 
@@ -299,6 +310,17 @@ EXTENDED_BANDS: dict[str, float] = {
     # DSIR-core warmup (5.5-10.7 s), steady-state class ~2.5-2.6 s even
     # contended. Revisit downward from an idle read if one lands.
     "llm_dsir_resample": 2.74,
+    # r15-continuation birth freeze: median of three standalone 5-rep
+    # probe runs (membw brackets 26.4-33.2 ms — one clean-class window,
+    # two mildly elevated; deflated per-run medians pooled). Notes:
+    # graph_common_neighbors' FIRST sample pays the memoized capped-edge
+    # build cold (13-15 s) and is median-excluded — in the suite the row
+    # runs after the near-jaccard family, warm, like graph_kcore;
+    # agg_bootstrap_ci's wall is the 40x Generate + (group, b) partial
+    # agg, steady 4.3-5.7 s across all runs.
+    "agg_bootstrap_ci": 5.17,
+    "ts_theil_sen": 0.94,
+    "graph_common_neighbors": 4.57,
     "sim_range_recall_eval": 3.46,
     "sink_ivf_partitioned_ann": 3.82,
     "sink_ivf_range_lookup": 3.08,
