@@ -972,3 +972,41 @@ def test_no_corpus_scale_unpartitioned_window_anywhere(spark, sf_dir):
     )
     rotted = set(ALLOW_UNPART_WINDOW) - confirmed_allowed
     assert not rotted, f"allowlist entries no longer needed: {sorted(rotted)}"
+
+
+def test_bootstrap_expansion_is_map_side_before_shuffle(spark, sf_dir):
+    """agg_bootstrap_ci's scale claim: the 40× replicate expansion
+    (Generate) is consumed by a PARTIAL (group, b) HashAggregate on the
+    map side, so the only corpus-coupled Exchange carries groups×B rows.
+    In executedPlan().toString() parents print before children, so the
+    Exchange on (l_returnflag, b) must appear BEFORE the partial agg,
+    which must appear BEFORE the Generate feeding it."""
+    from sdu_hadoop_indexer_spark.operators.analytics import agg_bootstrap_ci
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(agg_bootstrap_ci(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    i_exch = plan.index("Exchange hashpartitioning(l_returnflag")
+    i_partial = plan.index("partial_sum", i_exch)
+    assert "Generate explode" in plan
+    assert i_exch < i_partial < plan.index("Generate explode")
+    # and the b-table is literal: no join introduces the replicate axis
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theil_sen_pair_join_is_keyed_not_cartesian(spark, sf_dir):
+    """ts_theil_sen's pair enumeration must be an equi-join on
+    event_type (with the day-range predicate as a post-join filter or
+    join condition) — never a cartesian/BNLJ over the daily relation."""
+    from sdu_hadoop_indexer_spark.operators.analytics import ts_theil_sen
+
+    plan = _plan(ts_theil_sen(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
