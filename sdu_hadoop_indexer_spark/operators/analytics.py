@@ -4334,3 +4334,109 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         *[F.expr(txt).alias(name) for name, txt in _GR_OUT.items()],
     )
+
+
+# Per-cell / per-marginal information terms, quantized ONCE to the 1e-8
+# lattice (the DSIR λ / Gumbel guard-distance discipline: ln() is the one
+# per-engine libm call; everything entering it is an exact integer ratio,
+# and a finite cell vocabulary makes a lattice-boundary landing
+# negligible). Identical text on both engines; the ratios are written
+# overflow-free ((obs/rt)·(n/ct), never obs·n in int64).
+_MI_SCALE = 100_000_000
+_MI_CELL = (
+    f"CAST(round((obs / n) * ln((obs / rt) * (n / ct)) * {_MI_SCALE})"
+    " AS BIGINT)"
+)
+_MI_MARG = (
+    f"CAST(round(-(m / n) * ln(m / n) * {_MI_SCALE}) AS BIGINT)"
+)
+
+
+@register(
+    "agg_mutual_information",
+    oracle=f"""
+    WITH o AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY source, lang
+    ),
+    r AS (SELECT source, CAST(sum(obs) AS BIGINT) AS m FROM o GROUP BY source),
+    c AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS m FROM o GROUP BY lang),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    mi AS (
+        SELECT CAST(sum({_MI_CELL}) AS BIGINT) AS mi_micro,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM (SELECT o.obs, r.m AS rt, c.m AS ct, t.n
+              FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t)
+    ),
+    hs AS (SELECT CAST(sum({_MI_MARG}) AS BIGINT) AS hs_micro
+           FROM r CROSS JOIN t),
+    hl AS (SELECT CAST(sum({_MI_MARG}) AS BIGINT) AS hl_micro
+           FROM c CROSS JOIN t)
+    SELECT t.n AS n_docs, mi.n_cells,
+           round(CAST(mi.mi_micro AS DOUBLE) / {_MI_SCALE}, 6) + 0.0
+               AS mi_nats,
+           round(CAST(hs.hs_micro AS DOUBLE) / {_MI_SCALE}, 6) + 0.0
+               AS h_source_nats,
+           round(CAST(hl.hl_micro AS DOUBLE) / {_MI_SCALE}, 6) + 0.0
+               AS h_lang_nats
+    FROM t CROSS JOIN mi CROSS JOIN hs CROSS JOIN hl
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the source × lang contingency table, with
+    both marginal entropies — the STRENGTH companion to `agg_chi_square`'s
+    significance on the same table (χ² says "the language mix depends on
+    source"; I(X;Y) in nats says how much, bounded by min(H) — the number
+    a mixing/quota decision actually consumes). Zero cells contribute
+    exactly 0 to MI, so only observed cells are enumerated.
+
+    Parity: every ln() input is an exact integer ratio evaluated in
+    IDENTICAL text ((obs/rt)·(n/ct) — overflow-free where obs·n is not),
+    each cell/marginal term is quantized ONCE to the 1e-8 lattice before
+    an ORDER-FREE integer sum (a float Σ over cells would be
+    partial-order-dependent; the DSIR λ-lattice guard-distance argument
+    covers the per-engine libm ulp on a finite cell vocabulary).
+
+    Scale shape: one (source,lang) hash agg over the corpus, then
+    everything is cells-sized (marginals are sub-aggregates of it);
+    three 1-row cross joins assemble the report. Cost independent of
+    corpus size past the first aggregation."""
+    d = table(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    r = o.groupBy("source").agg(F.sum("obs").cast("long").alias("rt"))
+    c = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("ct"))
+    t = o.agg(F.sum("obs").cast("long").alias("n"))
+    cells = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(t))
+    )
+    mi = cells.agg(
+        F.sum(F.expr(_MI_CELL)).cast("long").alias("mi_micro"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    hs = (
+        r.select(F.col("rt").alias("m"))
+        .crossJoin(F.broadcast(t))
+        .agg(F.sum(F.expr(_MI_MARG)).cast("long").alias("hs_micro"))
+    )
+    hl = (
+        c.select(F.col("ct").alias("m"))
+        .crossJoin(F.broadcast(t))
+        .agg(F.sum(F.expr(_MI_MARG)).cast("long").alias("hl_micro"))
+    )
+    out = (
+        t.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+    )
+    sc = float(_MI_SCALE)
+    return out.select(
+        F.col("n").alias("n_docs"),
+        "n_cells",
+        (F.round(F.col("mi_micro").cast("double") / sc, 6) + F.lit(0.0)).alias("mi_nats"),
+        (F.round(F.col("hs_micro").cast("double") / sc, 6) + F.lit(0.0)).alias("h_source_nats"),
+        (F.round(F.col("hl_micro").cast("double") / sc, 6) + F.lit(0.0)).alias("h_lang_nats"),
+    )

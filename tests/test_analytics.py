@@ -1086,3 +1086,72 @@ def test_granger_lag1_matches_numpy_ols(spark, sf_dir):
     assert abs(r.f_change - round(f_ref, 4)) < 5e-4
     # the full model can never fit worse than its nested restriction
     assert r.r2_full >= r.r2_restricted
+
+
+def test_mutual_information_matches_numpy_and_bounds(spark, sf_dir):
+    """MI recomputed with numpy from the same contingency table must
+    match to quantization; 0 ≤ MI ≤ min(H_source, H_lang)."""
+    import math
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        agg_mutual_information,
+    )
+
+    r = agg_mutual_information(spark, sf_dir).collect()[0]
+    cells = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .count()
+        .collect()
+    )
+    n = sum(x["count"] for x in cells)
+    rt, ct = {}, {}
+    for x in cells:
+        rt[x.source] = rt.get(x.source, 0) + x["count"]
+        ct[x.lang] = ct.get(x.lang, 0) + x["count"]
+    mi = sum(
+        (x["count"] / n)
+        * math.log((x["count"] / rt[x.source]) * (n / ct[x.lang]))
+        for x in cells
+    )
+    hs = sum(-(m / n) * math.log(m / n) for m in rt.values())
+    hl = sum(-(m / n) * math.log(m / n) for m in ct.values())
+    assert r.n_docs == n and r.n_cells == len(cells)
+    assert abs(r.mi_nats - round(mi, 6)) < 2e-6
+    assert abs(r.h_source_nats - round(hs, 6)) < 2e-6
+    assert abs(r.h_lang_nats - round(hl, 6)) < 2e-6
+    assert -1e-9 <= r.mi_nats <= min(r.h_source_nats, r.h_lang_nats) + 1e-9
+
+
+def test_mutual_information_independent_table_is_zero(spark, tmp_path):
+    """A perfectly independent (source ⊗ lang) table → every cell's
+    ln-ratio is exactly 0 → MI is exactly 0.0 (not just small)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        agg_mutual_information,
+    )
+
+    rows = [
+        (s, l)
+        for s in ("web", "books")
+        for l in ("en", "fr")
+        for _ in range({"web": 6, "books": 3}[s] * {"en": 4, "fr": 2}[l])
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([l for _, l in rows], pa.string()),
+            "source": pa.array([s for s, _ in rows], pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    d = tmp_path / "mi_ind"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    r = agg_mutual_information(spark, str(d)).collect()[0]
+    assert r.mi_nats == 0.0
+    assert r.h_source_nats > 0 and r.h_lang_nats > 0
