@@ -2103,3 +2103,194 @@ def llm_dsir_resample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("n_corpus"), F.col("n_docs")).alias("corpus_share"),
         ratio(F.col("n_sample"), F.lit(RESAMPLE_K)).alias("sample_share"),
     )
+
+
+# Bucketed packing (round 15): bin_k = largest power of two ≤
+# (budget div len) — PURE integer comparisons (a float log2 can read
+# 1.9999… for an exact power on either engine); slot_len = budget div
+# bin_k. Shared CASE text, generated once.
+_PB_BIN_K = (
+    "CASE "
+    + " ".join(
+        f"WHEN ({PACK_BUDGET} // n_tokens) >= {1 << j} THEN {1 << j}"
+        for j in range(9, 0, -1)
+    )
+    + " ELSE 1 END"
+)
+
+_PB_TOKENS_SQL = f"""
+    t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    fit AS (
+        SELECT doc_id, source, n_tokens,
+               CAST({PACK_BUDGET} // ({_PB_BIN_K}) AS BIGINT) AS slot_len,
+               CAST({_PB_BIN_K} AS BIGINT) AS bin_k
+        FROM t WHERE n_tokens BETWEEN 1 AND {PACK_BUDGET}
+    ),
+    asn AS (
+        SELECT doc_id, source, n_tokens, slot_len,
+               (row_number() OVER (PARTITION BY source, slot_len
+                                   ORDER BY n_tokens DESC, doc_id) - 1)
+                   // bin_k AS bin_id,
+               (row_number() OVER (PARTITION BY source, slot_len
+                                   ORDER BY n_tokens DESC, doc_id) - 1)
+                   % bin_k AS slot_idx,
+               slot_len - n_tokens AS padding
+        FROM fit
+    )"""
+
+
+@register(
+    "llm_pack_bucketed",
+    oracle=f"""
+    WITH {_PB_TOKENS_SQL}
+    SELECT doc_id, source, n_tokens, slot_len,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(slot_idx AS BIGINT) AS slot_idx, padding
+    FROM asn
+    """,
+)
+def pack_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed packing WITHOUT document splitting — the
+    sequence-length-bucketing layout (T5/fairseq-style batching, public
+    practice) next to `llm_pack_sequences`' concatenate-and-chunk: docs
+    that must stay whole (instruction tuning, eval sets) are grouped
+    into power-of-two length classes; a {PACK_BUDGET}-token bin holds
+    bin_k = 2^c docs of slot length {PACK_BUDGET}/2^c, assignment =
+    rank within (source, class) laid out rank div/mod bin_k. Per-doc
+    padding is reported so the efficiency eval reads directly off the
+    assignment.
+
+    EXACT: the class boundary is the largest power of two ≤
+    (budget div len), computed by PURE integer comparisons (a float
+    log2 reads 1.999… for exact powers on either engine); everything
+    downstream is integer div/mod of a deterministic rank.
+
+    Scale shape: the oracle's per-(source, class) ranking window is
+    corpus-sized per partition, so the engine runs the CERTIFIED
+    two-phase rank shape extended to composite keys: global length
+    pivots from a deterministic approx_percentile sketch bucket each
+    (source, class) relation, per-(source, class, bucket) counts
+    collect (≤ groups × classes × {SORT_IDX_PARTS} longs) into a
+    BROADCAST offset table, and the rank is offset + row_number over a
+    window PARTITIONED by (source, class, bucket) — every exchange and
+    sort bucket-parallel at any corpus size (`llm_global_sort_index`'s
+    guarantee, third consumer of the shape)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit(""))
+    t = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens").between(1, PACK_BUDGET))
+    bin_k = F.expr(_PB_BIN_K.replace("//", "div")).cast("long")
+    fit = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.lit(PACK_BUDGET) / bin_k).cast("long").alias("slot_len"),
+        bin_k.alias("bin_k"),
+    )
+    # composite-key two-phase rank: global pivots are correctness-neutral
+    # (ties share a bucket), offsets per (source, slot_len, _b) broadcast
+    pcts = [i / SORT_IDX_PARTS for i in range(1, SORT_IDX_PARTS)]
+    key = -F.col("n_tokens").cast("double")
+    pivots = (
+        fit.agg(F.percentile_approx(key, pcts, 10_000).alias("p")).first()["p"]
+        or []
+    )
+    bexpr = F.lit(0)
+    for pv in pivots:
+        bexpr = bexpr + F.when(key > F.lit(pv), 1).otherwise(0)
+    b = fit.withColumn("_b", bexpr)
+    counts = (
+        b.groupBy("source", "slot_len", "_b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    offs, seen = [], {}
+    for r in sorted(counts, key=lambda r: (r.source, r.slot_len, r._b)):
+        k = (r.source, r.slot_len)
+        offs.append((r.source, r.slot_len, r._b, seen.get(k, 0)))
+        seen[k] = seen.get(k, 0) + r.c
+    off_df = spark.createDataFrame(
+        offs, "source string, slot_len long, _b int, off long"
+    )
+    w = Window.partitionBy("source", "slot_len", "_b").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = b.join(F.broadcast(off_df), ["source", "slot_len", "_b"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "slot_len",
+        "bin_k",
+        (F.col("off") + F.row_number().over(w) - 1).alias("r0"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "slot_len",
+        F.expr("r0 div bin_k").cast("long").alias("bin_id"),
+        (F.col("r0") % F.col("bin_k")).cast("long").alias("slot_idx"),
+        (F.col("slot_len") - F.col("n_tokens")).alias("padding"),
+    )
+
+
+def _pack_bucketed_eval_oracle() -> str:
+    from ..operators.parity import sql_ratio
+
+    return f"""
+    WITH {_PB_TOKENS_SQL},
+    bins AS (
+        SELECT source, slot_len, bin_id,
+               CAST(count(*) AS BIGINT) AS slots_used,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM asn GROUP BY source, slot_len, bin_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(slots_used) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST((sum(tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                AS BIGINT) AS n_bins_lower_bound,
+           {sql_ratio(f"count(*) * {PACK_BUDGET} - sum(tokens)",
+                      f"count(*) * {PACK_BUDGET}")} AS waste_frac
+    FROM bins
+    GROUP BY source
+    """
+
+
+@register("llm_pack_bucketed_eval", oracle=_pack_bucketed_eval_oracle())
+def pack_bucketed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efficiency gate for `llm_pack_bucketed` (the op-ships-its-eval
+    pattern): per source, bins actually used vs the ceil(Σtokens/budget)
+    lower bound any no-split packer is measured against, and the waste
+    fraction (padding + residual empty slots) of the bucketed layout —
+    the numbers a pipeline reads before choosing whole-doc bucketed
+    packing over the chunker for a given corpus shape.
+
+    Composition: one (source, class, bin) rollup of the registered
+    assignment, then a sources-sized agg — integer counts end-to-end,
+    boundary-proof `ratio` for the waste fraction. Nothing beyond the
+    assignment's own cost at any corpus size."""
+    asn = pack_bucketed(spark, sf_dir)
+    bins = asn.groupBy("source", "slot_len", "bin_id").agg(
+        F.count("*").cast("long").alias("slots_used"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    return bins.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("slots_used").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+        F.expr(f"(sum(tokens) + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+        .cast("long")
+        .alias("n_bins_lower_bound"),
+        ratio(
+            F.count("*") * PACK_BUDGET - F.sum("tokens"),
+            F.count("*") * PACK_BUDGET,
+        ).alias("waste_frac"),
+    )

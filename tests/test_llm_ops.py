@@ -1934,3 +1934,61 @@ def test_common_neighbors_matches_python_recompute(spark, sf_dir):
         assert r.deg_a == len(adj[r.doc_a]) and r.deg_b == len(adj[r.doc_b])
         den = r.deg_a + r.deg_b - r.common_n
         assert r.nbr_jaccard == (r.common_n * 20000 + den) // (2 * den) / 10000
+
+
+def test_pack_bucketed_layout_invariants(spark, sf_dir):
+    """Class correctness (n_tokens ≤ slot_len < 2·n_tokens), slot
+    capacity, dense rank-based occupancy (every bin but the last full),
+    and (bin, slot) uniqueness per class."""
+    from sdu_hadoop_indexer_spark.llm.curation import (
+        PACK_BUDGET,
+        pack_bucketed,
+    )
+
+    rows = pack_bucketed(spark, sf_dir).collect()
+    assert rows
+    classes = {}
+    for r in rows:
+        assert 1 <= r.n_tokens <= r.slot_len < 2 * r.n_tokens
+        assert PACK_BUDGET % r.slot_len == 0
+        assert r.padding == r.slot_len - r.n_tokens >= 0
+        bin_k = PACK_BUDGET // r.slot_len
+        assert 0 <= r.slot_idx < bin_k
+        classes.setdefault((r.source, r.slot_len), []).append(
+            (r.bin_id, r.slot_idx)
+        )
+    for (src, slot), members in classes.items():
+        assert len(set(members)) == len(members)  # no slot collision
+        bin_k = PACK_BUDGET // slot
+        m = len(members)
+        n_bins = max(b for b, _ in members) + 1
+        assert n_bins == -(-m // bin_k)  # dense: exactly ceil(m / k) bins
+        from collections import Counter
+
+        occ = Counter(b for b, _ in members)
+        assert sum(1 for b, c in occ.items() if c < bin_k) <= 1  # one partial
+
+
+def test_pack_bucketed_eval_consistent_with_assignment(spark, sf_dir):
+    """The eval's per-source totals must re-derive exactly from the
+    assignment, bins ≥ the ceil lower bound, waste in [0, 1)."""
+    from sdu_hadoop_indexer_spark.llm.curation import (
+        PACK_BUDGET,
+        pack_bucketed,
+        pack_bucketed_eval,
+    )
+
+    asn = pack_bucketed(spark, sf_dir).collect()
+    per = {}
+    for r in asn:
+        d = per.setdefault(r.source, {"docs": 0, "toks": 0, "bins": set()})
+        d["docs"] += 1
+        d["toks"] += r.n_tokens
+        d["bins"].add((r.slot_len, r.bin_id))
+    for e in pack_bucketed_eval(spark, sf_dir).collect():
+        d = per[e.source]
+        assert e.n_docs == d["docs"] and e.n_tokens == d["toks"]
+        assert e.n_bins == len(d["bins"])
+        assert e.n_bins_lower_bound == -(-d["toks"] // PACK_BUDGET)
+        assert e.n_bins >= e.n_bins_lower_bound
+        assert 0.0 <= e.waste_frac < 1.0
