@@ -1155,3 +1155,32 @@ def test_mutual_information_independent_table_is_zero(spark, tmp_path):
     r = agg_mutual_information(spark, str(d)).collect()[0]
     assert r.mi_nats == 0.0
     assert r.h_source_nats > 0 and r.h_lang_nats > 0
+
+
+def test_bootstrap_ci_valid_under_production_hash_family(
+    spark, sf_dir, monkeypatch
+):
+    """SPARK_GRAFT_XXHASH=1 swaps the per-row fold for xxhash64 inside
+    the same [0, XH_P) domain: the CI's STRUCTURAL contract (B replicates,
+    ordered endpoints bracketing the point estimate, unchanged full-sample
+    mean) must hold under either family, and the two families' draws must
+    genuinely differ (the flag reaches the op)."""
+    from sdu_hadoop_indexer_spark.operators.analytics import (
+        BOOT_B,
+        agg_bootstrap_ci,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_XXHASH", raising=False)
+    portable = {r.l_returnflag: r for r in agg_bootstrap_ci(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_XXHASH", "1")
+    prod = {r.l_returnflag: r for r in agg_bootstrap_ci(spark, sf_dir).collect()}
+    assert set(portable) == set(prod)
+    for k, r in prod.items():
+        assert r.n_reps == BOOT_B
+        assert r.boot_lo <= r.mean_qty <= r.boot_hi
+        assert r.mean_qty == portable[k].mean_qty  # point estimate hash-free
+    assert any(
+        (prod[k].boot_lo, prod[k].boot_hi)
+        != (portable[k].boot_lo, portable[k].boot_hi)
+        for k in prod
+    )
