@@ -531,3 +531,187 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lower("k").alias("event_type_ci"), "n", "n_variants")
     )
+
+
+# --- JSON schema profiling (round 15) --------------------------------------
+# The fixture's props column is uniformly {"k": int}, so the profiler gets
+# a HETEROGENEOUS payload synthesized deterministically from event_id (the
+# dedup_url_canonical "synthesize the column the fixture lacks" pattern):
+# optional keys on residue classes, an int/float type drift on one key, a
+# boolean key — identical concat text in both engines, so the JSON strings
+# are byte-equal. Classification regexes are anchored and shared (Spark
+# rlike == DuckDB regexp_matches on anchored patterns).
+_JS_LANGS = ("en", "fr", "de", "zh")
+_JS_KEYS = ("k", "lang", "score", "flag")
+_JS_RE_INT = "^-?[0-9]+$"
+_JS_RE_FLOAT = "^-?[0-9]+\\.[0-9]+$"
+_JS_DOMINANT = (
+    "CASE WHEN n_int >= n_float AND n_int >= n_bool AND n_int >= n_string"
+    " THEN 'int'"
+    " WHEN n_float >= n_bool AND n_float >= n_string THEN 'float'"
+    " WHEN n_bool >= n_string THEN 'bool' ELSE 'string' END"
+)
+
+
+def _js_payload_sql() -> str:
+    langs = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_JS_LANGS))
+    return f"""
+        '{{"k": ' || json_extract_string(props, '$.k')
+        || CASE WHEN event_id % 3 <> 0
+                THEN ', "lang": "' || (CASE event_id % 4 {langs} END) || '"'
+                ELSE '' END
+        || CASE WHEN event_id % 5 = 0
+                THEN ', "score": ' ||
+                     (CASE WHEN event_id % 20 = 0
+                           THEN CAST(event_id % 97 AS VARCHAR)
+                           ELSE CAST(event_id % 97 AS VARCHAR) || '.' ||
+                                CAST(event_id % 9 AS VARCHAR) || '5' END)
+                ELSE '' END
+        || CASE WHEN event_id % 7 = 0
+                THEN ', "flag": ' ||
+                     (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END)
+                ELSE '' END
+        || '}}'
+    """
+
+
+def _js_profile_oracle() -> str:
+    from .parity import sql_ratio
+
+    keys_list = ", ".join(f"'{k}'" for k in _JS_KEYS)
+    return f"""
+    WITH p AS (
+        SELECT event_id, ({_js_payload_sql()}) AS doc FROM events
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p),
+    kv AS (
+        SELECT k.key, json_extract_string(p.doc, '$.' || k.key) AS v
+        FROM p CROSS JOIN (SELECT unnest([{keys_list}]) AS key) k
+    ),
+    c AS (
+        SELECT key,
+               CAST(count(v) AS BIGINT) AS n_present,
+               CAST(sum(CASE WHEN regexp_matches(v, '{_JS_RE_INT}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+               CAST(sum(CASE WHEN regexp_matches(v, '{_JS_RE_FLOAT}')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+               CAST(sum(CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bool
+        FROM kv GROUP BY key
+    )
+    SELECT key, n_present,
+           {sql_ratio("n_present", "total")} AS presence_share,
+           n_int, n_float, n_bool,
+           n_present - n_int - n_float - n_bool AS n_string,
+           CASE WHEN n_int >= n_float AND n_int >= n_bool
+                 AND n_int >= (n_present - n_int - n_float - n_bool)
+                THEN 'int'
+                WHEN n_float >= n_bool
+                 AND n_float >= (n_present - n_int - n_float - n_bool)
+                THEN 'float'
+                WHEN n_bool >= (n_present - n_int - n_float - n_bool)
+                THEN 'bool' ELSE 'string' END AS dominant_type
+    FROM c CROSS JOIN tot
+    """
+
+
+@register("fn_json_schema_profile", oracle=_js_profile_oracle())
+def fn_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload audit — the per-key schema profile every
+    ingest pipeline runs before trusting a JSON column: for each key,
+    presence count/share and a value-type census (int / float / bool /
+    string by anchored regex over the extracted value) with the dominant
+    type — surfacing optional keys and TYPE DRIFT (here the synthesized
+    `score` key drifts int↔float on a residue class, the classic
+    upstream-producer-changed failure). The profile's key set is the
+    declared contract ({_JS_KEYS}); `fn_map_json`/`fn_variant_json` do
+    path EXTRACTION, this op does schema OBSERVATION.
+
+    Parity: the heterogeneous payload is synthesized with identical
+    concat text from event_id residues (byte-equal JSON both engines);
+    extraction via get_json_object == json_extract_string; anchored
+    classification regexes shared; presence share is the boundary-proof
+    `ratio`.
+
+    Scale shape: map-side payload build + a |keys|× Generate feeding a
+    partial-aggregable key-keyed hash agg (the bootstrap expansion
+    shape) — shuffled rows = |keys| at any corpus size; one 1-row total
+    broadcast for the share."""
+    from .parity import ratio
+
+    ev = table(spark, sf_dir, "events")
+    langs = F.element_at(
+        F.array(*[F.lit(v) for v in _JS_LANGS]),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    kpart = F.concat(F.lit('{"k": '), F.get_json_object("props", "$.k"))
+    lang_part = F.when(
+        F.col("event_id") % 3 != 0,
+        F.concat(F.lit(', "lang": "'), langs, F.lit('"')),
+    ).otherwise(F.lit(""))
+    score_num = (F.col("event_id") % 97).cast("string")
+    score_part = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(
+            F.lit(', "score": '),
+            F.when(F.col("event_id") % 20 == 0, score_num).otherwise(
+                F.concat(
+                    score_num,
+                    F.lit("."),
+                    (F.col("event_id") % 9).cast("string"),
+                    F.lit("5"),
+                )
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    flag_part = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(
+            F.lit(', "flag": '),
+            F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(
+                F.lit("false")
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    doc = F.concat(kpart, lang_part, score_part, flag_part, F.lit("}"))
+    p = ev.select("event_id", doc.alias("doc"))
+    tot = p.agg(F.count("*").cast("long").alias("total"))
+    kv = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.get_json_object("doc", f"$.{k}").alias("v"),
+                    )
+                    for k in _JS_KEYS
+                ]
+            )
+        ).alias("e")
+    ).select("e.key", "e.v")
+    c = kv.groupBy("key").agg(
+        F.count("v").cast("long").alias("n_present"),
+        F.sum(F.when(F.col("v").rlike(_JS_RE_INT), 1).otherwise(0))
+        .cast("long")
+        .alias("n_int"),
+        F.sum(F.when(F.col("v").rlike(_JS_RE_FLOAT), 1).otherwise(0))
+        .cast("long")
+        .alias("n_float"),
+        F.sum(F.when(F.col("v").isin("true", "false"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bool"),
+    )
+    out = c.crossJoin(F.broadcast(tot)).withColumn(
+        "n_string",
+        F.col("n_present") - F.col("n_int") - F.col("n_float") - F.col("n_bool"),
+    )
+    return out.select(
+        "key",
+        "n_present",
+        ratio(F.col("n_present"), F.col("total")).alias("presence_share"),
+        "n_int",
+        "n_float",
+        "n_bool",
+        "n_string",
+        F.expr(_JS_DOMINANT).alias("dominant_type"),
+    )

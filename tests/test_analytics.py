@@ -1184,3 +1184,52 @@ def test_bootstrap_ci_valid_under_production_hash_family(
         != (portable[k].boot_lo, portable[k].boot_hi)
         for k in prod
     )
+
+
+def test_json_schema_profile_matches_residue_recompute(spark, sf_dir):
+    """Per-key presence and type censuses recomputed in Python from the
+    synthesis residues (over the actual event_id population) must match
+    exactly; dominant types follow."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.scalar_fns import (
+        fn_json_schema_profile,
+    )
+
+    ids = [
+        r.event_id
+        for r in table(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    n = len(ids)
+    exp = {
+        "k": dict(n_present=n, n_int=n, n_float=0, n_bool=0),
+        "lang": dict(
+            n_present=sum(1 for i in ids if i % 3 != 0),
+            n_int=0,
+            n_float=0,
+            n_bool=0,
+        ),
+        "score": dict(
+            n_present=sum(1 for i in ids if i % 5 == 0),
+            n_int=sum(1 for i in ids if i % 20 == 0),
+            n_float=sum(1 for i in ids if i % 5 == 0 and i % 20 != 0),
+            n_bool=0,
+        ),
+        "flag": dict(
+            n_present=sum(1 for i in ids if i % 7 == 0),
+            n_int=0,
+            n_float=0,
+            n_bool=sum(1 for i in ids if i % 7 == 0),
+        ),
+    }
+    rows = {r.key: r for r in fn_json_schema_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(exp)
+    for k, e in exp.items():
+        r = rows[k]
+        for f, v in e.items():
+            assert getattr(r, f) == v, (k, f, getattr(r, f), v)
+        assert r.n_present == r.n_int + r.n_float + r.n_bool + r.n_string
+    assert rows["k"].dominant_type == "int"
+    assert rows["lang"].dominant_type == "string"
+    assert rows["score"].dominant_type == "float"
+    assert rows["flag"].dominant_type == "bool"
+    assert rows["k"].presence_share == 1.0
