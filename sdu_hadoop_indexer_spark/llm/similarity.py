@@ -3201,3 +3201,115 @@ def sink_ivf_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch."""
     out = app_sink_dir(spark, "ivf_ann_append", "SPARK_GRAFT_IVF_APPEND_DIR")
     return sink_ivf_ann_append_steps(spark, sf_dir, out)
+
+
+RNN_K = 5  # neighbor-list depth for reciprocal-NN mining
+
+
+@register(
+    "sim_reciprocal_nn_pairs",
+    oracle=f"""
+    WITH sym AS (
+        {_COS_SQL.format(pair_pred="a.vec_id < b.vec_id")}
+    ),
+    dir AS (
+        SELECT va AS src, vb AS dst, cosine FROM sym
+        UNION ALL
+        SELECT vb AS src, va AS dst, cosine FROM sym
+    ),
+    knn AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rk
+        FROM dir
+    ),
+    k AS (SELECT * FROM knn WHERE rk <= {RNN_K})
+    SELECT f.src AS va, f.dst AS vb, f.cosine,
+           CAST(f.rk AS BIGINT) AS rank_ab,
+           CAST(g.rk AS BIGINT) AS rank_ba
+    FROM k f JOIN k g ON f.src = g.dst AND f.dst = g.src
+    WHERE f.src < f.dst
+    """,
+)
+def sim_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pair mining: pairs where EACH vector is in the other's
+    top-{RNN_K} neighbor list — the strict symmetric-evidence criterion
+    (reciprocal nearest neighbors — Qin et al. 2011 re-ranking, RNN-DBSCAN;
+    public method) that cuts hub-induced false candidates one-sided kNN
+    admits: a hub vector appears in everyone's list, but reciprocity
+    requires the interest to be mutual. The dedup/matching review queue
+    one notch stricter than `sim_nearest_pairs`' global top-20.
+
+    Engine shape: the blocked all-pairs machinery (`blocked_pair_groups`,
+    one BLAS matmul per block pair inside applyInPandas) emits per-group
+    DIRECTED local top-{RNN_K} lists under the global (cosine DESC, dst)
+    total order — taking a local top-k under the same total order
+    preserves the global top-k, so the per-src re-rank window sees
+    ≤ groups·k rows per src (bounded fan-in, never a corpus-wide sort);
+    reciprocity is one self-equi-join on the reversed pair. Cosines are
+    rounded to the oracle's 4-dp lattice inside the kernel (the
+    `sim_nearest_pairs` parity discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    def knn_local(pdf: pd.DataFrame) -> pd.DataFrame:
+        l, r = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
+        if l.empty or r.empty:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        lid = l["vec_id"].to_numpy(dtype=np.int64)
+        rid = r["vec_id"].to_numpy(dtype=np.int64)
+        lm = np.array(list(l["embedding"]), dtype=np.float64)
+        rm = np.array(list(r["embedding"]), dtype=np.float64)
+        nl = np.linalg.norm(lm, axis=1)
+        nr = np.linalg.norm(rm, axis=1)
+        sim = np.round((lm @ rm.T) / np.outer(nl, nr), 4)
+        same = bool(pdf["same"].iloc[0])
+        srcs, dsts, coss = [], [], []
+
+        def emit_topk(src_ids, dst_ids, mat):
+            # per row: top-K under (cosine DESC, dst ASC) — the global
+            # total order, so local winners are global candidates
+            for i in range(mat.shape[0]):
+                row = mat[i]
+                mask = np.ones(len(dst_ids), dtype=bool)
+                if same:
+                    mask = dst_ids != src_ids[i]
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                order = np.lexsort((dst_ids[idx], -row[idx]))[:RNN_K]
+                pick = idx[order]
+                srcs.extend([src_ids[i]] * len(pick))
+                dsts.extend(dst_ids[pick])
+                coss.extend(row[pick])
+
+        emit_topk(lid, rid, sim)
+        if not same:
+            emit_topk(rid, lid, sim.T)
+        return pd.DataFrame({"src": srcs, "dst": dsts, "cosine": coss})
+
+    local = blocked_pair_groups(spark, sf_dir).groupBy("pair_id").applyInPandas(
+        knn_local, "src long, dst long, cosine double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    knn = (
+        local.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RNN_K)
+        .select("src", "dst", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+    g = knn.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("rk").alias("rank_ba"),
+    )
+    return (
+        knn.join(g, ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("va"),
+            F.col("dst").alias("vb"),
+            "cosine",
+            F.col("rk").alias("rank_ab"),
+            "rank_ba",
+        )
+    )

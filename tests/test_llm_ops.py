@@ -1992,3 +1992,40 @@ def test_pack_bucketed_eval_consistent_with_assignment(spark, sf_dir):
         assert e.n_bins_lower_bound == -(-d["toks"] // PACK_BUDGET)
         assert e.n_bins >= e.n_bins_lower_bound
         assert 0.0 <= e.waste_frac < 1.0
+
+
+def test_reciprocal_nn_matches_numpy_recompute(spark, sf_dir):
+    """Mutual-kNN pairs recomputed with a dense numpy kNN over the same
+    embeddings (same 4-dp rounding, same (cos DESC, dst) tie order) must
+    match the op exactly — pairs, cosines, and both ranks."""
+    import numpy as np
+
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.llm.similarity import (
+        RNN_K,
+        sim_reciprocal_nn_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e], dtype=np.int64)
+    m = np.array([r.embedding for r in e], dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    sim = np.round((m @ m.T) / np.outer(n, n), 4)
+    order = np.argsort(ids)
+    ids, sim = ids[order], sim[np.ix_(order, order)]
+    knn = {}
+    for i, src in enumerate(ids):
+        row = [(float(sim[i, j]), int(ids[j])) for j in range(len(ids)) if j != i]
+        row.sort(key=lambda t: (-t[0], t[1]))
+        knn[int(src)] = {d: (rk + 1, c) for rk, (c, d) in enumerate(row[:RNN_K])}
+    expected = {}
+    for a, nb in knn.items():
+        for b, (rk_ab, c) in nb.items():
+            if a < b and a in knn[b]:
+                expected[(a, b)] = (c, rk_ab, knn[b][a][0])
+    got = {
+        (r.va, r.vb): (r.cosine, r.rank_ab, r.rank_ba)
+        for r in sim_reciprocal_nn_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(1 <= ab <= RNN_K and 1 <= ba <= RNN_K for _, ab, ba in got.values())
