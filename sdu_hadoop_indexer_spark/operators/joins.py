@@ -980,3 +980,122 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+@register(
+    "join_asof_interpolated",
+    oracle=f"""
+    WITH {{SQL_EVENTS_US}},
+    k AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'view'
+                    THEN printf('%020d-%019d-%010d', epoch_us(ts), event_id,
+                                CAST(round(value * 100) AS BIGINT))
+               END AS vk
+        FROM ev
+    ),
+    br AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(vk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pk,
+               min(vk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 1 FOLLOWING
+                                       AND UNBOUNDED FOLLOWING) AS nk
+        FROM k
+    ),
+    p AS (
+        SELECT event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+               CAST(epoch_us(ts) AS BIGINT) AS tu,
+               CAST(substr(pk, 1, 20) AS BIGINT) AS tp,
+               CAST(substr(pk, 42, 10) AS BIGINT) AS vp,
+               CAST(substr(nk, 1, 20) AS BIGINT) AS tn,
+               CAST(substr(nk, 42, 10) AS BIGINT) AS vn
+        FROM br WHERE event_type = 'purchase'
+    )
+    SELECT event_id, ts_s,
+           CAST(vp AS DOUBLE) / 100.0 AS v_prev,
+           CAST(vn AS DOUBLE) / 100.0 AS v_next,
+           tn - tp AS bracket_us,
+           CASE WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+               CAST(CAST(floor((CAST(vp * (tn - tu) + vn * (tu - tp)
+                                     AS DOUBLE) * 2
+                                + CAST(tn - tp AS DOUBLE))
+                               / (2 * CAST(tn - tp AS DOUBLE))) AS BIGINT)
+                    AS DOUBLE) / 100.0
+           END AS interp_value
+    FROM p
+    """.format(SQL_EVENTS_US=SQL_EVENTS_US),
+)
+def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated as-of join: each purchase reads the user's view-value
+    CURVE, not a single prior row — linear interpolation between the
+    latest strictly-earlier and earliest strictly-later 'view' events
+    (the financial curve-lookup semantics: an as-of PICKS a row, this
+    op VALUES a point between rows; the missing member of the
+    asof/forward/nearest/tolerance family).
+
+    EXACT: both brackets come from the family's LOCF string-key device —
+    max over RANGE(unbounded, −1) / min over RANGE(1, unbounded) of a
+    zero-padded (ts, event_id, cents) key restricted to views (CASE
+    inside the aggregate; max/min skip NULLs), so tie-breaks are total
+    and engine-identical and the value rides along after the unique
+    prefix. The interpolation v_p + (v_n−v_p)·(t−t_p)/(t_n−t_p) is
+    evaluated as ONE half-away integer-cent quotient
+    floor((2·(v_p·(t_n−t) + v_n·(t−t_p)) + Δt) / (2·Δt)) — exact int64
+    (cents×µs-span < 2⁶⁰), no float until the final /100.
+
+    Scale shape: the two window frames share one user-partitioned
+    microsecond-ordered sort (a single Exchange, the `win_sessionize`
+    discipline); linear state per partition, no join at all — survives
+    any per-user history length."""
+    ev = table(spark, sf_dir, "events")
+    vk = F.when(
+        F.col("event_type") == "view",
+        F.format_string(
+            "%020d-%019d-%010d",
+            F.unix_micros("ts"),
+            F.col("event_id"),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ),
+    )
+    base = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+    wp = base.rangeBetween(Window.unboundedPreceding, -1)
+    wn = base.rangeBetween(1, Window.unboundedFollowing)
+    br = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(vk).over(wp).alias("pk"),
+        F.min(vk).over(wn).alias("nk"),
+    ).where(F.col("event_type") == "purchase")
+    p = br.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_micros("ts").alias("tu"),
+        F.substring("pk", 1, 20).cast("long").alias("tp"),
+        F.substring("pk", 42, 10).cast("long").alias("vp"),
+        F.substring("nk", 1, 20).cast("long").alias("tn"),
+        F.substring("nk", 42, 10).cast("long").alias("vn"),
+    )
+    num = F.col("vp") * (F.col("tn") - F.col("tu")) + F.col("vn") * (
+        F.col("tu") - F.col("tp")
+    )
+    den = F.col("tn") - F.col("tp")
+    interp = (
+        F.floor(
+            (num.cast("double") * 2 + den.cast("double"))
+            / (2 * den.cast("double"))
+        ).cast("long")
+    ).cast("double") / 100.0
+    return p.select(
+        "event_id",
+        "ts_s",
+        (F.col("vp").cast("double") / 100.0).alias("v_prev"),
+        (F.col("vn").cast("double") / 100.0).alias("v_next"),
+        (F.col("tn") - F.col("tp")).alias("bracket_us"),
+        F.when(
+            F.col("vp").isNotNull() & F.col("vn").isNotNull(), interp
+        ).alias("interp_value"),
+    )

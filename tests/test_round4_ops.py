@@ -707,3 +707,59 @@ def test_readability_counts_consistent(spark, sf_dir):
             4,
         )
         assert abs(cli - r.cli) < 1e-9
+
+
+def test_asof_interpolated_matches_python_recompute(spark, sf_dir):
+    """Brackets and the integer-cent interpolation recomputed from raw
+    events in Python must match exactly; interpolated values always sit
+    inside [min(v_prev, v_next), max(v_prev, v_next)]."""
+    from sdu_hadoop_indexer_spark.catalog import table
+    from sdu_hadoop_indexer_spark.operators.joins import (
+        join_asof_interpolated,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("tu"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for rows in by_user.values():
+        views = sorted(
+            [(r.tu, r.event_id, r.c) for r in rows if r.event_type == "view"]
+        )
+        for r in rows:
+            if r.event_type != "purchase":
+                continue
+            prev = max(
+                (v for v in views if v[0] < r.tu), default=None
+            )
+            nxt = min((v for v in views if v[0] > r.tu), default=None)
+            interp = None
+            if prev and nxt:
+                num = prev[2] * (nxt[0] - r.tu) + nxt[2] * (r.tu - prev[0])
+                den = nxt[0] - prev[0]
+                interp = (2 * num + den) // (2 * den) / 100
+            expected[r.event_id] = (
+                prev[2] / 100 if prev else None,
+                nxt[2] / 100 if nxt else None,
+                interp,
+            )
+    got = {
+        r.event_id: (r.v_prev, r.v_next, r.interp_value)
+        for r in join_asof_interpolated(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for vp, vn, iv in got.values():
+        if iv is not None:
+            assert min(vp, vn) - 0.005 <= iv <= max(vp, vn) + 0.005
