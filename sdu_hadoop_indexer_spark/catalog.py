@@ -8,6 +8,8 @@ Catalyst pushes predicates and prunes columns into these scans for free
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +52,64 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP_LTZ so unix_micros/unix_timestamp/window() resolve.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+_RG_CACHE: dict[str, int] = {}
+
+
+def _effective_scan_tasks(path: str) -> int:
+    """Decode parallelism of one parquet file = its row-group count (Spark
+    can split a file into byte ranges, but a row group is decoded whole by
+    the split holding its midpoint — a single-row-group file is ONE task no
+    matter how many splits the scheduler makes). Footer-only read, cached."""
+    n = _RG_CACHE.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).num_row_groups
+        except Exception:
+            n = 1_000_000  # unknown layout: assume splittable, never spread
+        _RG_CACHE[path] = n
+    return n
+
+
+def spread(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    *,
+    table_name: str | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow source (guide §2.5 "one huge
+    unsplittable file → repartition immediately after the read").
+
+    Every fixture table is ONE parquet row group, so every scan stage —
+    and all map-side work Catalyst fuses into it (hash folds, Generate
+    expansions, partial aggregation) — executes on ONE task regardless of
+    core count (measured: the bootstrap op's 600 k-key char-fold alone is
+    1.8 s single-task at sf0.1). A deterministic hash repartition on a
+    high-cardinality column moves that work onto every core.
+
+    Scale-adaptive, not a local[32] constant: the target is the session's
+    ``defaultParallelism`` (so the driver's lower-core bench runs spread
+    proportionally less), and the exchange is inserted ONLY when the
+    source's effective decode parallelism (row-group count when
+    ``table_name``/``sf_dir`` name a fixture file, otherwise the
+    DataFrame's own partition count) is below half the parallelism — a
+    real cluster scan with healthy splits makes this a no-op, so no plan
+    gains a shuffle at 100 TB. ``SPARK_GRAFT_SPREAD=0`` disables it."""
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") in ("0", "false"):
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if table_name is not None and sf_dir is not None:
+        eff = _effective_scan_tasks(f"{sf_dir}/{table_name}.parquet")
+    else:
+        eff = df.rdd.getNumPartitions()
+    if 2 * eff >= par:
+        return df
+    return df.repartition(par, F.col(key))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
