@@ -121,16 +121,28 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.select("word", "freq", merged.alias("sym"))
 
 
-def bpe_train(
+def _bpe_core(
     spark: SparkSession,
     sf_dir: str,
     n_merges: int = N_MERGES,
     reliable: bool = False,
-) -> DataFrame:
-    """Train `n_merges` BPE merges over the fixture corpus; returns the
-    merge table (rank, left, right, merged, cnt). ``reliable=True`` stages
-    each round to parquet instead of executor-local blocks (see
-    `iteration.stage_round` — the executor-loss-safe cluster form)."""
+) -> tuple[list[tuple], DataFrame]:
+    """Shared train loop: returns (merge list, FINAL merged vocab).
+
+    Two job-count savings vs the pre-r15 form (the loop is inherently
+    sequential — each arg-max depends on the previous merge — so the wall
+    is round-count × per-round job cost, and the per-round jobs are what
+    an optimization can cut):
+
+    - per-round checkpoints are LAZY (``eager=False``): round k's single
+      collect materializes vocab_k's blocks as part of computing the pair
+      counts, instead of a separate eager materialization job per round —
+      half the round-trips, identical lineage truncation;
+    - the final vocab is returned so ``bpe_encode`` can reuse it: applying
+      every merge in rank order to the full vocab is exactly what the
+      train loop already did, so encode needs NO second corpus pass, no
+      merge replay, and no per-merge checkpoints of its own.
+    """
     # Tokens containing '|' are excluded from the vocab on BOTH engines: the
     # symbol output (and the oracle's delimiter encoding) use '|' as the
     # separator, so such tokens would make the representation ambiguous.
@@ -140,7 +152,7 @@ def bpe_train(
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").alias("freq"))
     )
-    stager = RoundStager(reliable)  # vocab chain: ≤1 staged copy on disk
+    stager = RoundStager(reliable, eager=False)  # ≤1 staged copy on disk
     vocab = stager.stage(
         words.select("word", "freq", F.split("word", "").alias("sym"))
     )
@@ -157,6 +169,20 @@ def bpe_train(
         a, b, cnt = top[0].a, top[0].b, top[0].cnt
         merges.append((rank, a, b, a + b, int(cnt)))
         vocab = stager.stage(_apply_merge(vocab, a, b))
+    return merges, vocab
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    reliable: bool = False,
+) -> DataFrame:
+    """Train `n_merges` BPE merges over the fixture corpus; returns the
+    merge table (rank, left, right, merged, cnt). ``reliable=True`` stages
+    each round to parquet instead of executor-local blocks (see
+    `iteration.stage_round` — the executor-loss-safe cluster form)."""
+    merges, _ = _bpe_core(spark, sf_dir, n_merges, reliable)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, cnt bigint"
     )
@@ -183,26 +209,14 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> DataFrame:
-    """Apply trained merges: re-run the training fold sequence over the
-    vocab (merge application is the SAME `aggregate` fold used in
-    training, replayed in rank order), yielding each word's BPE symbol
-    sequence. Corpus encoding is then a vocab-sized broadcast join — the
-    corpus itself is never re-folded."""
-    # Tokens containing '|' are excluded from the vocab on BOTH engines: the
-    # symbol output (and the oracle's delimiter encoding) use '|' as the
-    # separator, so such tokens would make the representation ambiguous.
-    words = (
-        tokenize(spark, sf_dir)
-        .where(~F.col("term").contains("|"))
-        .groupBy(F.col("term").alias("word"))
-        .agg(F.count("*").alias("freq"))
-    )
-    vocab = words.select(
-        "word", "freq", F.split("word", "").alias("sym")
-    ).localCheckpoint()
-    merges = bpe_train(spark, sf_dir, n_merges).collect()
-    for m in sorted(merges, key=lambda r: r.rank):
-        vocab = _apply_merge(vocab, m.left, m.right).localCheckpoint()
+    """Each word's BPE symbol sequence under the trained merges. The train
+    loop already applied every merge in rank order to the full vocab, so
+    its FINAL staged vocab IS the encoded vocab (`_bpe_core`) — the
+    pre-r15 form re-ran the corpus word count and replayed all
+    {N_MERGES} folds with one localCheckpoint each, recomputing what
+    training had just produced. Corpus encoding downstream is a
+    vocab-sized broadcast join — the corpus itself is never re-folded."""
+    _, vocab = _bpe_core(spark, sf_dir, n_merges)
     return vocab.select(
         "word",
         "freq",
