@@ -966,7 +966,12 @@ def dedup_minhash_cluster(
         ),
         reliable,
     )
-    stager = RoundStager(reliable)  # labels chain: ≤1 staged copy on disk
+    # labels chain: ≤1 staged copy on disk. LAZY staging (eager=False):
+    # every round already ends in an action (the convergence-probe agg), so
+    # that one job materializes the round's checkpoint blocks as a side
+    # effect — the separate eager materialization job per round was pure
+    # overhead (the BPE-loop finding applied here; 2 jobs/round → 1).
+    stager = RoundStager(reliable, eager=False)
     labels = stager.stage(
         member.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     )

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..operators.parity import ratio
 from ..registry import register
 from ..session import app_sink_dir
@@ -1613,24 +1613,44 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = table(spark, sf_dir, "embeddings")
-    qd = e.select(
+    # spread the narrow source first: the outer-product fan-out below is
+    # dim²× per row and would otherwise fuse into the single-row-group
+    # scan task (guide §2.5)
+    esp = spread(
+        spark,
+        e.select("vec_id", "embedding"),
         "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") * PCA_SCALE, 0).cast(
-                    "long"
-                ),
-            )
-        ).alias("dim", "q"),
+        table_name="embeddings",
+        sf_dir=sf_dir,
     )
-    a = qd.select("vec_id", F.col("dim").alias("i"), F.col("q").alias("qi"))
-    b = qd.select("vec_id", F.col("dim").alias("j"), F.col("q").alias("qj"))
-    sums = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * PCA_SCALE, 0).cast("long"),
+    )
+    qd = esp.select(
+        "vec_id",
+        F.posexplode(qarr).alias("dim", "q"),
+    )
+    # Gram cells as a MAP-SIDE outer product: each row emits its dim² q_i·q_j
+    # products directly (flattened nested transform, cell ordinal k = i·dim+j)
+    # — replacing the pre-r15 self-join on vec_id, which shuffled both
+    # exploded legs (2 × N·dim rows) only to re-pair values that were
+    # adjacent in the same array all along (guide §2.4: remove shuffles
+    # outright). Same integer-lattice products, same decimal(38) sums.
+    cells = esp.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    qarr,
+                    lambda qi: F.transform(qarr, lambda qj: qi * qj),
+                )
+            )
+        ).alias("k", "p")
+    )
+    gsums = (
+        cells.groupBy("k")
         # decimal(38) partial sums: exact at any N (int64 q·q ≤ 1e9/cell)
-        .agg(F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s"))
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
         .collect()
     )
     means = (
@@ -1641,9 +1661,9 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(means)
     if not dim:
         raise ValueError("sim_pca_power: embeddings table is empty")
-    if len(sums) != dim * dim:
+    if len(gsums) != dim * dim:
         raise ValueError(
-            f"sim_pca_power: ragged embedding arrays — {len(sums)} Gram "
+            f"sim_pca_power: ragged embedding arrays — {len(gsums)} Gram "
             f"cells for dim {dim}"
         )
     n = float(e.count())
@@ -1651,8 +1671,8 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in means:
         m[r.dim] = float(int(r.m))
     gram = [[0.0] * dim for _ in range(dim)]
-    for r in sums:
-        gram[r.i][r.j] = float(int(r.s))
+    for r in gsums:
+        gram[r.k // dim][r.k % dim] = float(int(r.s))
     sc, sc2 = float(PCA_SCALE), float(PCA_SCALE * PCA_SCALE)
     # the EXACT expression the oracle evaluates — same ops, same order
     cov = [
