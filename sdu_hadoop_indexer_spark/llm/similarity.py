@@ -119,7 +119,9 @@ def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         _norm("embedding").alias("qn"),
     )
-    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): the N_QUERIES×
+    # interpreted cosine folds otherwise fuse into the one scan task
+    c = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
@@ -236,7 +238,11 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("embedding").alias("qn"),
         "bucket",
     )
-    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source: the plane projections + cosine
+    # folds are per-row HOFs that otherwise run on the one scan task
+    c = _emb_spread(spark, sf_dir).withColumn(
+        "bucket", _lsh_bucket("embedding")
+    ).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
@@ -282,6 +288,22 @@ def _train_sample_ids_sql() -> str:
         f"SELECT vec_id FROM embeddings "
         f"ORDER BY md5('{TRAIN_SALT}' || CAST(vec_id AS VARCHAR)), vec_id "
         f"LIMIT {TRAIN_CAP}"
+    )
+
+
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings spread off the single-row-group scan (guide §2.5): the
+    shared source for CANDIDATE legs whose per-row scoring work —
+    interpreted 64-dim cosine/assignment folds, LSH plane projections,
+    query-set fan-outs — would otherwise fuse into the one scan task.
+    Query legs (N_QUERIES rows, usually broadcast) keep reading the plain
+    table; only corpus-sized expression work belongs above this."""
+    return spread(
+        spark,
+        table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        table_name="embeddings",
+        sf_dir=sf_dir,
     )
 
 
@@ -740,7 +762,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
     qv = _ivf_qvec("embedding")
-    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): per-row centroid
+    # assignment + the probe-join scoring folds otherwise fuse into the
+    # one scan task
+    cand = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
@@ -1899,7 +1924,9 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         te.alias("qe"),
         _norm(te).alias("qn"),
     )
-    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): the truncated-
+    # cosine fan-out otherwise fuses into the one scan task
+    c = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         te.alias("ce"),
         _norm(te).alias("cn"),
@@ -2013,8 +2040,19 @@ def _pq_qe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded (vec_id, sub, dim, q) relation: embeddings quantized to the
     IVF integer lattice, each dim tagged with its subspace id
     sub = floor(dim * PQ_M / len) — a pure function of position, so both
-    engines partition the vector identically at any dimensionality."""
-    e = table(spark, sf_dir, "embeddings")
+    engines partition the vector identically at any dimensionality.
+
+    Spread off the single-row-group scan first (guide §2.5): every
+    consumer fans this relation out through a broadcast join + partial
+    agg (PQ encode 8×, the exact ground truth N_QUERIES×) that would
+    otherwise fuse into the one scan task."""
+    e = spread(
+        spark,
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        table_name="embeddings",
+        sf_dir=sf_dir,
+    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("n"),
@@ -2487,7 +2525,9 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     icents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
     qvec = _ivf_qvec("embedding")
-    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): the per-row coarse
+    # assignment otherwise fuses into the one scan task
+    cand = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         _ivf_assign(qvec, icents).alias("cell"),
     )
@@ -2679,7 +2719,9 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         te.alias("qe"),
         _norm(te).alias("qn"),
     )
-    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): the truncated-
+    # cosine fan-out otherwise fuses into the one scan task
+    c = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         te.alias("ce"),
         _norm(te).alias("cn"),
@@ -2867,6 +2909,9 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         _norm("embedding").alias("qn"),
     )
+    # NOT spread: this op's pinned contract (test_range_search_is_shuffle
+    # _free) is the ZERO-shuffle broadcast-driven scan — the brute radius
+    # baseline stays exchange-free by design; its tau tail has no window.
     c = e.where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
@@ -2895,7 +2940,11 @@ def _ivf_store_write(
     stored inverted-list layout shared by `sink_ivf_partitioned_ann`,
     `sink_ivf_range_lookup` and (incrementally) `sink_ivf_ann_append`.
     Assignment cost is paid once here; every reader prunes directories."""
-    e = table(spark, sf_dir, "embeddings")
+    # spread before assigning (guide §2.5): the per-row centroid assignment
+    # otherwise runs on the one scan task. The pre-write repartition("cell")
+    # re-clusters rows by home cell so each directory still gets ONE file
+    # per cell (guide §6 output sizing) instead of one per spread task.
+    e = _emb_spread(spark, sf_dir)
     (
         e.where(F.col("vec_id") >= N_QUERIES)
         .select(
@@ -2903,6 +2952,7 @@ def _ivf_store_write(
             "embedding",
             _ivf_assign(_ivf_qvec("embedding"), cents).alias("cell"),
         )
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(out)
@@ -3029,7 +3079,10 @@ def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _train_ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
     qv = _ivf_qvec("embedding")
-    cand = e.where(F.col("vec_id") >= N_QUERIES).select(
+    # candidate leg off the spread source (guide §2.5): per-row centroid
+    # assignment + the probe-join scoring folds otherwise fuse into the
+    # one scan task
+    cand = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
