@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import jsonify_complex, register
 
 # Shared DuckDB tokenizer fragment (oracle side). Parity contract with
@@ -56,7 +56,20 @@ def tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes App.scala:155 (``split("\\s")`` loop) + App.scala:154,160
     (position counter, with the B4 char-offset bug fixed to token ordinals).
     """
-    docs = table(spark, sf_dir, "documents")
+    # spread off the single-row-group scan (guide §2.5): the explode and
+    # everything Catalyst fuses above it — the (term, doc_id) partial aggs
+    # of the index family, hash folds, bigram windows — otherwise run on
+    # ONE task. Keyed on doc_id, so downstream doc_id-clustered consumers
+    # (windows, per-doc aggs) REUSE this exchange instead of adding one.
+    # Interleaved A/B at sf0.1: the flagship nested index reads ~20%
+    # faster; no-op on a splittable source.
+    docs = spread(
+        spark,
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        table_name="documents",
+        sf_dir=sf_dir,
+    )
     return docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "term"),
