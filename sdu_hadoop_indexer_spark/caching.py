@@ -41,6 +41,15 @@ def memoized_persist(
     for k in list(cache):
         if k[0] != key[0]:
             del cache[k]
+    # persist, NOT localCheckpoint (re-affirmed r15): a checkpoint leaf
+    # would truncate the logical plan (cheaper re-analysis for multi-branch
+    # consumers) but freezes the build's AQE-coalesced partitioning — the
+    # bands pin collapses to ~1 partition and the LSH bucket self-join's
+    # pair expansion serializes into one task (measured: est_quality
+    # 1.9 s → 19 s). Consumers that DO need a truncated plan stage their
+    # own leaf over the pinned blocks (graph_kcore / graph_common_neighbors
+    # via stage_round — an edges-sized copy, re-spread by their own
+    # shuffles).
     out = build().persist()
     cache[key] = out
     return out

@@ -2019,12 +2019,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The three scalars are computed EAGERLY (round-2 ADVICE); the edge
     # pin itself is the session-scoped memoized copy — NOT unpersisted
-    # here, the other graph consumers read it too.
-    n_tri = tri.count()
-    n_edges = e.count()
-    n_nodes = nodes.select("d").distinct().count()
+    # here, the other graph consumers read it too. ONE collect (r15): the
+    # three independent counts cross-join into a single 1-row job instead
+    # of three sequential driver round-trips — same values, one action.
+    row = (
+        tri.agg(F.count("*").alias("t"))
+        .crossJoin(e.agg(F.count("*").alias("m")))
+        .crossJoin(nodes.select("d").distinct().agg(F.count("*").alias("n")))
+        .collect()[0]
+    )
     return spark.createDataFrame(
-        [(n_tri, n_edges, n_nodes)],
+        [(row.t, row.m, row.n)],
         "n_triangles bigint, n_edges bigint, n_nodes bigint",
     )
 
@@ -3233,7 +3238,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counter's bound — ≤ m×64 wedge rows at ANY corpus size);
     the existing-edge screen is a left-anti equi-join; degree joins are
     node-keyed equi-joins. No cartesian, no window."""
-    e = _capped_edges_persisted(spark, sf_dir)
+    from ..iteration import stage_round
+
+    # truncate the pinned edges' logical plan for THIS op's many branches
+    # (deg ×2, adj ×2, wedge self-join, anti-screen, two degree joins):
+    # a persist caches blocks but keeps the full near-jaccard lineage,
+    # which PySpark re-analyzes on every one of those references —
+    # measured ~1.5 s of driver-side analysis per invocation. The same
+    # leaf-staging graph_kcore documents; the wedge shuffle re-spreads
+    # past the leaf's frozen partitioning.
+    e = stage_round(_capped_edges_persisted(spark, sf_dir), False)
     deg = (
         e.select(F.col("u").alias("d"))
         .unionAll(e.select(F.col("v").alias("d")))
