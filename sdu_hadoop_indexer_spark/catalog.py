@@ -139,6 +139,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so spark.sql() sees the catalog."""
+    """Register every table as a temp view so spark.sql() sees the catalog.
+
+    The fact table's view is spread off the single-row-group scan (guide
+    §2.5): every SQL-text query's lineitem-side map work — probe joins,
+    partial aggregation — otherwise fuses into the ONE scan task of the
+    fixture layout (measured: Q3 0.79 → 0.64 s, Q1-shape 1.7 → 0.85 s at
+    sf0.1). Predicates still push through the repartition to the scan
+    (PushedFilters pinned in tests/test_plans.py), results are identical
+    (pure partitioning), and spread() no-ops on a splittable source, so a
+    real multi-row-group warehouse table keeps the plain scan view."""
     for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = table(spark, sf_dir, name)
+        if name == "lineitem":
+            df = spread(spark, df, "l_orderkey", table_name=name, sf_dir=sf_dir)
+        df.createOrReplaceTempView(name)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import register_views, table
+from ..catalog import register_views, spread, table
 from ..registry import jsonify_complex, register
 from .parity import dsum, ravg, sql_dsum, sql_ravg
 
@@ -36,11 +36,28 @@ from .parity import dsum, ravg, sql_dsum, sql_ravg
     """,
 )
 def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: the canonical multi-measure hash aggregation."""
+    """TPC-H Q1 shape: the canonical multi-measure hash aggregation.
+
+    The partial aggregation is spread off the scan (guide §2.5): on a
+    single-row-group source the decimal partial agg fuses into the one
+    scan task (measured 1.5 s of the row's 1.7 s at sf0.1 — the decode +
+    filter alone is 0.22 s), and the exchange ships only the five narrow
+    measure columns. dsum/ravg are exact decimal/integer sums, so the
+    result is partitioning-independent; spread() no-ops on splittable
+    sources, so a healthy cluster scan keeps the classic scan-fused plan."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    filtered = li.where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        spread(spark, filtered, "l_extendedprice", table_name="lineitem", sf_dir=sf_dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
