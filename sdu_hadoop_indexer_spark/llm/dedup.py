@@ -1821,24 +1821,23 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: windows shuffle by a 64-bit xxhash64 of the gram (8 B
     keys, not ~50 B strings; collisions only merge counts — at 2^32
     grams the expected collision count is <1 and a collision can only
-    flip a window to "duplicated", never lose one). The duplicated-gram
-    set is a HAVING-filtered aggregate (small — only true repeats), then
-    a left join marks windows; both shuffles are plain hash partitions
-    with map-side partial counts. No all-pairs stage anywhere.
+    flip a window to "duplicated", never lose one). Windows are marked
+    duplicated with a count over a gh-PARTITIONED window (uniform hash
+    keys — groups of 1-2 rows, no skew): the gram relation is built ONCE
+    and crosses one exchange, where the previous agg-then-join form
+    rebuilt the tokenize→window→hash lineage for each side (measured
+    1.14 → 0.79 s at sf0.1). No all-pairs stage anywhere.
     """
     g = _kgram_hashes(spark, sf_dir).select("doc_id", "gh")
-    dup = (
-        g.groupBy("gh")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .select("gh", F.lit(1).alias("is_dup"))
+    wcnt = Window.partitionBy("gh")
+    flagged = g.withColumn(
+        "is_dup", (F.count("*").over(wcnt) > 1).cast("int")
     )
     return (
-        g.join(dup, "gh", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("total_grams"),
-            F.sum(F.coalesce("is_dup", F.lit(0))).alias("dup_grams"),
+            F.sum("is_dup").alias("dup_grams"),
         )
         .select(
             "doc_id",
