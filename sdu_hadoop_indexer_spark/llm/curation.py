@@ -1830,17 +1830,22 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "feat")
     )
     feats = uni.unionAll(bi)
-    fmap = (
-        feats.select("feat")
-        .distinct()
-        .select(
-            "feat", F.pmod(xh1("feat"), F.lit(DSIR_B)).cast("int").alias("b")
-        )
+    # bucket every occurrence DIRECTLY (r15): the previous
+    # distinct-feature map (hash the vocab once, join it back) paid a
+    # corpus-sized STRING-keyed distinct shuffle plus the re-attach join
+    # to save char-folds; with the tokenize source spread, the per-
+    # occurrence fold is embarrassingly parallel map work and the bucket
+    # relation needs ZERO shuffles before the branch aggregates
+    # (measured: the weights op 4.1 → 2.5 s median at sf0.1; same bucket
+    # value per occurrence, so dw is bit-identical). At corpus scale the
+    # trade is the same — folds scale with cores, the string distinct
+    # scaled with shuffle bandwidth.
+    fb = feats.select(
+        "doc_id", F.pmod(xh1("feat"), F.lit(DSIR_B)).cast("int").alias("b")
     )
-    fb = feats.join(fmap, "feat").select("doc_id", "b")
     # the (doc_id, bucket) relation feeds FOUR branches (target slice, raw
     # bucket counts, totals, per-doc weights) — truncate once so the
-    # tokenize → bigram-window → hash-join lineage runs once, not 4×
+    # tokenize → bigram-window → fold lineage runs once, not 4×
     # (the k-core peel-loop discipline; blocks are ContextCleaner-scoped)
     from ..iteration import stage_round
 
