@@ -1849,7 +1849,7 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the k-core peel-loop discipline; blocks are ContextCleaner-scoped)
     from ..iteration import stage_round
 
-    fb = stage_round(fb, False)
+    fb = stage_round(fb, False, eager=False)
     tgt_docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("lang") == DSIR_TARGET_LANG)
@@ -1899,7 +1899,7 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # staged: dw feeds multiple actions in every consumer (rank pivots,
     # bucket counts, final select / the resample top-k)
-    return stage_round(dw, False)
+    return stage_round(dw, False, eager=False)
 
 
 @register("llm_dsir_weights", oracle=_dsir_oracle())
