@@ -1863,12 +1863,23 @@ _CAPPED_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _capped_oriented_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import memoized_persist
+    from ..iteration import stage_round
 
+    # The pin is staged as a checkpoint LEAF inside the build (r15):
+    # a bare persist keeps the full near-jaccard lineage in the handle,
+    # and every consumer BRANCH re-analyzes that tree — measured 0.4 s of
+    # driver work per reference on a 667-row relation (triangle count
+    # touches it 4×). This is the TARGETED form of the blanket
+    # memoized_persist-checkpoint idea that was tried and reverted: the
+    # frozen-partitioning concern is void here (the capped edge set is
+    # tiny and every consumer broadcasts it or re-spreads with its own
+    # shuffles), unlike the corpus-shaped bands pin where it serialized
+    # the LSH pair expansion.
     return memoized_persist(
         _CAPPED_EDGES_CACHE,
         spark,
         sf_dir,
-        lambda: _capped_oriented_edges(spark, sf_dir)[1],
+        lambda: stage_round(_capped_oriented_edges(spark, sf_dir)[1], False),
     )
 
 
@@ -3027,13 +3038,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-core peel with the same per-round plan."""
     from ..iteration import stage_round
 
-    # read the SHARED staged edge pin, then truncate lineage for the
-    # peel loop: a persist alone caches BLOCKS but keeps the full
-    # upstream plan, and the 7 unrolled rounds each re-analyze it —
-    # measured +50% wall vs a flat scan. localCheckpoint over the pinned
-    # blocks is a cheap edges-sized copy that every round plans against
-    # as a leaf.
-    e = stage_round(_capped_edges_persisted(spark, sf_dir), False)
+    # the shared edge pin is itself a checkpoint leaf (r15, see
+    # _capped_oriented_persisted), so the peel rounds plan against a
+    # leaf-rooted projection directly — no per-call re-staging copy.
+    e = _capped_edges_persisted(spark, sf_dir)
     nodes = (
         e.select(F.col("u").alias("d"))
         .unionAll(e.select(F.col("v").alias("d")))
@@ -3244,16 +3252,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counter's bound — ≤ m×64 wedge rows at ANY corpus size);
     the existing-edge screen is a left-anti equi-join; degree joins are
     node-keyed equi-joins. No cartesian, no window."""
-    from ..iteration import stage_round
-
-    # truncate the pinned edges' logical plan for THIS op's many branches
-    # (deg ×2, adj ×2, wedge self-join, anti-screen, two degree joins):
-    # a persist caches blocks but keeps the full near-jaccard lineage,
-    # which PySpark re-analyzes on every one of those references —
-    # measured ~1.5 s of driver-side analysis per invocation. The same
-    # leaf-staging graph_kcore documents; the wedge shuffle re-spreads
-    # past the leaf's frozen partitioning.
-    e = stage_round(_capped_edges_persisted(spark, sf_dir), False)
+    # the shared edge pin is itself a checkpoint leaf (r15, see
+    # _capped_oriented_persisted): every one of this op's nine branches
+    # (deg ×2, adj ×2, wedge self-join, anti-screen, two degree joins)
+    # plans against a leaf-rooted projection — a bare persist kept the
+    # full near-jaccard lineage and PySpark re-analyzed it per reference,
+    # measured ~1.5 s of driver work per invocation before the r15 leaf;
+    # the wedge shuffle re-spreads past the leaf's frozen partitioning.
+    e = _capped_edges_persisted(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("d"))
         .unionAll(e.select(F.col("v").alias("d")))
