@@ -407,12 +407,19 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the staged edge table a dedup pipeline would write between stages.
     """
     from ..caching import memoized_persist
+    from ..iteration import stage_round
 
+    # checkpoint LEAF inside the memoized build (r15, the capped-edge-pin
+    # finding): a bare persist keeps the candidate+verify lineage in the
+    # handle and every consumer branch re-analyzes it driver-side. The
+    # edge set is pairs-sized and every consumer re-aggregates or joins
+    # it through its own shuffles, so the frozen-partitioning caveat of
+    # the bands pin does not apply.
     return memoized_persist(
         _NEAR_JACCARD_CACHE,
         spark,
         sf_dir,
-        lambda: _near_jaccard_build(spark, sf_dir),
+        lambda: stage_round(_near_jaccard_build(spark, sf_dir), False),
     )
 
 
@@ -2304,11 +2311,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages rather than re-mining it per consumer."""
     from ..caching import memoized_persist
 
+    from ..iteration import stage_round
+
+    # checkpoint LEAF inside the memoized build (r15): same rationale as
+    # the near-jaccard pin — composers (llm_contamination_matrix) branch
+    # over the pinned edges and paid the full candidate+verify lineage
+    # re-analysis per reference.
     return memoized_persist(
         _CONTAINMENT_CACHE,
         spark,
         sf_dir,
-        lambda: _containment_build(spark, sf_dir),
+        lambda: stage_round(_containment_build(spark, sf_dir), False),
     )
 
 
