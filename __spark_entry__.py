@@ -39,6 +39,20 @@ CHANGED_OPS: dict[str, int] = {
     # two-phase llm_global_sort_index shape (VERDICT r14 wrong-item 1) —
     # same oracle, same output contract, new physical plan.
     "llm_dsir_weights": 15,
+    # r15 optimization round: ops whose physical plan was restructured
+    # (same oracles, 3-SF locally re-verified; listed so the driver's
+    # rotation re-samples them first). Q1 + the SQL fact view gained the
+    # scale-adaptive spread exchange; exact_substring's dup marking moved
+    # from agg+join to a gh-window; the DSIR pair folds per occurrence;
+    # the graph family plans against checkpoint-leaf edge pins.
+    "agg_hash_groupby": 15,
+    "sql_revenue_topn": 15,
+    "sql_volume_shipping": 15,
+    "dedup_exact_substring": 15,
+    "llm_dsir_resample": 15,
+    "graph_kcore": 15,
+    "graph_triangle_count": 15,
+    "graph_common_neighbors": 15,
 }
 
 
