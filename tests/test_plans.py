@@ -650,7 +650,12 @@ def test_round5_ops_plan_shapes(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Window [") == 2  # two-phase: sharded then global
 
-    plan = _plan(dedup_containment(spark, sf_dir))
+    # the registered op returns the memoized pin, which since r15 is a
+    # checkpoint LEAF (driver re-analysis fix) — the join shape this test
+    # pins lives in the BUILD the pin wraps, so assert on the build plan.
+    from sdu_hadoop_indexer_spark.llm.dedup import _containment_build
+
+    plan = _plan(_containment_build(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # prefix-term join + array verify
