@@ -326,6 +326,36 @@ EXTENDED_BANDS: dict[str, float] = {
     "sink_ivf_range_lookup": 3.08,
     "sink_ivf_ann_append": 3.04,
 }
+# r15 OPTIMIZATION-round re-freezes: rows whose plans were restructured
+# this round read far under their stale references on EVERY post-change
+# read (three full suite reads + standalone probes, all canary-deflated;
+# the host never went idle — 42-85 ms spin all round — so these pools err
+# HIGH like the r14 sink freezes: each value sits above the worst
+# observed contended-deflated median, preserving regression detection
+# without inviting false warns on the next contended gate read).
+REFREEZE_R15 = {
+    # capped-edge pin is a checkpoint leaf: 3.5 -> 0.7 s warm (deflated
+    # 0.47-0.73 across probe + two suite reads)
+    "graph_triangle_count": 0.9,
+    # leaf pin + earlier checkpoint staging: suite reads 0.42-0.83 raw,
+    # standalone probes up to 1.38 deflated on contended evenings (the
+    # wedge join rides the memoized pin's freshness) — err higher here
+    "graph_common_neighbors": 1.2,
+    # spread off the single-task scan (round-open commit): 1.49-2.0 raw
+    "agg_bootstrap_ci": 2.2,
+    # _emb_spread (round-open commit): probe pair 1.21/1.16 deflated,
+    # suite reads 0.98/0.97-2.13
+    "sim_topk_pq": 1.4,
+    "sim_pq_recall_eval": 1.4,
+    # _emb_spread + per-cell re-cluster before partitionBy: 1.56-1.94 raw
+    "sink_ivf_partitioned_ann": 2.2,
+    "sink_ivf_range_lookup": 2.0,
+    # SemDeDup grouped verify (round-open commit): 1.65-2.52 raw
+    "dedup_semantic_ivf": 2.6,
+    # lineitem view spread: 0.51-0.85 raw across three suite reads
+    "sql_volume_shipping": 0.9,
+}
+EXTENDED_BANDS.update(REFREEZE_R15)
 EXT_BAND_FACTOR = 1.5
 
 
