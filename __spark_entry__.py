@@ -53,6 +53,15 @@ CHANGED_OPS: dict[str, int] = {
     "graph_kcore": 15,
     "graph_triangle_count": 15,
     "graph_common_neighbors": 15,
+    # r15 rewrites the r15 entry under-declared (VERDICT r15 wrong-item 2):
+    # dedup_semantic_ivf's verify moved to a grouped Arrow pass, sim_pca_power
+    # builds its Gram map-side, llm_bpe_encode reuses the train loop's final
+    # vocab — all three were 3-SF re-verified locally at r15 but missed the
+    # driver's r15 oracle sample; recorded at 16 so the rotation samples them
+    # in the very next window.
+    "dedup_semantic_ivf": 16,
+    "sim_pca_power": 16,
+    "llm_bpe_encode": 16,
 }
 
 

@@ -216,7 +216,9 @@ EXTENDED_BANDS: dict[str, float] = {
     "sim_pca_power": 2.782,
     "dedup_exact_substring": 1.106,
     "text_dup_spans": 0.970,
-    "graph_triangle_count": 2.715,
+    # r15 re-freeze: capped-edge pin is a checkpoint leaf — 3.5 -> 0.7 s
+    # warm (deflated 0.47-0.73 across probe + two suite reads)
+    "graph_triangle_count": 0.9,
     "agg_gini": 0.615,
     "agg_weighted_median": 0.966,
     # 2.0 not the r11 freeze's 1.627 (VERDICT r11 wrong-item 1,
@@ -255,8 +257,10 @@ EXTENDED_BANDS: dict[str, float] = {
     "dedup_minhash_incremental": 0.405,
     "dedup_minhash_est_quality": 2.731,
     # (dedup_containment re-frozen r12 below — see the WARM_IN note)
-    "sim_topk_pq": 1.925,
-    "sim_pq_recall_eval": 2.073,
+    # r15 re-freeze: _emb_spread on the candidate legs — probe pair
+    # 1.21/1.16 deflated, suite reads 0.98-2.13
+    "sim_topk_pq": 1.4,
+    "sim_pq_recall_eval": 1.4,
     "sim_topk_ivfpq": 2.943,
     "sim_ivfpq_recall_eval": 2.993,
     # 1.1 not the morning run's 0.684: that was a low draw — the row's
@@ -264,11 +268,14 @@ EXTENDED_BANDS: dict[str, float] = {
     # because its first sample pays pin-read warmup; the first band
     # warning ever fired was this row at the too-tight reference.
     "llm_contamination_matrix": 1.1,
-    "dedup_semantic_ivf": 3.493,
-    "llm_dsir_weights": 2.151,
+    # r15 optimization re-freeze (grouped Arrow verify): 1.65-2.52 raw on
+    # post-change reads; folded from REFREEZE_R15 at the r16 collapse.
+    "dedup_semantic_ivf": 2.6,
     "llm_soft_dedup_weights": 2.045,
     "sim_topk_matryoshka": 0.577,
-    "sql_volume_shipping": 1.256,
+    # r15 re-freeze: lineitem view spread — 0.51-0.85 raw across three
+    # suite reads
+    "sql_volume_shipping": 0.9,
     "dedup_simhash_hamming": 0.798,
     "graph_kcore": 2.945,
     "minhash_sig_portable": 0.729,
@@ -309,7 +316,16 @@ EXTENDED_BANDS: dict[str, float] = {
     # errs HIGH like the r14 sink freezes — first samples pay the staged
     # DSIR-core warmup (5.5-10.7 s), steady-state class ~2.5-2.6 s even
     # contended. Revisit downward from an idle read if one lands.
-    "llm_dsir_resample": 2.74,
+    # r16 re-freeze (VERDICT r15 next-round #1): the r15 gate's 5.109
+    # warning on llm_dsir_weights adjudicated on the first near-idle window
+    # since the bucket-direct rewrite — deflated 1.17 (samples 1.67-2.05
+    # steady after the staged-core warmup rep), builder r15 standalone probe
+    # 1.53. Derived per ADVICE r15: max recorded post-change deflated median
+    # (1.53) x 1.2 margin ≈ 1.8. Resample same window: deflated 0.916, r15
+    # driver gate raw 1.285; max recorded deflated 1.29 x 1.2 ≈ 1.5 (the
+    # 2.74 birth freeze was a volatile-evening pool erring far high).
+    "llm_dsir_weights": 1.8,
+    "llm_dsir_resample": 1.5,
     # r15-continuation birth freeze: median of three standalone 5-rep
     # probe runs (membw brackets 26.4-33.2 ms — one clean-class window,
     # two mildly elevated; deflated per-run medians pooled). Notes:
@@ -318,44 +334,23 @@ EXTENDED_BANDS: dict[str, float] = {
     # runs after the near-jaccard family, warm, like graph_kcore;
     # agg_bootstrap_ci's wall is the 40x Generate + (group, b) partial
     # agg, steady 4.3-5.7 s across all runs.
-    "agg_bootstrap_ci": 5.17,
-    "ts_theil_sen": 0.94,
-    "graph_common_neighbors": 4.57,
-    "sim_range_recall_eval": 3.46,
-    "sink_ivf_partitioned_ann": 3.82,
-    "sink_ivf_range_lookup": 3.08,
-    "sink_ivf_ann_append": 3.04,
-}
-# r15 OPTIMIZATION-round re-freezes: rows whose plans were restructured
-# this round read far under their stale references on EVERY post-change
-# read (three full suite reads + standalone probes, all canary-deflated;
-# the host never went idle — 42-85 ms spin all round — so these pools err
-# HIGH like the r14 sink freezes: each value sits above the worst
-# observed contended-deflated median, preserving regression detection
-# without inviting false warns on the next contended gate read).
-REFREEZE_R15 = {
-    # capped-edge pin is a checkpoint leaf: 3.5 -> 0.7 s warm (deflated
-    # 0.47-0.73 across probe + two suite reads)
-    "graph_triangle_count": 0.9,
-    # leaf pin + earlier checkpoint staging: suite reads 0.42-0.83 raw,
-    # standalone probes up to 1.38 deflated on contended evenings (the
-    # wedge join rides the memoized pin's freshness) — err higher here
-    "graph_common_neighbors": 1.2,
-    # spread off the single-task scan (round-open commit): 1.49-2.0 raw
+    # r15 re-freeze: spread off the single-task scan — 1.49-2.0 raw
     "agg_bootstrap_ci": 2.2,
-    # _emb_spread (round-open commit): probe pair 1.21/1.16 deflated,
-    # suite reads 0.98/0.97-2.13
-    "sim_topk_pq": 1.4,
-    "sim_pq_recall_eval": 1.4,
-    # _emb_spread + per-cell re-cluster before partitionBy: 1.56-1.94 raw
+    "ts_theil_sen": 0.94,
+    # r15 re-freeze: leaf pin + earlier checkpoint staging — suite reads
+    # 0.42-0.83 raw, standalone probes to 1.38 deflated on contended
+    # evenings (rides the memoized pin freshness): err higher here
+    "graph_common_neighbors": 1.2,
+    "sim_range_recall_eval": 3.46,
+    # r15 re-freeze: _emb_spread + per-cell re-cluster before the
+    # partitionBy write — 1.56-1.94 raw
     "sink_ivf_partitioned_ann": 2.2,
     "sink_ivf_range_lookup": 2.0,
-    # SemDeDup grouped verify (round-open commit): 1.65-2.52 raw
-    "dedup_semantic_ivf": 2.6,
-    # lineitem view spread: 0.51-0.85 raw across three suite reads
-    "sql_volume_shipping": 0.9,
+    "sink_ivf_ann_append": 3.04,
 }
-EXTENDED_BANDS.update(REFREEZE_R15)
+# (r16 hygiene, VERDICT r15 wrong-item 5: the r15 REFREEZE_R15 override
+# layer is collapsed into the base table above — exactly one value per
+# row; the git history of this dict is the freeze ledger.)
 EXT_BAND_FACTOR = 1.5
 
 

@@ -26,6 +26,7 @@ def memoized_persist(
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    pin: bool = True,
 ) -> DataFrame:
     """Return the cached persisted relation for (app, sf_dir), building and
     persisting it on first use. Eviction policy: on a miss, drop only
@@ -33,7 +34,27 @@ def memoized_persist(
     gone, the handles are unusable, nothing to unpersist); every live
     entry of the current app (necessarily for other sf_dirs — a same-SF
     entry would have been the hit) is kept, so a multi-SF gate loop never
-    thrash-recomputes the expensive band/blocked-pair lineage."""
+    thrash-recomputes the expensive band/blocked-pair lineage.
+
+    Two pin forms coexist since r15 (ADVICE r15 — keep them distinct):
+
+    * CORPUS-SHAPED pins (the LSH bands relation, blocked pairs) persist
+      the lazy handle (``pin=True``, the default). A checkpoint leaf here
+      would freeze the build's AQE-coalesced partitioning — the bands pin
+      collapses to ~1 partition and the bucket self-join's pair expansion
+      serializes into one task (measured r15: est_quality 1.9 s → 19 s).
+    * SMALL EDGE pins (capped edges, near-jaccard/containment edge sets)
+      stage a checkpoint LEAF inside ``build`` so multi-branch consumers
+      plan against the leaf instead of re-analyzing the full lineage per
+      reference. Those builds pass ``pin=False``: the checkpoint blocks
+      ARE the pinned storage, and a second ``.persist()`` on top would
+      double-store every block (and cache eviction would unpersist only
+      the outer handle, never the checkpoint blocks). Executor-loss
+      caveat: a leafed pin cannot recompute after executor loss (lineage
+      is truncated), so on a real cluster these pins are the staged
+      tables a pipeline writes between stages (``stage_round``'s
+      ``reliable=True`` form), not localCheckpoints.
+    """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = cache.get(key)
     if cached is not None:
@@ -41,15 +62,8 @@ def memoized_persist(
     for k in list(cache):
         if k[0] != key[0]:
             del cache[k]
-    # persist, NOT localCheckpoint (re-affirmed r15): a checkpoint leaf
-    # would truncate the logical plan (cheaper re-analysis for multi-branch
-    # consumers) but freezes the build's AQE-coalesced partitioning — the
-    # bands pin collapses to ~1 partition and the LSH bucket self-join's
-    # pair expansion serializes into one task (measured: est_quality
-    # 1.9 s → 19 s). Consumers that DO need a truncated plan stage their
-    # own leaf over the pinned blocks (graph_kcore / graph_common_neighbors
-    # via stage_round — an edges-sized copy, re-spread by their own
-    # shuffles).
-    out = build().persist()
+    out = build()
+    if pin:
+        out = out.persist()
     cache[key] = out
     return out

@@ -19,6 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -420,6 +421,8 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: stage_round(_near_jaccard_build(spark, sf_dir), False),
+        # the leaf IS the pin — no second persist (ADVICE r15)
+        pin=False,
     )
 
 
@@ -1829,31 +1832,54 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, not ~50 B strings; collisions only merge counts — at 2^32
     grams the expected collision count is <1 and a collision can only
     flip a window to "duplicated", never lose one). Windows are marked
-    duplicated with a count over a gh-PARTITIONED window (uniform hash
-    keys — groups of 1-2 rows, no skew): the gram relation is built ONCE
-    and crosses one exchange, where the previous agg-then-join form
-    rebuilt the tokenize→window→hash lineage for each side (measured
-    1.14 → 0.79 s at sf0.1). No all-pairs stage anywhere.
+    duplicated with a count over a gh-PARTITIONED window: the gram
+    relation is built ONCE and crosses one exchange, where the previous
+    agg-then-join form rebuilt the tokenize→window→hash lineage for each
+    side (measured 1.14 → 0.79 s at sf0.1). No all-pairs stage anywhere.
+
+    SKEW BOUND of the window form (ADVICE r15): the gh partitioning
+    colocates ALL occurrences of a gram in one window group, so on a
+    duplicate-heavy corpus a boilerplate gram repeated N times is N rows
+    in ONE task — and window functions get no AQE skew splitting (guide
+    §2.5: AQE skew handling applies to joins only). The "groups of 1-2
+    rows" observation is a fixture property, not an invariant. For such
+    corpora set SPARK_GRAFT_SUBSTR_SKEWSAFE=1: occurrences pre-aggregate
+    to (gh, doc_id) counts (map-side partial agg absorbs hot grams before
+    the exchange), per-gram totals reduce algebraically, and the dup flag
+    re-attaches through a JOIN on gh — the one shape AQE's skew-join
+    splitting can break up at runtime. Identical output by construction
+    (dup_grams = Σ c·1{corpus_count(gh)>1} either way; pinned by
+    test_exact_substring_skewsafe_path_matches); default stays the
+    window form, which wins at bench scale where groups are tiny.
     """
     g = _kgram_hashes(spark, sf_dir).select("doc_id", "gh")
-    wcnt = Window.partitionBy("gh")
-    flagged = g.withColumn(
-        "is_dup", (F.count("*").over(wcnt) > 1).cast("int")
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
+    if os.environ.get("SPARK_GRAFT_SUBSTR_SKEWSAFE", "") == "1":
+        cnt = g.groupBy("gh", "doc_id").agg(F.count("*").alias("c"))
+        tot = cnt.groupBy("gh").agg(F.sum("c").alias("tg"))
+        per_doc = (
+            cnt.join(tot, "gh")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("total_grams"),
+                F.sum(
+                    F.col("c") * (F.col("tg") > 1).cast("int")
+                ).alias("dup_grams"),
+            )
+        )
+    else:
+        wcnt = Window.partitionBy("gh")
+        flagged = g.withColumn(
+            "is_dup", (F.count("*").over(wcnt) > 1).cast("int")
+        )
+        per_doc = flagged.groupBy("doc_id").agg(
             F.count("*").alias("total_grams"),
             F.sum("is_dup").alias("dup_grams"),
         )
-        .select(
-            "doc_id",
-            "total_grams",
-            "dup_grams",
-            ratio(F.col("dup_grams"), F.col("total_grams")).alias(
-                "dup_frac"
-            ),
-        )
+    return per_doc.select(
+        "doc_id",
+        "total_grams",
+        "dup_grams",
+        ratio(F.col("dup_grams"), F.col("total_grams")).alias("dup_frac"),
     )
 
 
@@ -1887,6 +1913,8 @@ def _capped_oriented_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: stage_round(_capped_oriented_edges(spark, sf_dir)[1], False),
+        # the leaf IS the pin — no second persist (ADVICE r15)
+        pin=False,
     )
 
 
@@ -2322,6 +2350,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda: stage_round(_containment_build(spark, sf_dir), False),
+        # the leaf IS the pin — no second persist (ADVICE r15)
+        pin=False,
     )
 
 

@@ -680,3 +680,30 @@ def test_reservoir_hash_sample_deterministic_and_uniformish(spark, sf_dir):
         .collect()
     }
     assert a == ref
+
+
+def test_exact_substring_skewsafe_path_matches(spark, sf_dir, monkeypatch):
+    """The SPARK_GRAFT_SUBSTR_SKEWSAFE=1 form (pre-agg + AQE-splittable
+    join, for duplicate-heavy corpora where the gh window would colocate a
+    hot gram in one task — ADVICE r15) returns row-identical results to
+    the registered window form."""
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    base_df = dedup.dedup_exact_substring(spark, sf_dir)
+    base = {tuple(r) for r in base_df.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_SKEWSAFE", "1")
+    safe_df = dedup.dedup_exact_substring(spark, sf_dir)
+    safe = {tuple(r) for r in safe_df.collect()}
+    assert base == safe
+    # and the skew-safe plan really trades the gh window for a join: the
+    # k-gram builder upstream keeps its own doc-ordered Window in BOTH
+    # plans (duplicated across the join branches in the safe form), so
+    # assert on the partition spec — the gh-partitioned window must be
+    # gone and the AQE-splittable re-attach join present
+    base_plan, safe_plan = plan_of(base_df), plan_of(safe_df)
+    assert "windowspecdefinition(gh#" in base_plan
+    assert "windowspecdefinition(gh#" not in safe_plan
+    assert "Join" not in base_plan and "Join" in safe_plan
