@@ -257,12 +257,18 @@ EXTENDED_BANDS: dict[str, float] = {
     "dedup_minhash_incremental": 0.405,
     "dedup_minhash_est_quality": 2.731,
     # (dedup_containment re-frozen r12 below — see the WARM_IN note)
-    # r15 re-freeze: _emb_spread on the candidate legs — probe pair
-    # 1.21/1.16 deflated, suite reads 0.98-2.13
-    "sim_topk_pq": 1.4,
-    "sim_pq_recall_eval": 1.4,
-    "sim_topk_ivfpq": 2.943,
-    "sim_ivfpq_recall_eval": 2.993,
+    # r16 re-freeze (Arrow ADC rewrite, VERDICT r15 next-round #3): the
+    # whole candidate side — PQ encode, coarse assign, probe filter, ADC
+    # gather, batch-local top-k prune — is one exact-int64 mapInPandas
+    # pass; near-idle probe deflated medians 0.89 / 0.74 / 0.53 / 0.66
+    # (old join/agg shape read 1.8-2.1 / 2.1 / 2.1-2.3 / 2.6-3.0 on the
+    # same windows). Frozen at max observed deflated × ~1.3 margin; the
+    # eval rows' first sample builds the shared exact-topk pin, medians
+    # rest on pin reads as before.
+    "sim_topk_pq": 1.2,
+    "sim_pq_recall_eval": 1.0,
+    "sim_topk_ivfpq": 0.75,
+    "sim_ivfpq_recall_eval": 0.9,
     # 1.1 not the morning run's 0.684: that was a low draw — the row's
     # history is 1.0-2.1 s (r6 close samples, r11 close 1.01/1.24/2.14)
     # because its first sample pays pin-read warmup; the first band

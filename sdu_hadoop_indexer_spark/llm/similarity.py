@@ -2100,12 +2100,240 @@ def _pq_d2(qe: DataFrame, cdf: DataFrame) -> DataFrame:
 
 def _pq_argmin(d2: DataFrame) -> DataFrame:
     """Rank-1 cell per (vector, subspace), ties to the lowest cell id —
-    the same (d2, cell) struct-min the IVF assignment uses."""
+    the same (d2, cell) struct-min the IVF assignment uses.
+
+    Since r16 this join/agg encoder is the REFERENCE path only (kept for
+    the parity test pinning the map-side encoder below); the registered
+    PQ ops encode map-side via `_pq_codes_arr`."""
     return (
         d2.groupBy("vec_id", "sub")
         .agg(F.min_by(F.struct("cell"), F.struct("d2", "cell")).alias("s"))
         .select("vec_id", "sub", F.col("s.cell").alias("cell"))
     )
+
+
+def _pq_sub_dims(n_dims: int) -> list[list[int]]:
+    """Dims of each PQ subspace under the sub = floor(dim·PQ_M / n) rule —
+    contiguous runs, the same pure-position tagging `_pq_qe` and the
+    oracles apply per row (fixture embeddings are uniform-width, so the
+    plan-time split off the codebook's dim count is the per-row rule)."""
+    return [
+        [d for d in range(n_dims) if (d * PQ_M) // n_dims == s]
+        for s in range(PQ_M)
+    ]
+
+
+def _pq_sub_d2_arrs(qv_col: Column, cents: dict) -> list[Column]:
+    """PQ_M columns, each the array<long> of PQ_K squared subspace
+    distances — `_ivf_dist2_arr`'s one-literal-plus-transform idiom applied
+    per subspace off the driver-trained codebook (guide §8: the codebook is
+    kilobytes of model artifact; shipping it as a literal makes ENCODING a
+    pure map-side pass, where the r15 form exploded every vector to 64 dim
+    rows, broadcast-joined the codebook ×PQ_K and re-assembled sums through
+    two hash-agg exchanges). Same int64 (q−m)² arithmetic, order-free."""
+    n_dims = 1 + max(d for (_, d) in cents)
+    out = []
+    for dims in _pq_sub_dims(n_dims):
+        sub_c = F.lit(
+            [[int(cents[(c, d)]) for d in dims] for c in range(PQ_K)]
+        ).cast("array<array<bigint>>")
+        sv = F.slice(qv_col, dims[0] + 1, len(dims))
+        # NB: the lambda must stay single-parameter (PySpark derives the
+        # HOF arity from the signature — a second bound param would turn
+        # this into transform's (element, index) form); `sv` is resolved
+        # eagerly because F.transform invokes the lambda right here.
+        out.append(
+            F.transform(
+                sub_c,
+                lambda m: F.aggregate(
+                    F.zip_with(sv, m, lambda q, c: (q - c) * (q - c)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ),
+            )
+        )
+    return out
+
+
+def _pq_codes_arr(qv_col: Column, cents: dict) -> Column:
+    """array<int> of the PQ_M nearest sub-cell ids, ties → lowest id
+    (array_position returns the FIRST min — the oracle's ORDER BY d2,
+    cell rank-1, exactly `_ivf_assign`'s rule per subspace)."""
+    return F.array(
+        *[
+            (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+            for d2 in _pq_sub_d2_arrs(qv_col, cents)
+        ]
+    )
+
+
+def _query_qvecs(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The N_QUERIES lattice-quantized query vectors, collected to the
+    driver (guide §8 "decide with small rows": the query batch is the
+    small side by definition — N_QUERIES rows — and every query-time
+    decision, the ADC lookup table and the probe list, is a pure function
+    of it plus the driver-trained model artifacts). Quantization stays
+    the `_ivf_qvec` Spark expression so the lattice is bit-identical to
+    every distributed path; sorted by vec_id for determinism."""
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _ivf_qvec("embedding").alias("qv"))
+        .collect()
+    )
+    return sorted((int(r.vec_id), [int(v) for v in r.qv]) for r in rows)
+
+
+def _pq_query_lut(qvecs: list[tuple[int, list[int]]], cents: dict) -> list:
+    """Per-query ADC lookup tables (PQ_M × PQ_K int64 d2 sums), exact
+    Python-int twins of the oracle's `lut` CTE — N_QUERIES×PQ_M×PQ_K
+    values, a few KB shipped as one literal."""
+    n_dims = 1 + max(d for (_, d) in cents)
+    subs = _pq_sub_dims(n_dims)
+    return [
+        [
+            [
+                sum((qv[d] - cents[(c, d)]) ** 2 for d in dims)
+                for c in range(PQ_K)
+            ]
+            for dims in subs
+        ]
+        for _, qv in qvecs
+    ]
+
+
+def _ivf_probes_py(
+    qvecs: list[tuple[int, list[int]]], icents: list[list[int]]
+) -> list[list[int]]:
+    """Per-query N_PROBE nearest coarse cells by (d2, cell) — exact
+    Python-int twin of the probes window (`ORDER BY d2, cell` rank ≤
+    N_PROBE over `_ivf_dist2_arr`), aligned with the qvecs order."""
+    out = []
+    for _, qv in qvecs:
+        d2s = [
+            (sum((q - m) ** 2 for q, m in zip(qv, cent)), cell)
+            for cell, cent in enumerate(icents)
+        ]
+        out.append([cell for _, cell in sorted(d2s)[:N_PROBE]])
+    return out
+
+
+def _pq_qv_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-side (vec_id, qv) source: quantization stays the
+    `_ivf_qvec` Spark expression (bit-identical lattice — the rounding
+    caveat `_ivf_assign_np` documents never arises because numpy only
+    ever sees the already-quantized integers), off the spread scan."""
+    return _emb_spread(spark, sf_dir).where(
+        F.col("vec_id") >= N_QUERIES
+    ).select("vec_id", _ivf_qvec("embedding").alias("qv"))
+
+
+def _adc_scored_np(
+    e: DataFrame,
+    qvecs: list[tuple[int, list[int]]],
+    cents: dict,
+    icents: list[list[int]] | None = None,
+    probes: list[list[int]] | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_d2) for every (query, candidate) pair
+    that survives probe pruning, computed in ONE Arrow pass over the
+    quantized candidates (guide §4.2: batch BLAS instead of ~4M
+    interpreted HOF lambda evals — measured 1.5 s → 0.48 s for the encode
+    leg alone at sf0.1): per batch, PQ codes (and the IVF coarse cell when
+    probing) come from exact int64 matmuls with first-min argmin — the
+    oracle's ORDER BY d2, cell rank-1 — and adc_d2 is the LUT gather.
+    Each batch also prunes to its local top-K per query by (adc_d2,
+    neighbor_id): the global top-K per query is contained in every
+    batch-local top-K (fewer candidates can only rank a row higher), so
+    the downstream window sees hundreds of rows instead of N×queries and
+    the ranking is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    n_dims = 1 + max(d for (_, d) in cents)
+    subs = _pq_sub_dims(n_dims)
+    cmats = [
+        np.array(
+            [[int(cents[(c, d)]) for d in dims] for c in range(PQ_K)],
+            dtype=np.int64,
+        )
+        for dims in subs
+    ]
+    luts = np.array(_pq_query_lut(qvecs, cents), dtype=np.int64)
+    qids = np.array([q for q, _ in qvecs], dtype=np.int64)
+    imat = (
+        np.array(icents, dtype=np.int64) if icents is not None else None
+    )
+    parr = (
+        [np.array(p, dtype=np.int64) for p in probes]
+        if probes is not None
+        else None
+    )
+    sub_idx = np.arange(PQ_M)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["qv"]), dtype=np.int64)
+            nbr = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.empty((len(x), PQ_M), dtype=np.int64)
+            for s, dims in enumerate(subs):
+                xs, cs = x[:, dims], cmats[s]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    + (cs * cs).sum(axis=1)[None, :]
+                    - 2 * (xs @ cs.T)
+                )
+                codes[:, s] = d2.argmin(axis=1)  # first min = lowest cell
+            if imat is not None:
+                cd2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    + (imat * imat).sum(axis=1)[None, :]
+                    - 2 * (x @ imat.T)
+                )
+                cell = cd2.argmin(axis=1)
+            out = []
+            for qi in range(len(qids)):
+                if parr is not None:
+                    keep = np.isin(cell, parr[qi])
+                    if not keep.any():
+                        continue
+                    n_k, c_k = nbr[keep], codes[keep]
+                else:
+                    n_k, c_k = nbr, codes
+                adc = luts[qi][sub_idx, c_k].sum(axis=1)
+                top = np.lexsort((n_k, adc))[:TOP_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": n_k[top],
+                            "adc_d2": adc[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return e.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_d2 long"
+    )
+
+
+def _pq_rank_topk(scored: DataFrame) -> DataFrame:
+    """Final per-query top-k ranking — the one exchange of the PQ search
+    paths, identical (adc_d2, neighbor_id) order and rn semantics to the
+    pre-r16 window."""
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rn")
+    )
+
+
+_PQ_EMPTY_SCHEMA = "query_id bigint, neighbor_id bigint, adc_d2 bigint, rn int"
 
 
 _PQ_CODEBOOK_CACHE: dict[tuple[str, str], dict] = {}
@@ -2298,32 +2526,23 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical Lloyd rounds as unrolled MATERIALIZED CTEs and
     the ranking ties break on (adc_d2, neighbor_id) in both engines.
 
-    Scale shape (100 TB): the trained codebook is a PQ_M×PQ_K×subdim
-    integer literal (broadcast); ENCODING is one map-side pass over the
-    corpus (join against the broadcast codebook + per-vector argmin);
-    the query-time LUT is queries×PQ_M×PQ_K rows (tiny, broadcast), so
-    ADC scoring is a broadcast-join + hash-agg over the codes relation —
-    the corpus is never shuffled and never re-read at full width. Recall
-    vs the exact quantized-L2 ranking is measured by the registered
-    `sim_pq_recall_eval` gate."""
+    Scale shape (100 TB, restructured r16 per guide §8 "decide with small
+    rows"): the trained codebook is a PQ_M×PQ_K×subdim integer literal, so
+    ENCODING is pure map-side expression work (`_pq_codes_arr` — the r15
+    form exploded every vector to 64 dim rows, broadcast-joined the
+    codebook ×PQ_K and re-assembled the sums through two hash-agg
+    exchanges); the per-query ADC lookup table is a pure function of the
+    N_QUERIES collected query vectors + the codebook, computed at the
+    driver and shipped as ONE literal — so ADC scoring is also map-side
+    and the corpus crosses no exchange at all until the final top-k
+    window. Recall vs the exact quantized-L2 ranking is measured by the
+    registered `sim_pq_recall_eval` gate."""
     cents = _train_pq_codebooks(spark, sf_dir)
-    cdf = _pq_centroid_df(spark, cents)
-    qe = _pq_qe(spark, sf_dir)
-    d2 = _pq_d2(qe, cdf)
-    codes = _pq_argmin(d2.where(F.col("vec_id") >= N_QUERIES))
-    lut = d2.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "cell", "d2"
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "cell"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d2").cast("long").alias("adc_d2"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_d2", "rn")
+    qvecs = _query_qvecs(spark, sf_dir)
+    if not qvecs:
+        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    return _pq_rank_topk(
+        _adc_scored_np(_pq_qv_src(spark, sf_dir), qvecs, cents)
     )
 
 
@@ -2342,25 +2561,56 @@ def _lattice_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import memoized_persist
 
     def build() -> DataFrame:
-        qe = _pq_qe(spark, sf_dir)
-        a = qe.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qa")
-        )
-        b = qe.where(F.col("vec_id") >= N_QUERIES).select(
-            F.col("vec_id").alias("neighbor_id"), "dim", F.col("q").alias("qb")
-        )
-        d2 = (
-            b.join(F.broadcast(a), "dim")
-            .groupBy("query_id", "neighbor_id")
-            .agg(
-                F.sum(
-                    (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
-                ).alias("d2")
+        # r16: the queries are the decision-sized side (guide §8) — ship
+        # them into ONE Arrow pass that computes each corpus row's exact
+        # int64 lattice d2 to every query and prunes to the batch-local
+        # top-K per query (provably contains the global top-K), instead
+        # of exploding the corpus to dim rows and re-assembling sums
+        # through a broadcast join + hash-agg exchange. Same (d2,
+        # neighbor_id) rank — only the tiny final window shuffles.
+        import numpy as np
+        import pandas as pd
+
+        qvecs = _query_qvecs(spark, sf_dir)
+        if not qvecs:
+            return spark.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint"
             )
+        qmat = np.array([qv for _, qv in qvecs], dtype=np.int64)
+        qids = np.array([q for q, _ in qvecs], dtype=np.int64)
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.array(list(pdf["qv"]), dtype=np.int64)
+                nbr = pdf["vec_id"].to_numpy(dtype=np.int64)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    + (qmat * qmat).sum(axis=1)[None, :]
+                    - 2 * (x @ qmat.T)
+                )
+                out = []
+                for qi in range(len(qids)):
+                    dq = d2[:, qi]
+                    top = np.lexsort((nbr, dq))[:TOP_K]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "neighbor_id": nbr[top],
+                                "d2": dq[top],
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        scored = _pq_qv_src(spark, sf_dir).mapInPandas(
+            score, "query_id long, neighbor_id long, d2 long"
         )
         w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
         return (
-            d2.withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= TOP_K)
             .select("query_id", "neighbor_id")
         )
@@ -2518,61 +2768,29 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached per (app, sf)); the oracle chains both trainers' unrolled CTE
     rounds in one WITH (PQ's prefixed `z`) and prunes before scoring
     exactly as the engine does. All-integer arithmetic end to end —
-    EXACT. Scale shape: probe/assign are map-side against broadcast
-    literals; the only joins are cell-keyed candidate pruning and the
-    broadcast LUT — the corpus is never read at full width at query
-    time."""
+    EXACT. Scale shape (restructured r16, guide §8/§2.4): the query-time
+    decisions — each query's N_PROBE probe list AND its PQ_M×PQ_K ADC
+    lookup table — are pure functions of the N_QUERIES collected query
+    vectors plus the two driver-trained model artifacts, so both ship as
+    literals, and the corpus makes ONE fused map-side pass (coarse
+    assignment + PQ codes in the same projection — the r15 form ran two
+    corpus passes, one per leg, and re-paired them through a
+    neighbor_id join). Candidates outside a query's probed cells drop in
+    a map-side filter; nothing shuffles until the final top-k window."""
     icents = _train_ivf_centroids(spark, sf_dir)
-    e = table(spark, sf_dir, "embeddings")
-    qvec = _ivf_qvec("embedding")
-    # candidate leg off the spread source (guide §2.5): the per-row coarse
-    # assignment otherwise fuses into the one scan task
-    cand = _emb_spread(spark, sf_dir).where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _ivf_assign(qvec, icents).alias("cell"),
-    )
-    probes = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.posexplode(_ivf_dist2_arr(qvec, icents)).alias("cell", "d2"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("d2", "cell")
-            ),
-        )
-        .where(F.col("rk") <= N_PROBE)
-        .select("query_id", "cell")
-    )
-    pairs = F.broadcast(probes).join(cand, "cell").select(
-        "query_id", "neighbor_id"
-    )
     pqc = _train_pq_codebooks(spark, sf_dir)
-    d2 = _pq_d2(_pq_qe(spark, sf_dir), _pq_centroid_df(spark, pqc))
-    codes = _pq_argmin(d2.where(F.col("vec_id") >= N_QUERIES)).select(
-        F.col("vec_id").alias("neighbor_id"),
-        "sub",
-        F.col("cell").alias("pcell"),
-    )
-    lut = d2.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        "sub",
-        F.col("cell").alias("pcell"),
-        "d2",
-    )
-    adc = (
-        pairs.join(codes, "neighbor_id")
-        .join(F.broadcast(lut), ["query_id", "sub", "pcell"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").cast("long").alias("adc_d2"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_d2", "rn")
+    qvecs = _query_qvecs(spark, sf_dir)
+    if not qvecs:
+        return spark.createDataFrame([], _PQ_EMPTY_SCHEMA)
+    probes = _ivf_probes_py(qvecs, icents)
+    return _pq_rank_topk(
+        _adc_scored_np(
+            _pq_qv_src(spark, sf_dir),
+            qvecs,
+            pqc,
+            icents=icents,
+            probes=probes,
+        )
     )
 
 

@@ -573,7 +573,17 @@ def test_near_jaccard_memoized_per_sf(spark, sf_dir):
     a = dedup.dedup_near_jaccard(spark, sf_dir)
     b = dedup.dedup_near_jaccard(spark, sf_dir)
     assert a is b
-    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    # since r16 the pin is stored as a checkpoint LEAF staged inside the
+    # build (no second persist stacked on the blocks — ADVICE r15), so
+    # storage shows up as the RDD-leaf plan rather than a storageLevel
+    plan = a._jdf.queryExecution().analyzed().toString()
+    stored = (
+        a.storageLevel.useMemory
+        or a.storageLevel.useDisk
+        or "LogicalRDD" in plan
+        or "ExistingRDD" in plan
+    )
+    assert stored
 
 
 def test_ann_pairs_recall_gate_and_exact_scores(spark, sf_dir):
@@ -814,6 +824,105 @@ def test_ivfpq_ranking_and_adc_consistency(spark, sf_dir):
     assert shared, "composite and pure PQ should overlap on some pairs"
     for r in shared:
         assert r.adc_d2 == pq_adc[(r.query_id, r.neighbor_id)]
+
+
+def test_pq_mapside_encoder_matches_reference(spark, sf_dir):
+    """r16 map-side PQ path vs the r15 reference: `_pq_codes_arr` (codebook
+    shipped as a literal, per-subspace argmin in one projection) must emit
+    byte-identical codes to the join/agg encoder (`_pq_qe` → `_pq_d2` →
+    `_pq_argmin`), the driver-computed ADC LUT (`_pq_query_lut`) must equal
+    the distributed d2 relation on the query side, and the driver-computed
+    probe lists (`_ivf_probes_py`) must match the probes window."""
+    cents = similarity._train_pq_codebooks(spark, sf_dir)
+    d2 = similarity._pq_d2(
+        similarity._pq_qe(spark, sf_dir),
+        similarity._pq_centroid_df(spark, cents),
+    )
+    ref_codes = {
+        (r.vec_id, r.sub): r.cell
+        for r in similarity._pq_argmin(
+            d2.where(F.col("vec_id") >= similarity.N_QUERIES)
+        ).collect()
+    }
+    new_rows = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") >= similarity.N_QUERIES)
+        .select(
+            "vec_id",
+            similarity._pq_codes_arr(
+                similarity._ivf_qvec("embedding"), cents
+            ).alias("codes"),
+        )
+        .collect()
+    )
+    new_codes = {
+        (r.vec_id, s): c for r in new_rows for s, c in enumerate(r.codes)
+    }
+    assert new_codes == ref_codes
+    # query-side LUT parity: every (query, sub, cell) d2 the reference
+    # relation carries must equal the driver-computed table entry
+    qvecs = similarity._query_qvecs(spark, sf_dir)
+    luts = similarity._pq_query_lut(qvecs, cents)
+    lut_by_qid = {q: lut for (q, _), lut in zip(qvecs, luts)}
+    ref_lut = d2.where(F.col("vec_id") < similarity.N_QUERIES).collect()
+    assert ref_lut
+    for r in ref_lut:
+        assert lut_by_qid[r.vec_id][r.sub][r.cell] == r.d2
+    # probe parity against the window form over _ivf_dist2_arr
+    icents = similarity._train_ivf_centroids(spark, sf_dir)
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    ref_probes = {
+        (r.query_id, r.cell)
+        for r in table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < similarity.N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                similarity._ivf_dist2_arr(
+                    similarity._ivf_qvec("embedding"), icents
+                )
+            ).alias("cell", "d2"),
+        )
+        .withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= similarity.N_PROBE)
+        .select("query_id", "cell")
+        .collect()
+    }
+    new_probes = {
+        (q, c)
+        for (q, _), cells in zip(qvecs, similarity._ivf_probes_py(qvecs, icents))
+        for c in cells
+    }
+    assert new_probes == ref_probes
+    # end to end: the registered Arrow-scored top-k must be row-identical
+    # to the r15 join/agg ADC ranking rebuilt from the reference helpers
+    from pyspark.sql import Window
+
+    lut_df = d2.where(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "cell", "d2"
+    )
+    codes_df = similarity._pq_argmin(
+        d2.where(F.col("vec_id") >= similarity.N_QUERIES)
+    )
+    adc = (
+        codes_df.join(F.broadcast(lut_df), ["sub", "cell"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    ref_topk = {
+        tuple(r)
+        for r in adc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= similarity.TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rn")
+        .collect()
+    }
+    new_topk = {
+        tuple(r) for r in similarity.sim_topk_pq(spark, sf_dir).collect()
+    }
+    assert new_topk == ref_topk
 
 
 def test_pq_codebooks_deterministic_and_on_lattice(spark):
