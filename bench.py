@@ -255,7 +255,11 @@ EXTENDED_BANDS: dict[str, float] = {
     "sim_nearest_pairs_ann": 1.0,
     "sim_pairs_recall_eval": 1.365,
     "dedup_minhash_incremental": 0.405,
-    "dedup_minhash_est_quality": 2.731,
+    # r16 re-freeze: one fused sig+token-array agg feeding two joins
+    # (was two passes / four joins) — probe deflated medians 2.10-2.22,
+    # steady samples to 1.89; the row's floor is the candidates-sized
+    # verify (6.05M pairs × array_intersect at sf0.1)
+    "dedup_minhash_est_quality": 2.4,
     # (dedup_containment re-frozen r12 below — see the WARM_IN note)
     # r16 re-freeze (Arrow ADC rewrite, VERDICT r15 next-round #3): the
     # whole candidate side — PQ encode, coarse assign, probe filter, ADC

@@ -830,54 +830,65 @@ def dedup_minhash_est_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection reuses the same size-gated pattern as the τ=0.9 verify.
     """
     cand = dedup_minhash_lsh(spark, sf_dir)
-    # the signature build feeds BOTH verify sides — truncate once per call
-    # (NOT a cross-call memo: bench_minhash_family's rows are defined as
-    # the full build under each hash family and must keep doing full work)
+    # r16 (guide §2.4 "do fewer passes"): the signature minima AND the
+    # hashed verify token-arrays both reduce the SAME _token_sets relation
+    # — the r15 form ran tokenize→distinct→groupBy TWICE per call (one
+    # staged sig pass + one arrs pass) and attached them through four
+    # joins. One grouped agg now computes h0..h15, the xxhash64 token
+    # array and the set size together, is truncated once per call (NOT a
+    # cross-call memo: bench_minhash_family's rows are defined as the
+    # full build under each hash family and must keep doing full work),
+    # and attaches through TWO joins. collect_list order stays
+    # shuffle-nondeterministic exactly as before — only size(
+    # array_intersect) consumes it, which is order-free on these
+    # distinct-element arrays.
     from ..iteration import stage_round
 
-    sig = stage_round(minhash_signatures(spark, sf_dir), False)
-    s1 = sig.select(
+    th = _token_sets(spark, sf_dir).select(
+        "doc_id",
+        xh1("term").alias("x1"),
+        xh2("term").alias("x2"),
+        F.xxhash64("term").alias("tx"),
+    )
+    side = stage_round(
+        th.groupBy("doc_id").agg(
+            *[
+                F.min(hfam(i, F.col("x1"), F.col("x2"))).alias(f"h{i}")
+                for i in range(N_HASHES)
+            ],
+            F.collect_list("tx").alias("toks"),
+            F.count("*").alias("sz"),
+        ),
+        False,
+    )
+    sa_side = side.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
     )
-    s2 = sig.select(
+    sb_side = side.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
     )
+    # per-doc row ≈ 16 hashes + the token array — broadcast only when
+    # BOTH the arrs gate and the 256 B/row signature gate agree
+    if _arrs_fits_broadcast(spark, sf_dir) and _fits_broadcast(
+        spark, _table_rows(sf_dir, "documents"), 256
+    ):
+        sa_side, sb_side = F.broadcast(sa_side), F.broadcast(sb_side)
     m = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     ).cast("long")
-    tset = _token_sets(spark, sf_dir)
-    # hashed int64 verify arrays (the containment recipe — see the
-    # collision-bound note there)
-    arrs = tset.groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("term")).alias("toks"),
-        F.count("*").alias("sz"),
-    )
-    ra = arrs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("ta"),
-        F.col("sz").alias("sa"),
-    )
-    rb = arrs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("tb"),
-        F.col("sz").alias("sb"),
-    )
-    if _arrs_fits_broadcast(spark, sf_dir):
-        ra, rb = F.broadcast(ra), F.broadcast(rb)
     est = F.col("m").cast("double") / N_HASHES
     jac = F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i"))
-    # full 16-column signature relation: ~256 B/row — corpus-sized, gated
-    if _fits_broadcast(spark, _table_rows(sf_dir, "documents"), 256):
-        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
-        cand.join(s1, "doc_a")
-        .join(s2, "doc_b")
+        cand.join(sa_side, "doc_a")
+        .join(sb_side, "doc_b")
         .withColumn("m", m)
-        .join(ra, "doc_a")
-        .join(rb, "doc_b")
         .withColumn("i", F.size(F.array_intersect("ta", "tb")).cast("long"))
         .select(
             "doc_a",

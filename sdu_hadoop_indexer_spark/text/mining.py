@@ -150,15 +150,28 @@ def pagerank_keywords(
         edges.select(F.col("a").alias("v")).distinct(), reliable, eager=False
     )
     ranks = nodes.select("v", F.lit(1.0).alias("r"))
+    # r16 (guide §3.1 + VERDICT r15 next-round #5): the per-round varying
+    # relations — ranks in, contributions out — are VOCAB-sized (term,
+    # double) rows, strictly smaller than the doc→token-array relation the
+    # established gate bounds, while `en` is edges-sized. Broadcasting
+    # them (size-gated) makes the en⋈ranks join and the nodes⟕contrib
+    # re-attach map-side, so exactly ONE exchange per round survives (the
+    # groupBy(b) partial agg) instead of shuffling en, ranks, contrib AND
+    # nodes every round. Above the gate the hints are omitted and each
+    # round degrades to the co-partitioned shuffles — never an OOM.
+    from ..llm.dedup import _arrs_fits_broadcast
+
+    bcast = _arrs_fits_broadcast(spark, sf_dir)
+    hint = F.broadcast if bcast else (lambda df: df)
     stager = RoundStager(reliable, eager=False)  # ≤1 staged copy on disk
     for _ in range(PR_ITERS):
         contrib = (
-            en.join(ranks, en.a == ranks.v)
+            en.join(hint(ranks), en.a == ranks.v)
             .groupBy("b")
             .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
         )
         ranks = stager.stage(
-            nodes.join(contrib, nodes.v == contrib.b, "left").select(
+            nodes.join(hint(contrib), nodes.v == contrib.b, "left").select(
                 "v",
                 (
                     F.lit(1 - PR_DAMPING)

@@ -56,3 +56,19 @@ def test_bpe_train_reliable_matches_default(spark, sf_dir, tmp_path, monkeypatch
     base = _rows(tokenizer.bpe_train(spark, sf_dir, n_merges=8))
     staged = _rows(tokenizer.bpe_train(spark, sf_dir, n_merges=8, reliable=True))
     assert staged == base
+
+
+def test_bpe_incremental_counts_path_matches(spark, sf_dir, monkeypatch):
+    """The SPARK_GRAFT_BPE_INCREMENTAL=1 delta-maintained pair counts (the
+    corpus-scale form — r16, kept env-gated after losing the fixture-scale
+    A/B) must produce the identical merge table AND identical final encoded
+    vocab to the default full-recount loop."""
+    from sdu_hadoop_indexer_spark.llm import tokenizer
+
+    base = _rows(tokenizer.bpe_train(spark, sf_dir, n_merges=8))
+    base_enc = _rows(tokenizer.bpe_encode(spark, sf_dir, n_merges=8))
+    monkeypatch.setenv("SPARK_GRAFT_BPE_INCREMENTAL", "1")
+    inc = _rows(tokenizer.bpe_train(spark, sf_dir, n_merges=8))
+    inc_enc = _rows(tokenizer.bpe_encode(spark, sf_dir, n_merges=8))
+    assert inc == base
+    assert inc_enc == base_enc
