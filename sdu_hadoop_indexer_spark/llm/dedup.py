@@ -1385,6 +1385,34 @@ def dedup_semantic_ivf(
     return _semantic_cell_verdict(spark, sf_dir, asg)
 
 
+# A cell larger than this splits into block-pair groups instead of running
+# its |cell|² verify in one task (VERDICT r15 what's-wrong #3: the chunked
+# triu gather bounded MEMORY but a degenerate centroid's cell was still one
+# straggler task). Module-level so the skew test can tighten it.
+SEMANTIC_HOT_CELL_ROWS = 4096
+
+
+def _triu_drop_flags(x, dropped):
+    """In-place τ-drop flags over one block's strict upper triangle by
+    POSITION (rows pre-sorted by vec_id): the r15 chunked einsum recipe,
+    shared by the one-task-per-cell path and the hot-cell diagonal
+    groups so both compute byte-identical cosines."""
+    import numpy as np
+
+    n = len(x)
+    if n > 1:
+        ii, jj = np.triu_indices(n, k=1)
+        step = 2_000_000  # bounded gather: ~2M pairs × 64 dims per block
+        for s in range(0, len(ii), step):
+            ib, jb = ii[s : s + step], jj[s : s + step]
+            am, bm = x[ib], x[jb]
+            dot = np.einsum("ij,ij->i", am, bm)
+            na = np.linalg.norm(am, axis=1)
+            nb = np.linalg.norm(bm, axis=1)
+            cos = np.round(dot / (na * nb), 4) + 0.0
+            dropped[jb[cos >= COSINE_DUP_TAU]] = True
+
+
 def _semantic_cell_verdict(
     spark: SparkSession, sf_dir: str, asg: DataFrame
 ) -> DataFrame:
@@ -1399,7 +1427,22 @@ def _semantic_cell_verdict(
     dot / norm / round-4dp / τ-compare text of `_semantic_drop_verdict`
     verbatim, so the emitted verdicts are identical (DuckDB oracle is the
     cross-check, as before). Pair blocks are chunked so a hot cell streams
-    through bounded memory instead of materializing |cell|² gathers."""
+    through bounded memory instead of materializing |cell|² gathers.
+
+    HOT-CELL decomposition (r16, VERDICT r15 next-round #9, guide §2.5):
+    one bounded count pass detects cells above SEMANTIC_HOT_CELL_ROWS
+    (the collect is ≤ N/threshold rows by construction). The common case
+    — no hot cell — returns the EXACT one-task-per-cell plan above. Hot
+    cells split into ⌈n/threshold⌉ hash blocks replicated to (bi ≤ bj)
+    block-pair groups (the `blocked_pair_groups` harness, scoped per
+    cell): diagonal groups run the identical triu recipe over one block
+    and emit every member's verdict; cross groups emit only positive
+    drops (the larger vec_id of any τ-close cross pair); a final
+    per-vector OR collapses the group verdicts. The drop rule is purely
+    pairwise (j drops iff ANY lower-id cell-mate is τ-close — never
+    conditioned on the mate's own verdict), so the block union equals the
+    single-task sweep exactly; pinned by
+    test_semantic_hot_cell_decomposition_matches."""
     e = table(spark, sf_dir, "embeddings")
     ve = asg.select("vec_id", "cell").join(
         e.select("vec_id", "embedding"), "vec_id"
@@ -1410,20 +1453,9 @@ def _semantic_cell_verdict(
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
         x = np.array(list(pdf["embedding"]), dtype=np.float64)
-        dropped = np.zeros(n, dtype=bool)
-        if n > 1:
-            ii, jj = np.triu_indices(n, k=1)
-            step = 2_000_000  # bounded gather: ~2M pairs × 64 dims per block
-            for s in range(0, len(ii), step):
-                ib, jb = ii[s : s + step], jj[s : s + step]
-                am, bm = x[ib], x[jb]
-                dot = np.einsum("ij,ij->i", am, bm)
-                na = np.linalg.norm(am, axis=1)
-                nb = np.linalg.norm(bm, axis=1)
-                cos = np.round(dot / (na * nb), 4) + 0.0
-                dropped[jb[cos >= COSINE_DUP_TAU]] = True
+        dropped = np.zeros(len(pdf), dtype=bool)
+        _triu_drop_flags(x, dropped)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -1432,9 +1464,97 @@ def _semantic_cell_verdict(
             }
         )
 
-    return ve.groupBy("cell").applyInPandas(
-        cell_drop, "vec_id bigint, cell int, dropped boolean"
+    out_schema = "vec_id bigint, cell int, dropped boolean"
+    # metadata-only fast path: a corpus no bigger than the threshold
+    # cannot contain a hot cell — skip the detection pass (zero extra
+    # jobs; the one-task-per-cell plan is unchanged)
+    n_rows = _table_rows(sf_dir, "embeddings")
+    if 0 <= n_rows <= SEMANTIC_HOT_CELL_ROWS:
+        return ve.groupBy("cell").applyInPandas(cell_drop, out_schema)
+    hot = {
+        int(r.cell): int(r.n)
+        for r in asg.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > SEMANTIC_HOT_CELL_ROWS)
+        .collect()
+    }
+    if not hot:
+        return ve.groupBy("cell").applyInPandas(cell_drop, out_schema)
+
+    hot_ids = list(hot)
+    cold = ve.where(~F.col("cell").isin(hot_ids)).groupBy(
+        "cell"
+    ).applyInPandas(cell_drop, out_schema)
+    # per-cell block maps (tiny: Σ nb_c² rows, nb_c = ⌈n_c/threshold⌉)
+    nb_rows, side_rows = [], []
+    for c, n in hot.items():
+        nb = -(-n // SEMANTIC_HOT_CELL_ROWS)
+        nb_rows.append((c, nb))
+        for i in range(nb):
+            for j in range(i, nb):
+                if i == j:
+                    side_rows.append((c, i, i, j, "D"))
+                else:
+                    side_rows.append((c, i, i, j, "L"))
+                    side_rows.append((c, j, i, j, "R"))
+    nb_map = spark.createDataFrame(nb_rows, "cell int, nb int")
+    side_map = spark.createDataFrame(
+        side_rows, "cell int, blk int, gi int, gj int, side string"
     )
+
+    def hot_drop(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if (pdf["side"] == "D").all():
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dropped = np.zeros(len(pdf), dtype=bool)
+            _triu_drop_flags(x, dropped)
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "dropped": dropped,
+                }
+            )
+        l = pdf[pdf["side"] == "L"]
+        r = pdf[pdf["side"] == "R"]
+        lid = l["vec_id"].to_numpy(dtype=np.int64)
+        rid = r["vec_id"].to_numpy(dtype=np.int64)
+        lm = np.array(list(l["embedding"]), dtype=np.float64)
+        rm = np.array(list(r["embedding"]), dtype=np.float64)
+        nl = np.linalg.norm(lm, axis=1)
+        nr = np.linalg.norm(rm, axis=1)
+        sim = np.round((lm @ rm.T) / np.outer(nl, nr), 4) + 0.0
+        ai, bj = np.nonzero(sim >= COSINE_DUP_TAU)
+        if not len(ai):
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "dropped": []}
+            ).astype({"vec_id": "int64", "cell": "int32", "dropped": "bool"})
+        drop_id = np.maximum(lid[ai], rid[bj])
+        return pd.DataFrame(
+            {
+                "vec_id": drop_id,
+                "cell": pdf["cell"].iloc[0],
+                "dropped": True,
+            }
+        )
+
+    hot_verdicts = (
+        ve.where(F.col("cell").isin(hot_ids))
+        .join(F.broadcast(nb_map), "cell")
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int")
+        )
+        .join(F.broadcast(side_map), ["cell", "blk"])
+        .groupBy("cell", "gi", "gj")
+        .applyInPandas(hot_drop, out_schema)
+        .groupBy("vec_id", "cell")
+        .agg(F.max("dropped").alias("dropped"))
+        .select("vec_id", "cell", "dropped")
+    )
+    return cold.unionByName(hot_verdicts)
 
 
 def _semantic_drop_verdict(

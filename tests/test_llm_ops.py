@@ -925,6 +925,21 @@ def test_pq_mapside_encoder_matches_reference(spark, sf_dir):
     assert new_topk == ref_topk
 
 
+def test_semantic_hot_cell_decomposition_matches(spark, sf_dir, monkeypatch):
+    """Forcing every cell through the r16 hot-cell block-pair path (by
+    tightening SEMANTIC_HOT_CELL_ROWS far below the fixture cell sizes)
+    must reproduce the one-task-per-cell verdicts exactly — the drop rule
+    is purely pairwise, so the block union equals the single-task sweep."""
+    base = {
+        tuple(r) for r in dedup.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "SEMANTIC_HOT_CELL_ROWS", 8)
+    split = {
+        tuple(r) for r in dedup.dedup_semantic_ivf(spark, sf_dir).collect()
+    }
+    assert split == base
+
+
 def test_pq_codebooks_deterministic_and_on_lattice(spark):
     """The PQ trainer must be a pure function of the corpus: two training
     runs return identical integer codebooks covering every (cell, dim)."""
