@@ -1079,7 +1079,16 @@ def test_round6_artifacts_memoized_per_sf(spark, sf_dir):
     e1 = dedup.dedup_containment(spark, sf_dir)
     e2 = dedup.dedup_containment(spark, sf_dir)
     assert e1 is e2  # staged containment edge relation, like the tau=0.9 set
-    assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+    # since r16 the pin is a checkpoint LEAF staged inside the build (no
+    # second persist on the blocks — ADVICE r15), so storage shows up as
+    # the RDD-leaf plan rather than a storageLevel
+    plan = e1._jdf.queryExecution().analyzed().toString()
+    assert (
+        e1.storageLevel.useMemory
+        or e1.storageLevel.useDisk
+        or "LogicalRDD" in plan
+        or "ExistingRDD" in plan
+    )
 
 
 def test_bigram_c2_memoized_no_persist_leak(spark, sf_dir):
